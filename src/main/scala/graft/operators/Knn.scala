@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2sq
+
+/** Exact k-NN operators — the reference's flagship surface.
+  *
+  * Reference behavior reproduced:
+  *  - brute-force squared-L2 scan per shard (`src/index/vector_shard.cc:72-94`)
+  *  - multi-shard fan-out + top-k merge via `std::partial_sort`
+  *    (`src/index/shard_manager.cc:46-51,129-145`)
+  *  - batch search = independent parallel searches
+  *    (`src/index/shard_manager.cc:61-78`)
+  *  - k = 0 → empty result (`src/index/shard_manager.cc:31-36`)
+  *
+  * Spark-first design:
+  *  - Single query: `orderBy(distance, id).limit(k)` — Catalyst plans
+  *    `TakeOrderedAndProject`, which IS per-partition partial top-k with a
+  *    bounded priority queue plus a driver merge: algorithmically identical
+  *    to the reference's per-shard `search(k)` + `MergeTopK`, but
+  *    distributed over N executors instead of OpenMP threads. At 100 TB
+  *    the scan is embarrassingly parallel over parquet row groups; only
+  *    `shards × k` rows ever cross the network.
+  *  - Batch: the query set is DATA, not a loop. One cross join (query side
+  *    broadcast — it is small by construction) + per-query window top-k
+  *    services any batch width with a single pass over the vectors. No
+  *    per-request job-launch overhead, unlike the reference's per-request
+  *    OpenMP fan-out.
+  *  - Tie-break: `(distance, id)` ascending — deterministic, stricter than
+  *    the reference's arbitrary ties (SURVEY.md §5.1). Duplicate ids
+  *    across shards are NOT deduped (reference quirk, preserved).
+  */
+object Knn {
+
+  /** Top-k nearest neighbors of one query vector.
+    *
+    * @param vectors DataFrame with `idCol` and `embCol` (ARRAY<FLOAT>)
+    * @param query   the query vector
+    * @param k       neighbors to return (0 → empty, reference parity)
+    */
+  def topK(
+      vectors: DataFrame,
+      query: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dist = l2sq(col(embCol), lit(query.toArray))
+    vectors
+      .select(col(idCol), dist.as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(math.max(k, 0))
+  }
+
+  /** Top-k with the query vectors supplied as a (small) DataFrame
+    * `(query_id, qvec)`; one result row set per query id.
+    *
+    * The query side is broadcast: the vectors table never shuffles, and
+    * the per-query top-k is a single window pass. For very large query
+    * batches (beyond broadcast threshold) the same plan degrades
+    * gracefully to a shuffled join on no keys — callers should chunk.
+    */
+  def batchTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    val scored = vectors
+      .crossJoin(broadcast(queries))
+      .select(
+        col(queryIdCol),
+        col(idCol),
+        l2sq(col(embCol), col(queryVecCol)).as("distance"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("distance"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Filtered search: restrict the candidate set by an arbitrary
+    * predicate before the scan. The filter is pushed into the parquet
+    * scan by Catalyst (the reference has no equivalent — closest is its
+    * per-shard routing, `src/index/shard_manager.cc:81-84`, which our
+    * partition pruning subsumes). */
+  def topKWhere(
+      vectors: DataFrame,
+      predicate: Column,
+      query: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    topK(vectors.filter(predicate), query, k, idCol, embCol)
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit-schema loaders for the driver testdata tables.
+  *
+  * The reference declares its schema externally (protos + per-cluster
+  * dimension config, `proto/search.proto:45-49`, `proto/config.proto:7-11`)
+  * and validates on load (`src/index/vector_shard.cc:34-43`). We mirror
+  * that stance: never `inferSchema`; every read carries a declared
+  * `StructType` so a drifting file fails analysis, not silently.
+  *
+  * At 100 TB scale explicit schemas also guarantee column pruning works
+  * from the first plan (no sampling pass over exabytes of footers).
+  */
+object Tables {
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = true)),
+    StructField("label", IntegerType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType, nullable = false),
+    StructField("r_name", StringType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType, nullable = false),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType, nullable = false),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType, nullable = false),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType, nullable = false),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType, nullable = false),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType, nullable = false),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  private val schemas: Map[String, StructType] = Map(
+    "embeddings" -> embeddingsSchema,
+    "documents" -> documentsSchema,
+    "events" -> eventsSchema,
+    "region" -> regionSchema,
+    "nation" -> nationSchema,
+    "customer" -> customerSchema,
+    "supplier" -> supplierSchema,
+    "part" -> partSchema,
+    "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema)
+
+  /** Read one testdata table with its declared schema. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+}

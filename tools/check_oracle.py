@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet dump (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB against views
+named after the testdata tables, and compares: row count, column
+names/dtypes, and a hash of all values (columns sorted by name, rows
+sorted by all columns). Exit 1 on any mismatch.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # normalize list/array cells to tuples so comparison works
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                              (hasattr(v, "__len__") and not isinstance(v, (str, bytes))) else v)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    failures = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no parquet output"); failures += 1; continue
+        got = pd.read_parquet(os.path.join(out_dir, name))
+        if name not in oracle:
+            print(f"WEAK {name}: no oracle sql, rows={len(got)} "
+                  f"({'ok' if len(got) > 0 else 'EMPTY!'})")
+            if len(got) == 0: failures += 1
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns spark={list(g.columns)} duck={list(e.columns)}")
+            failures += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
+            failures += 1; continue
+        dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
+                       for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        eq = g.equals(e)
+        if not eq:
+            # cell-level diff report
+            bad = []
+            for c in g.columns:
+                if not g[c].equals(e[c]):
+                    mask = ~(g[c] == e[c])
+                    try:
+                        mask = mask | g[c].isna() != e[c].isna()
+                    except Exception:
+                        pass
+                    idx = list(g.index[mask])[:3]
+                    bad.append((c, [(i, g[c][i], e[c][i]) for i in idx]))
+            print(f"FAIL {name}: value mismatch {bad[:2]} dtypes={dt_mismatch}")
+            failures += 1; continue
+        flag = f" dtypes~{dt_mismatch}" if dt_mismatch else ""
+        print(f"OK   {name}: rows={len(g)}{flag}")
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
