@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+import graft.sources.Tables
+
+/** The reference's core surface: exact k-NN search (SURVEY.md §2 O-1/O-2/O-3)
+  * plus cosine variants and vector statistics.
+  *
+  * All query vectors are taken FROM the table (vec_id 0 / vec_id < 8) so
+  * the engine and the DuckDB oracle score bit-identical float inputs.
+  */
+object VectorQueries extends QueryPack {
+
+  /** DuckDB squared-L2 fragment matching VectorFunctions.l2sq exactly:
+    * double widening, element-order left fold. */
+  def duckL2sq(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** DuckDB dot-product fragment matching VectorFunctions.dot. */
+  def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // O-1/O-2: exact squared-L2 top-k, single query. Catalyst plans
+    // TakeOrderedAndProject = per-partition bounded-heap top-k + driver
+    // merge — the reference's shard fan-out/merge, distributed.
+    "knn_single" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select($"vec_id", round(l2sq($"embedding", $"qvec"), 4).as("distance"))
+        .orderBy($"distance", $"vec_id")
+        .limit(10)
+    }),
+
+    // O-3: batch search — the query set is data; one scan serves all.
+    "knn_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      Knn.batchTopK(e, q, k = 5)
+        .select($"query_id", $"vec_id",
+          round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Filtered search: predicate narrows the scan BEFORE distance work
+    // (pushed to parquet; the reference can only route whole shards).
+    "knn_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      e.filter($"label" === 3)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", $"label",
+          round(l2sq($"embedding", $"qvec"), 4).as("distance"))
+        .orderBy($"distance", $"vec_id")
+        .limit(5)
+    }),
+
+    // Cosine similarity top-k (descending) — similarity-search baseline.
+    "cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", round(cosine($"embedding", $"qvec"), 6).as("sim"))
+        .orderBy($"sim".desc, $"vec_id")
+        .limit(10)
+    }),
+
+    // Per-label vector statistics (norm distribution). Cross-row double
+    // sums go through round→decimal so aggregation order cannot perturb
+    // the result (float-determinism discipline, SURVEY.md §7 risk 2).
+    "vector_stats" -> ((s, dir) => {
+      import s.implicits._
+      val normR = round(l2norm($"embedding"), 4)
+      Tables.embeddings(s, dir)
+        .select($"label".cast("long").as("label"), normR.as("norm"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          (sum($"norm".cast(DecimalType(12, 4))).cast("double") / count(lit(1))).as("avg_norm"),
+          min($"norm").as("min_norm"),
+          max($"norm").as("max_norm"))
+        .orderBy($"label")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "knn_single" ->
+      s"""SELECT e.vec_id,
+         |       round(${duckL2sq("e.embedding", "q.qvec")}, 4) AS distance
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY distance, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    "knn_batch" ->
+      s"""SELECT * FROM (
+         |  SELECT query_id, vec_id, round(distance, 4) AS distance,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY distance, vec_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |           ${duckL2sq("e.embedding", "q.embedding")} AS distance
+         |    FROM embeddings e
+         |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |  )
+         |) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "knn_filtered" ->
+      s"""SELECT e.vec_id, e.label,
+         |       round(${duckL2sq("e.embedding", "q.qvec")}, 4) AS distance
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.label = 3
+         |ORDER BY distance, e.vec_id
+         |LIMIT 5""".stripMargin,
+
+    "cosine_topk" ->
+      s"""SELECT e.vec_id,
+         |  round(${duckDot("e.embedding", "q.qvec")} /
+         |    (sqrt(${duckDot("e.embedding", "e.embedding")}) *
+         |     sqrt(${duckDot("q.qvec", "q.qvec")})), 6) AS sim
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id != 0
+         |ORDER BY sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    "vector_stats" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+         |  CAST(sum(CAST(norm AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_norm,
+         |  min(norm) AS min_norm,
+         |  max(norm) AS max_norm
+         |FROM (SELECT label,
+         |        round(sqrt(${duckDot("embedding", "embedding")}), 4) AS norm
+         |      FROM embeddings)
+         |GROUP BY label
+         |ORDER BY label""".stripMargin
+  )
+}

@@ -28,9 +28,15 @@ object Tables {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  // events.parquet stores ts as TIMESTAMP(NANOS, ntz), which Spark's
+  // parquet reader does not support as a timestamp type. We read the raw
+  // int64 nanos (requires spark.sql.legacy.parquet.nanosAsLong=true on
+  // the session — set by Verify/Bench/tests) and convert to
+  // TIMESTAMP_NTZ micros in load(), truncating exactly like the oracle's
+  // reader does.
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -100,8 +106,13 @@ object Tables {
     "lineitem" -> lineitemSchema)
 
   /** Read one testdata table with its declared schema. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    else raw
+  }
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Edge cases from FIXTURES.md §B, mirroring reference behavior:
+  * k=0 → empty (`src/index/shard_manager.cc:31-36`), k>N → all rows
+  * ascending (`src/index/vector_shard.cc:84-86`), duplicate ids kept
+  * (`src/index/shard_manager.cc:129-145` dedups nothing), deterministic
+  * (distance, id) tie-break (stricter than the reference — SURVEY.md §5.1).
+  */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  private val fixture = vecDf(Seq(
+    1L -> Seq(0f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(0f, 1f),
+    4L -> Seq(1f, 1f), 5L -> Seq(2f, 2f)))
+
+  test("k=0 returns empty (reference parity)") {
+    assert(Knn.topK(fixture, Seq(0f, 0f), 0).count() === 0)
+  }
+
+  test("k > N returns all rows ascending") {
+    val got = Knn.topK(fixture, Seq(0f, 0f), 100).collect()
+    assert(got.length === 5)
+    val dists = got.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted))
+    assert(got.head.getLong(0) === 1L)
+    assert(got.last.getLong(0) === 5L)
+  }
+
+  test("exact distances are squared L2 (no sqrt), FAISS IndexFlatL2 parity") {
+    val got = Knn.topK(fixture, Seq(0f, 0f), 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) === 2.0) // (1,1) vs (0,0) → 1+1, NOT sqrt(2)
+    assert(got(5L) === 8.0)
+  }
+
+  test("ties break deterministically by id ascending") {
+    // 2 and 3 are both at distance 1 from origin
+    val got = Knn.topK(fixture, Seq(0f, 0f), 3).collect().map(_.getLong(0))
+    assert(got.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("duplicate ids across shards are NOT deduped (reference quirk)") {
+    val dup = vecDf(Seq(1L -> Seq(0f, 0f), 1L -> Seq(0.1f, 0f), 2L -> Seq(5f, 5f)))
+    val got = Knn.topK(dup, Seq(0f, 0f), 3).collect()
+    assert(got.count(_.getLong(0) == 1L) === 2)
+  }
+
+  test("batchTopK returns k rows per query with rank 1..k") {
+    val q = vecDf(Seq(10L -> Seq(0f, 0f), 11L -> Seq(2f, 2f)))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = Knn.batchTopK(fixture, q, 2).collect()
+    assert(got.length === 4)
+    val byQuery = got.groupBy(_.getLong(0))
+    assert(byQuery(10L).map(_.getLong(1)).toSet === Set(1L, 2L)
+      || byQuery(10L).map(_.getLong(1)).toSet === Set(1L, 3L))
+    // nearest to (2,2) is vec 5 exactly, then 4
+    assert(byQuery(11L).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq === Seq(5L, 4L))
+  }
+
+  test("topKWhere filters candidates before scan") {
+    val got = Knn.topKWhere(fixture, $"vec_id" > 3, Seq(0f, 0f), 10).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(4L, 5L))
+  }
+
+  test("single-query plan is TakeOrderedAndProject (partial top-k, no full sort)") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = Knn.topK(e, Seq.fill(64)(0.1f), 10).queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = vecDf(Seq(1L -> Seq(1f, 2f, 3f)))
+      .select(cosine($"embedding", $"embedding").as("c"))
+    assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+  }
+}

@@ -19,6 +19,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # unify datetime resolution/tz: everything → naive datetime64[us]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            s = df[c]
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     # normalize list/array cells to tuples so comparison works
