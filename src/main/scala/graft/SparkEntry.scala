@@ -19,7 +19,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     VectorQueries,
     RelationalQueries,
-    EventQueries)
+    EventQueries,
+    LogQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact k-NN — the reference's core operation (SURVEY.md §2 O-1/O-2). */

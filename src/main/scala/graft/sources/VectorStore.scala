@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Persistence layout + cache/warm analogs for the vector state.
+  *
+  * The reference persists each shard as a whole FAISS file after every
+  * mutation (`src/index/vector_shard.cc:101-106`) and reloads on startup
+  * (`:34-43`). Spark-first: state lives as immutable Parquet snapshots
+  * partitioned by `shard_id` — a shard IS a partition directory, shard
+  * routing IS partition pruning, and reader/writer isolation falls out of
+  * snapshot immutability (strictly stronger than the reference's
+  * `shared_mutex`, `include/index/vector_shard.h:45`).
+  */
+object VectorStore {
+
+  /** Persist a materialized state snapshot; one directory per shard.
+    * At 100 TB: partition count = shard count; within a shard parquet
+    * row groups give the intra-shard parallelism the reference got from
+    * OpenMP. */
+  def write(state: DataFrame, path: String): Unit =
+    state.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+
+  /** Load a snapshot (startup analog). Partition pruning on `shard_id`
+    * replaces the reference's explicit shard routing
+    * (`src/index/shard_manager.cc:81-84`). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** O-8 Warm: materialize into executor memory. The reference probes
+    * every non-empty shard with a zero-vector k=1 (and ignores the ids
+    * argument, `src/index/shard_manager.cc:105-119`); the Spark-native
+    * equivalent is persist + a forcing action. */
+  def warm(df: DataFrame): DataFrame = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  /** O-7 Invalidate: drop the cached copy (the reference clears its whole
+    * query cache on any applied mutation, `src/cache/query_cache.cc:45-49`). */
+  def invalidate(df: DataFrame): Unit = { df.unpersist(); () }
+}
