@@ -20,7 +20,9 @@ object SparkEntry {
     VectorQueries,
     RelationalQueries,
     EventQueries,
-    LogQueries)
+    LogQueries,
+    TextQueries,
+    AnnQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact k-NN — the reference's core operation (SURVEY.md §2 O-1/O-2). */

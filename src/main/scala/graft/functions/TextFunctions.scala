@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-pipeline operators (north star:
+  * dedup, quality scoring, language ID, fingerprinting).
+  *
+  * Everything here is a composition of codegen'd builtin expressions
+  * (regexp/array/higher-order functions) — no UDFs, so whole-stage
+  * codegen spans the full pipeline and the same logic is expressible in
+  * the DuckDB oracle for value-level verification.
+  *
+  * Cross-engine determinism notes:
+  *  - md5 hex (lowercase) is identical in Spark and DuckDB — it is the
+  *    portable hash everywhere below (the reference's FNV-1a64,
+  *    `src/cache/query_cache.cc:76-87`, is replaced rather than copied).
+  *  - `hash32` folds the first 8 md5 nibbles into a long: all arithmetic
+  *    is exact in double (< 2^32), so both engines agree bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Lowercase, collapse whitespace runs, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct tokens (first-occurrence order; only set semantics used). */
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Word n-gram shingles over a token-array column (empty when the
+    * input is shorter than n — Spark's `sequence(1, 0)` would count DOWN). */
+  def wordShingles(tok: Column, n: Int): Column =
+    when(size(tok) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tok) - (n - 1)),
+        i => concat_ws(" ", slice(tok, i, lit(n)))))
+
+  /** Character n-gram shingles of a string column. */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - (n - 1)),
+        i => substring(c, lit(i), lit(n))))
+
+  /** MinHash signature: H independent hash families, family j being
+    * md5("j:" ++ shingle); the signature element is the lexicographic min
+    * hex digest. String-min is as valid as numeric-min for the MinHash
+    * estimator and portable across engines. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+    }: _*)
+
+  /** Jaccard similarity of two DISTINCT-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Portable 32-bit hash: the first 8 nibbles of the md5 hex digest as
+    * an integer (Spark: conv base-16; oracle: exact strpos/16^k fold —
+    * both land on the same value < 2^32). */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit SimHash over a token array: per-bit majority vote of the
+    * tokens' hash32 bits. Bit j of h is floor(h / 2^j) % 2 — exact in
+    * double for h < 2^32, identical in the oracle. */
+  def simhash32(tok: Column): Column = {
+    val hashes = transform(tok, (s: Column) => hash32(s))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0.0),
+      (acc, j) => acc + when(
+        lit(2) * aggregate(hashes,
+          lit(0L), (a, h) => a + floor(h / pow(lit(2.0), j)).cast("long") % 2) > size(tok),
+        pow(lit(2.0), j)).otherwise(lit(0.0))).cast("long")
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Stable content fingerprint of the normalized text. */
+  def contentHash(c: Column): Column = md5(normText(c))
+
+  /** Small per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately tiny — a heuristic, not a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"))
+
+  /** Fraction of distinct tokens that are stopwords of `lang`. */
+  def stopwordRatio(tok: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    size(array_intersect(tok, array(sw.map(lit): _*))).cast("double") /
+      greatest(size(tok), lit(1)).cast("double")
+  }
+
+  /** CJK-presence flag (the zh detector in the heuristic). */
+  def hasCjk(c: Column): Column = c.rlike("[\\u4e00-\\u9fff]")
+
+  /** Best-scoring language among the stopword lists, 'zh' on CJK text,
+    * 'und' when nothing matches. */
+  def langIdHeuristic(text: Column): Column = {
+    val tok = array_distinct(split(trim(regexp_replace(lower(text), "\\s+", " ")), " "))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (l, _) =>
+      struct(stopwordRatio(tok, l).as("score"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(hasCjk(text), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: blend of length, type-token ratio, and
+    * alpha-character ratio — the standard cheap pre-filter shape for
+    * training-data pipelines. */
+  def qualityScore(text: Column): Column = {
+    val tok = tokens(text)
+    val lenScore = least(length(normText(text)).cast("double") / 200.0, lit(1.0))
+    val ttr = size(array_distinct(tok)).cast("double") / greatest(size(tok), lit(1))
+    val alphaRatio = (length(regexp_replace(normText(text), "[^a-z ]", "")).cast("double")
+      / greatest(length(normText(text)), lit(1)))
+    round((lenScore + ttr + alphaRatio) / 3.0, 6)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.sources.Tables
+import graft.queries.VectorQueries.duckL2sq
+
+/** Approximate similarity search (north star): IVF cell-probing over the
+  * embeddings table. The oracle replicates the identical algorithm
+  * (deterministic seed centroids, argmin assignment, nprobe=2), so the
+  * approximation itself is value-checked — brute-force kNN
+  * (`knn_single`) remains the recall-1.0 baseline alongside it.
+  */
+object AnnQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val centroids = Ann.seedCentroids(e, 8)
+      val q = e.filter($"vec_id".isin(100L, 200L))
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      Ann.search(e, centroids, q, k = 10, nprobe = 2)
+        .select($"query_id", $"vec_id",
+          round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // IVF cell population profile — verifies the assignment operator on
+    // its own and shows cell balance (skew matters for the scale path).
+    "ann_cells" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      Ann.assign(e, Ann.seedCentroids(e, 8))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
+        .orderBy($"cell")
+    })
+  )
+
+  private val duckCentroids =
+    "SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8"
+
+  private val duckAssigned =
+    s"""SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckL2sq("e.embedding", "c.centroid")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN ($duckCentroids) c
+       |  ) WHERE rn = 1""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+
+    "ann_ivf" ->
+      s"""WITH assigned AS (
+         |  $duckAssigned
+         |), queries AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         |  WHERE vec_id IN (100, 200)
+         |), probed AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.query_id, q.qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckL2sq("q.qvec", "c.centroid")}, c.cell) AS crn
+         |    FROM queries q CROSS JOIN ($duckCentroids) c
+         |  ) WHERE crn <= 2
+         |), scored AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    ${duckL2sq("e.embedding", "p.qvec")} AS dist_raw,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${duckL2sq("e.embedding", "p.qvec")}, e.vec_id) AS rank
+         |  FROM probed p
+         |  JOIN assigned a ON a.cell = p.cell
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |)
+         |SELECT query_id, vec_id, round(dist_raw, 4) AS distance,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM scored WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_cells" ->
+      s"""SELECT cell, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM ($duckAssigned)
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin
+  )
+}

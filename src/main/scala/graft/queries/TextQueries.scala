@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators over `documents` (north star):
+  * exact dedup, MinHash+LSH near-dup, SimHash near-dup, char-ngram
+  * Jaccard, text statistics / quality scoring, language profiling, and
+  * corpus term frequencies. Every query is value-checked against DuckDB
+  * running the SAME algorithm (portable md5-based hashing throughout).
+  */
+object TextQueries extends QueryPack {
+
+  // ---- shared DuckDB fragments (mirror graft.functions.TextFunctions) ----
+
+  /** normalized text */
+  private val dNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** distinct whitespace tokens of normalized text */
+  private val dTok = s"list_distinct(string_split($dNorm, ' '))"
+  /** exact jaccard of two distinct-lists */
+  private def dJac(a: String, b: String): String =
+    s"(len(list_filter($a, x -> list_contains($b, x))) * 1.0 / " +
+      s"(len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x)))))"
+  /** hash32: first 8 md5 nibbles as integer (exact fold) */
+  private def dHash32(s: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), i -> " +
+      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on the content digest (one shuffle on a
+    // 16-byte key — the only thing that moves at 100 TB).
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exact(Tables.documents(s, dir))
+        .select($"doc_id", $"content_hash", $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
+    // MinHash(12) + LSH(4 bands × 3) candidates + exact-jaccard verify.
+    "dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashNearDups(Tables.documents(s, dir),
+          shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
+        .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id1", $"id2")
+    }),
+
+    // SimHash(32-bit) near-dups: top-8-bit blocking + hamming ≤ 6.
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 6, blockBits = 8)
+        .orderBy($"id1", $"id2")
+    }),
+
+    // Char-4-gram Jaccard near-dups, blocked by lang (blocked-exact form).
+    "dedup_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val t = docs.select($"doc_id".as("id"), $"lang".as("blk"),
+        array_distinct(charShingles($"text", 4)).as("sh"))
+      val a = t.as("a"); val b = t.as("b")
+      a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .withColumn("jaccard", jaccard(col("a.sh"), col("b.sh")))
+        .filter($"jaccard" >= 0.55)
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+          round($"jaccard", 6).as("jaccard"))
+        .orderBy($"id1", $"id2")
+    }),
+
+    // Embedding near-dup pairs (exact within label blocks).
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("label"), maxL2Sq = 1.45)
+        .select($"id1", $"id2", round($"distance", 4).as("distance"))
+        .orderBy($"id1", $"id2")
+    }),
+
+    // Per-document statistics + quality score.
+    "text_stats" -> ((s, dir) => {
+      import s.implicits._
+      val tok = tokens($"text")
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(tok).cast("long").as("n_tokens"),
+          size(array_distinct(tok)).cast("long").as("n_uniq"),
+          round(size(array_distinct(tok)).cast("double") /
+            greatest(size(tok), lit(1)), 6).as("ttr"),
+          length(normText($"text")).cast("long").as("n_chars_norm"),
+          qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Language profile: ground-truth lang vs per-language stopword-hit
+    // ratios (the langid heuristic's feature vector, aggregated).
+    "lang_profile" -> ((s, dir) => {
+      import s.implicits._
+      val tok = distinctTokens($"text")
+      val enr = round(stopwordRatio(tok, "en"), 6)
+      val esr = round(stopwordRatio(tok, "es"), 6)
+      Tables.documents(s, dir)
+        .select($"lang", $"doc_id", enr.as("enr"), esr.as("esr"),
+          tokenCount($"text").as("ntok"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum($"enr".cast(DecimalType(12, 6))).cast("double") / count(lit(1))).as("avg_en_ratio"),
+          (sum($"esr".cast(DecimalType(12, 6))).cast("double") / count(lit(1))).as("avg_es_ratio"),
+          (sum($"ntok").cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy($"lang")
+    }),
+
+    // Corpus term frequency top-20 (explode → count → top-k).
+    "token_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(tokens($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(20)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, md5($dNorm) AS content_hash,
+         |       count(*) AS n_copies
+         |FROM documents
+         |GROUP BY md5($dNorm)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dTok AS sh FROM documents
+         |), sig AS (
+         |  SELECT doc_id, sh, list_transform(range(0,12), j ->
+         |    list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sg
+         |  FROM t
+         |), bands AS (
+         |  SELECT doc_id, b, md5(sg[3*b+1] || sg[3*b+2] || sg[3*b+3]) AS bucket
+         |  FROM sig, (SELECT unnest(range(0,4)) AS b) u
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+         |                            AND a.doc_id < c.doc_id
+         |)
+         |SELECT id1, id2, round(${dJac("x.sh", "y.sh")}, 6) AS jaccard
+         |FROM cand JOIN t x ON x.doc_id = id1 JOIN t y ON y.doc_id = id2
+         |WHERE ${dJac("x.sh", "y.sh")} >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform($dTok, s -> ${dHash32("s")}) AS hs
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+         |    CASE WHEN 2 * list_sum(list_transform(hs, h ->
+         |           CAST(floor(h / 2^j) AS BIGINT) % 2)) > len(hs)
+         |         THEN 2^j ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM t
+         |), b AS (
+         |  SELECT doc_id, simhash, CAST(floor(simhash / 2^24) AS BIGINT) AS blk FROM sh
+         |)
+         |SELECT a.doc_id AS id1, c.doc_id AS id2,
+         |       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+         |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, lang AS blk,
+         |         list_distinct(list_transform(range(1, len(text) - 2),
+         |           i -> text[i:i+3])) AS sh
+         |  FROM documents
+         |)
+         |SELECT a.id AS id1, b.id AS id2, round(${dJac("a.sh", "b.sh")}, 6) AS jaccard
+         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+         |WHERE ${dJac("a.sh", "b.sh")} >= 0.55
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       round(${VectorQueries.duckL2sq("a.embedding", "b.embedding")}, 4) AS distance
+         |FROM embeddings a
+         |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${VectorQueries.duckL2sq("a.embedding", "b.embedding")} < 1.45
+         |ORDER BY id1, id2""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dNorm AS norm,
+         |         string_split($dNorm, ' ') AS tok,
+         |         $dTok AS dtok
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(tok) AS BIGINT) AS n_tokens,
+         |  CAST(len(dtok) AS BIGINT) AS n_uniq,
+         |  round(len(dtok) * 1.0 / greatest(len(tok), 1), 6) AS ttr,
+         |  CAST(len(norm) AS BIGINT) AS n_chars_norm,
+         |  round((least(len(norm) / 200.0, 1.0)
+         |       + len(dtok) * 1.0 / greatest(len(tok), 1)
+         |       + len(regexp_replace(norm, '[^a-z ]', '', 'g')) * 1.0
+         |         / greatest(len(norm), 1)) / 3.0, 6) AS quality
+         |FROM t
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_profile" -> {
+      val en = stopwords("en").mkString("'", "','", "'")
+      val es = stopwords("es").mkString("'", "','", "'")
+      s"""WITH t AS (
+         |  SELECT lang, $dTok AS tok,
+         |         CAST(len(string_split($dNorm, ' ')) AS BIGINT) AS ntok
+         |  FROM documents
+         |), r AS (
+         |  SELECT lang, ntok,
+         |    round(len(list_filter(tok, x -> x IN ($en))) * 1.0
+         |          / greatest(len(tok), 1), 6) AS enr,
+         |    round(len(list_filter(tok, x -> x IN ($es))) * 1.0
+         |          / greatest(len(tok), 1), 6) AS esr
+         |  FROM t
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CAST(enr AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS avg_en_ratio,
+         |  CAST(sum(CAST(esr AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS avg_es_ratio,
+         |  CAST(sum(ntok) AS DOUBLE) / count(*) AS avg_tokens
+         |FROM r
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin
+    },
+
+    "token_topk" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest(string_split($dNorm, ' ')) AS token FROM documents)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Knn}
+import graft.sources.Tables
+
+/** IVF correctness: assignment is a partition of the table; search recall
+  * against the exact brute-force baseline is high at nprobe=2 on the
+  * testdata (and exactly 1.0 at nprobe=K). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+  private lazy val centroids = Ann.seedCentroids(e, 8)
+
+  test("assignment covers every vector exactly once") {
+    val assigned = Ann.assign(e, centroids)
+    assert(assigned.count() === e.count())
+    assert(assigned.select("vec_id").distinct().count() === e.count())
+  }
+
+  test("nprobe = K degenerates to exact search") {
+    val q = e.filter($"vec_id" === 42)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val ivf = Ann.search(e, centroids, q, k = 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.batchTopK(e, q, k = 10)
+      .orderBy($"rank").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf === exact)
+  }
+
+  test("nprobe=2 recall@10 is reasonable on testdata") {
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val ivf = Ann.search(e, centroids, q, k = 10, nprobe = 2)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Knn.batchTopK(e, q, k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      ivf.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg > 0.3, s"avg recall@10 nprobe=2 was $avg") // random data: cells ~uniform
+  }
+
+  test("refine produces K centroids of the right dimension") {
+    val refined = Ann.refine(e, centroids)
+    assert(refined.count() === 8)
+    assert(refined.select(size($"centroid")).head().getInt(0) === 64)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "THE   quick Brown fox"),          // exact dup after normalization
+    (3L, "the quick brown fox jumps"),      // near dup (token jaccard 4/5)
+    (4L, "completely different content here"),
+    (5L, "the quick brown fox")             // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized variants, keeps min id") {
+    val got = Dedup.exact(docs).collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(byId(1L) === 3) // docs 1, 2, 5
+    assert(byId(3L) === 1)
+    assert(byId(4L) === 1)
+  }
+
+  test("minhash LSH finds exact and near dups above threshold") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L))) // jaccard 0.8
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of identical token sets is identical") {
+    val sig = Dedup.withMinhash(docs, "text", 1, 12)
+      .select($"doc_id", $"minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("simhash near-dups: identical token sets collide, distinct texts don't") {
+    val got = Dedup.simhashNearDups(docs, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dups finds only close pairs within block") {
+    val vecs = Seq(
+      (1L, 0, Seq(0f, 0f)), (2L, 0, Seq(0.1f, 0f)),
+      (3L, 0, Seq(5f, 5f)), (4L, 1, Seq(0.05f, 0f))  // close to 1 but other block
+    ).toDF("vec_id", "label", "embedding")
+    val got = Dedup.embeddingNearDups(vecs, col("label"), maxL2Sq = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("jaccard is symmetric and bounded") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+      .select(jaccard($"a", $"b").as("j1"), jaccard($"b", $"a").as("j2"))
+    val r = df.head()
+    assert(r.getDouble(0) === 0.5)
+    assert(r.getDouble(0) === r.getDouble(1))
+  }
+}

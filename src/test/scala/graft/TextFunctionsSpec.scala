@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String = "x") = {
+    Seq(text).toDF("text").select(c.as("v")).head()
+  }
+
+  test("normText lowercases, collapses whitespace, trims") {
+    assert(one(normText($"text"), "  Hello   WORLD  ").getString(0) === "hello world")
+  }
+
+  test("tokenCount counts whitespace tokens after normalization") {
+    assert(one(tokenCount($"text"), "a  b\tc\nd").getLong(0) === 4L)
+  }
+
+  test("wordShingles produces n-grams; short input gives empty") {
+    val sh = one(wordShingles(tokens($"text"), 2), "a b c").getSeq[String](0)
+    assert(sh === Seq("a b", "b c"))
+    assert(one(wordShingles(tokens($"text"), 5), "a b").getSeq[String](0).isEmpty)
+  }
+
+  test("charShingles 4-grams") {
+    assert(one(charShingles($"text", 4), "abcde").getSeq[String](0) === Seq("abcd", "bcde"))
+  }
+
+  test("hash32 matches the oracle's exact fold (value pinned)") {
+    // DuckDB: first 8 nibbles of md5('hello') = 1564557354
+    assert(one(hash32($"text"), "hello").getLong(0) === 1564557354L)
+  }
+
+  test("simhash32 is deterministic and within 32 bits") {
+    val a = one(simhash32(distinctTokens($"text")), "the quick brown fox").getLong(0)
+    val b = one(simhash32(distinctTokens($"text")), "the quick brown fox").getLong(0)
+    assert(a === b)
+    assert(a >= 0 && a < (1L << 32))
+  }
+
+  test("hamming distance of equal hashes is 0, differs by set bits") {
+    val df = Seq((5L, 6L)).toDF("a", "b")
+      .select(hamming($"a", $"a").as("h0"), hamming($"a", $"b").as("h1"))
+    val r = df.head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 2L) // 101 vs 110
+  }
+
+  test("langIdHeuristic: stopword languages + cjk + und") {
+    val got = Seq(
+      "the cat and the dog is in a house",
+      "el perro y la casa es un lugar con luz",
+      "der hund und die katze ist von dem haus",
+      "le chat et les chiens est une affaire du jour",
+      "你好 世界",
+      "zzz qqq xxx"
+    ).toDF("text").select(langIdHeuristic($"text").as("l")).collect().map(_.getString(0))
+    assert(got === Array("en", "es", "de", "fr", "zh", "und"))
+  }
+
+  test("qualityScore in [0,1]; degenerate text scores lower") {
+    val q = Seq(
+      "The quick brown fox jumps over the lazy dog near the quiet river bank today",
+      "aaa aaa aaa aaa aaa aaa aaa aaa"
+    ).toDF("text").select(qualityScore($"text").as("q")).collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("contentHash invariant to case and whitespace") {
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+      .select(contentHash($"a").as("ha"), contentHash($"b").as("hb")).head()
+    assert(df.getString(0) === df.getString(1))
+  }
+}
