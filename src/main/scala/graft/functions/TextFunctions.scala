@@ -50,10 +50,21 @@ object TextFunctions {
   /** MinHash signature: H independent hash families, family j being
     * md5("j:" ++ shingle); the signature element is the lexicographic min
     * hex digest. String-min is as valid as numeric-min for the MinHash
-    * estimator and portable across engines. */
+    * estimator and portable across engines. (H md5 calls per shingle —
+    * prefer `minhashNumeric` over precomputed hash32s in hot paths.) */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+    }: _*)
+
+  /** Numeric MinHash signature over PRECOMPUTED 32-bit shingle hashes:
+    * family j is (a_j·h + b_j) mod p with a_j = 2j+1, b_j = j²+7,
+    * p = 2^31-1. One md5 per shingle total; everything else is exact
+    * BIGINT arithmetic (max a_j·h < 2^39), portable to the oracle. */
+  def minhashNumeric(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(hashes,
+        h => (h * lit(2L * j + 1) + lit(j.toLong * j + 7)) % lit(2147483647L)))
     }: _*)
 
   /** Jaccard similarity of two DISTINCT-element array columns. */
@@ -68,19 +79,23 @@ object TextFunctions {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** 32-bit SimHash over a token array: per-bit majority vote of the
-    * tokens' hash32 bits. Bit j of h is floor(h / 2^j) % 2 — exact in
-    * double for h < 2^32, identical in the oracle. */
-  def simhash32(tok: Column): Column = {
-    val hashes = transform(tok, (s: Column) => hash32(s))
+  /** 32-bit SimHash from a precomputed token-hash array: per-bit majority
+    * vote. Bit j of h is floor(h / 2^j) % 2 — exact in double for
+    * h < 2^32, identical in the oracle. Callers should materialize the
+    * hash array behind an exchange so the md5s are computed once, not
+    * once per bit (see Dedup.simhashNearDups). */
+  def simhash32FromHashes(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(31)),
       lit(0.0),
       (acc, j) => acc + when(
         lit(2) * aggregate(hashes,
-          lit(0L), (a, h) => a + floor(h / pow(lit(2.0), j)).cast("long") % 2) > size(tok),
+          lit(0L), (a, h) => a + floor(h / pow(lit(2.0), j)).cast("long") % 2) > size(hashes),
         pow(lit(2.0), j)).otherwise(lit(0.0))).cast("long")
-  }
+
+  /** 32-bit SimHash over a token array (convenience form). */
+  def simhash32(tok: Column): Column =
+    simhash32FromHashes(transform(tok, (s: Column) => hash32(s)))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =

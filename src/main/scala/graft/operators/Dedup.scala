@@ -49,8 +49,9 @@ object Dedup {
       rowsPerBand: Int): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("", (0 until rowsPerBand).map(r =>
-          element_at(col("minhash_sig"), b * rowsPerBand + r + 1)): _*)).as("bucket"))
+        md5(concat_ws(":", (0 until rowsPerBand).map(r =>
+          element_at(col("minhash_sig"), b * rowsPerBand + r + 1).cast("string")): _*))
+          .as("bucket"))
     }: _*)
     val buckets = withSig
       .select(col(idCol).as("id"), explode(bandStructs).as("bb"))
@@ -64,7 +65,26 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs with exact jaccard verification on
-    * word n-gram shingle sets. Output (id1, id2, jaccard ≥ threshold). */
+    * the shingle sets produced by `shingler` (word n-grams by default;
+    * pass char shingles for character-level near-dup).
+    * Output (id1, id2, jaccard ≥ threshold), id1 < id2.
+    *
+    * Scale structure (this is where 100 TB lives or dies):
+    *  1. Shingle sets are computed once per doc behind a repartition on
+    *     the id — parallelism comes from the cluster, not the input
+    *     split count.
+    *  2. EXACT-DEDUP BEFORE NEAR-DEDUP: identical shingle sets collapse
+    *     to one representative (signature and jaccard are functions of
+    *     the set alone, so the final pair set is provably identical to
+    *     the naive form — the oracle runs the naive form). Web-scale
+    *     corpora are duplicate-heavy; this collapses the quadratic
+    *     candidate blowup inside duplicate clusters to a single row.
+    *  3. One md5 per shingle (hash32), H families by exact integer
+    *     arithmetic (minhashNumeric).
+    *  4. Candidates come from an equi-join on (band, bucket) between
+    *     representatives — never a quadratic block compare.
+    *  5. Verified rep pairs expand back to doc pairs; within-cluster
+    *     pairs are jaccard-1.0 by construction. */
   def minhashNearDups(
       docs: DataFrame,
       textCol: String = "text",
@@ -72,19 +92,49 @@ object Dedup {
       shingleN: Int = 1,
       numHashes: Int = 12,
       bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      shingler: Column => Column = null): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = withMinhash(docs, textCol, shingleN, numHashes)
-    val cand = lshCandidates(withSig, idCol, bands, rowsPerBand)
-    val tok = docs.select(col(idCol).as("id"),
-      { val t = array_distinct(tokens(col(textCol)))
-        (if (shingleN == 1) t else array_distinct(wordShingles(t, shingleN))).as("sh") })
-    cand
-      .join(tok.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
-      .join(tok.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+    val mkShingles: Column => Column = if (shingler != null) shingler else { c =>
+      val t = array_distinct(tokens(c))
+      if (shingleN == 1) t else array_distinct(wordShingles(t, shingleN))
+    }
+    // 1-2: shingle once, canonicalize the set, collapse to representatives
+    val sh = docs.select(col(idCol).as("id"), mkShingles(col(textCol)).as("sh"))
+    val reps = sh
+      // \u0001 separator: an unseparated concat could alias distinct sets
+      .withColumn("set_key", md5(concat_ws("\u0001", array_sort(col("sh")))))
+      .groupBy(col("set_key"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"),
+        first(col("sh")).as("sh"))
+      .repartition(col("rep"))
+    // 3: one hash32 per shingle, H numeric families
+    val withSig = reps
+      .withColumn("hs", transform(col("sh"), (s: Column) => hash32(s)))
+      .withColumn("minhash_sig", minhashNumeric(col("hs"), numHashes))
+    // 4: LSH candidates between representatives
+    val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
+      "id", bands, rowsPerBand)
+    val repSh = reps.select(col("rep"), col("sh"), col("members"))
+    val crossPairs = cand
+      .join(repSh.select(col("rep").as("id1"), col("sh").as("sh1"),
+        col("members").as("m1")), "id1")
+      .join(repSh.select(col("rep").as("id2"), col("sh").as("sh2"),
+        col("members").as("m2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      // 5: expand rep pairs to member pairs (same sets → same jaccard)
+      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
+      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+    // within-cluster pairs: identical sets, jaccard exactly 1.0
+    val dupPairs = reps.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(dupPairs)
   }
 
   /** All-pairs word-shingle jaccard within a blocking key (exact n-gram
@@ -97,6 +147,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val t = docs.select(col(idCol).as("id"), blockCol.as("blk"),
       array_distinct(tokens(col(textCol))).as("sh"))
+      .repartition(col("id"))
     val a = t.as("a"); val b = t.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("jaccard", jaccard(col("a.sh"), col("b.sh")))
@@ -112,8 +163,14 @@ object Dedup {
       idCol: String = "doc_id",
       maxHamming: Int = 6,
       blockBits: Int = 8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      simhash32(array_distinct(tokens(col(textCol)))).as("simhash"))
+    // token hashes materialized behind an exchange: md5 runs once per
+    // token (the exchange stops CollapseProject from inlining the hash
+    // array into all 32 per-bit votes), and the repartition spreads the
+    // per-doc compute across the cluster regardless of input split count.
+    val hashed = docs.select(col(idCol).as("id"),
+        transform(array_distinct(tokens(col(textCol))), (s: Column) => hash32(s)).as("hs"))
+      .repartition(col("id"))
+    val sh = hashed.select(col("id"), simhash32FromHashes(col("hs")).as("simhash"))
     val blocked = sh.withColumn("blk",
       floor(col("simhash") / pow(lit(2.0), lit(32 - blockBits))).cast("long"))
     val a = blocked.as("a"); val b = blocked.as("b")
@@ -131,6 +188,7 @@ object Dedup {
       embCol: String = "embedding",
       maxL2Sq: Double = 1.45): DataFrame = {
     val t = vectors.select(col(idCol).as("id"), blockCol.as("blk"), col(embCol).as("e"))
+      .repartition(col("id"))
     val a = t.as("a"); val b = t.as("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("distance", l2sq(col("a.e"), col("b.e")))

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Advanced relational surface: CUBE, exact percentiles, statistical
+  * aggregates (computed from exact decimal moments so aggregation order
+  * cannot perturb them), as-of join, pivot, gaps-and-islands
+  * sessionization, and extended string functions.
+  */
+object AdvancedQueries extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(20, 4))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUBE over two dims (all 2^2 grouping combinations).
+    "cube_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2($"o_totalprice")).cast("double").as("total"))
+        .select(coalesce($"o_orderstatus", lit("ALL")).as("st"),
+          coalesce($"o_orderpriority", lit("ALL")).as("prio"),
+          $"n", $"total")
+        .orderBy($"st", $"prio")
+    }),
+
+    // Exact percentiles (linear interpolation) per order status.
+    "percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Statistical aggregates from EXACT decimal moments: stddev and
+    // corr recomposed from sum(x), sum(x²), sum(xy) — order-insensitive
+    // by construction, unlike naive float stddev/corr.
+    "stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val q = dec2($"l_quantity")
+      val p = dec2($"l_extendedprice")
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sx"),
+          sum(q * q).cast("double").as("sx2"),
+          sum(p).cast("double").as("sy"),
+          sum(dec4(p * p)).cast("double").as("sy2"),
+          sum(q * p).cast("double").as("sxy"))
+        .select($"l_returnflag", $"n",
+          round(sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("stddev_qty"),
+          round((($"sxy" - $"sx" * $"sy" / $"n") /
+            (sqrt($"sx2" - $"sx" * $"sx" / $"n") * sqrt($"sy2" - $"sy" * $"sy" / $"n"))), 6)
+            .as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // As-of join: each purchase matched to the user's most recent
+    // earlier view (union-free window form — one shuffle on user_id, no
+    // range-join explosion; the scalable as-of pattern).
+    "asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("last_view",
+          max(when($"event_type" === "view", $"ts")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts".as("purchase_ts"), $"last_view")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Pivot: daily event counts, one column per event type.
+    "pivot_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select($"day",
+          coalesce($"view", lit(0L)).as("n_view"),
+          coalesce($"click", lit(0L)).as("n_click"),
+          coalesce($"purchase", lit(0L)).as("n_purchase"),
+          coalesce($"signup", lit(0L)).as("n_signup"),
+          coalesce($"error", lit(0L)).as("n_error"))
+        .orderBy($"day")
+    }),
+
+    // Gaps-and-islands sessionization (batch form of session windows):
+    // new session when >30 min since the user's previous event.
+    "events_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev", lag($"ts", 1).over(byUser))
+        .withColumn("new_s",
+          when($"prev".isNull ||
+            unix_timestamp($"ts".cast("timestamp")) -
+              unix_timestamp($"prev".cast("timestamp")) > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_s").over(cum))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // Extended string functions over part.
+    "string_fns2" -> ((s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .select($"p_partkey",
+          regexp_extract($"p_name", "([a-z]+)", 1).as("first_word"),
+          translate($"p_brand", "B#", "b-").as("brand_t"),
+          lpad($"p_partkey".cast("string"), 8, "0").as("key_pad"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"),
+          levenshtein($"p_brand", $"p_type").cast("long").as("lev"),
+          reverse($"p_brand").as("brand_rev"),
+          repeat(lit("*"), ($"p_size" % 5).cast("int") + 1).as("stars"))
+        .orderBy($"p_partkey")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, prio""".stripMargin,
+
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(20,4))) AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  round(sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+        |  round((sxy - sx * sy / n) /
+        |        (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n)), 6) AS corr_qty_price
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "asof_join" ->
+      """SELECT user_id, event_id, ts AS purchase_ts, last_view FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR date_diff('second', prev, ts) > 1800
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |), g AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM g
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "string_fns2" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  translate(p_brand, 'B#', 'b-') AS brand_t,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+        |  reverse(p_brand) AS brand_rev,
+        |  repeat('*', p_size % 5 + 1) AS stars
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -30,6 +30,36 @@ object TextQueries extends QueryPack {
     s"CAST(list_sum(list_transform(range(1,9), i -> " +
       s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
 
+  /** Numeric minhash LSH pipeline fragment (mirrors Dedup.minhashNearDups
+    * hash family): shingle hash32s → H families (a_j·h+b_j mod p) →
+    * r-row band buckets → candidate pairs → exact-jaccard verify. */
+  private def dMinhashPipeline(shingleExpr: String, numHashes: Int, bands: Int,
+      threshold: Double): String = {
+    val r = numHashes / bands
+    val bucket = (0 until r).map(k => s"CAST(sg[$r*b+${k + 1}] AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $shingleExpr AS sh FROM documents
+       |), hsh AS (
+       |  SELECT doc_id, sh, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
+       |), sig AS (
+       |  SELECT doc_id, sh, list_transform(range(0,$numHashes), j ->
+       |    list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+7)) % 2147483647))) AS sg
+       |  FROM hsh
+       |), bands AS (
+       |  SELECT doc_id, b, md5($bucket) AS bucket
+       |  FROM sig, (SELECT unnest(range(0,$bands)) AS b) u
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+       |                            AND a.doc_id < c.doc_id
+       |)
+       |SELECT id1, id2, round(${dJac("x.sh", "y.sh")}, 6) AS jaccard
+       |FROM cand JOIN t x ON x.doc_id = id1 JOIN t y ON y.doc_id = id2
+       |WHERE ${dJac("x.sh", "y.sh")} >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the content digest (one shuffle on a
@@ -57,18 +87,17 @@ object TextQueries extends QueryPack {
         .orderBy($"id1", $"id2")
     }),
 
-    // Char-4-gram Jaccard near-dups, blocked by lang (blocked-exact form).
+    // Char-4-gram near-dups via MinHash LSH (48 hashes, 16 bands × 3):
+    // the scalable form — candidates come from an equi-join on band
+    // buckets, never from a quadratic block compare. Recall at j=0.55 is
+    // ~0.95 by the banding curve; the oracle replicates the identical
+    // hash family, so the result is still value-checked.
     "dedup_ngram" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val t = docs.select($"doc_id".as("id"), $"lang".as("blk"),
-        array_distinct(charShingles($"text", 4)).as("sh"))
-      val a = t.as("a"); val b = t.as("b")
-      a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-        .withColumn("jaccard", jaccard(col("a.sh"), col("b.sh")))
-        .filter($"jaccard" >= 0.55)
-        .select(col("a.id").as("id1"), col("b.id").as("id2"),
-          round($"jaccard", 6).as("jaccard"))
+      Dedup.minhashNearDups(Tables.documents(s, dir),
+          numHashes = 48, bands = 16, threshold = 0.55,
+          shingler = c => array_distinct(charShingles(c, 4)))
+        .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
         .orderBy($"id1", $"id2")
     }),
 
@@ -134,25 +163,7 @@ object TextQueries extends QueryPack {
          |GROUP BY md5($dNorm)
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $dTok AS sh FROM documents
-         |), sig AS (
-         |  SELECT doc_id, sh, list_transform(range(0,12), j ->
-         |    list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sg
-         |  FROM t
-         |), bands AS (
-         |  SELECT doc_id, b, md5(sg[3*b+1] || sg[3*b+2] || sg[3*b+3]) AS bucket
-         |  FROM sig, (SELECT unnest(range(0,4)) AS b) u
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
-         |                            AND a.doc_id < c.doc_id
-         |)
-         |SELECT id1, id2, round(${dJac("x.sh", "y.sh")}, 6) AS jaccard
-         |FROM cand JOIN t x ON x.doc_id = id1 JOIN t y ON y.doc_id = id2
-         |WHERE ${dJac("x.sh", "y.sh")} >= 0.8
-         |ORDER BY id1, id2""".stripMargin,
+    "dedup_minhash" -> dMinhashPipeline(dTok, 12, 4, 0.8),
 
     "dedup_simhash" ->
       s"""WITH t AS (
@@ -173,17 +184,9 @@ object TextQueries extends QueryPack {
          |WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
          |ORDER BY id1, id2""".stripMargin,
 
-    "dedup_ngram" ->
-      s"""WITH t AS (
-         |  SELECT doc_id AS id, lang AS blk,
-         |         list_distinct(list_transform(range(1, len(text) - 2),
-         |           i -> text[i:i+3])) AS sh
-         |  FROM documents
-         |)
-         |SELECT a.id AS id1, b.id AS id2, round(${dJac("a.sh", "b.sh")}, 6) AS jaccard
-         |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
-         |WHERE ${dJac("a.sh", "b.sh")} >= 0.55
-         |ORDER BY id1, id2""".stripMargin,
+    "dedup_ngram" -> dMinhashPipeline(
+      "list_distinct(list_transform(range(1, len(text) - 2), i -> text[i:i+3]))",
+      48, 16, 0.55),
 
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -24,7 +24,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash LSH finds exact and near dups above threshold") {
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
+    // bands=6 (r=2): P(candidate | j=0.8) = 1-(1-0.64)^6 ≈ 0.998
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.7, bands = 6)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 5L)))

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams._
+
+/** Top-level so Spark can generate an Encoder (inner classes can't). */
+case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Drives the streaming operators with MemoryStream — incremental
+  * execution, watermark advancement, and batch/stream result parity. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600_000L * 24 + minute * 60_000L)
+
+  private val batch = Seq(
+    Ev(ts(0), "view", 1, 1.0), Ev(ts(5), "view", 1, 2.0),
+    Ev(ts(10), "click", 2, 3.0), Ev(ts(65), "view", 1, 4.0),
+    Ev(ts(70), "purchase", 2, 5.0))
+
+  test("hourlyRollup on a stream matches the same plan on a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(batch: _*)
+    val q = EventStreams.hourlyRollup(mem.toDF(), "5 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("hour", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batched = EventStreams.hourlyRollup(batch.toDF(), "5 minutes")
+        .select("hour", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batched)
+      assert(streamed.exists(_._3 == 2L)) // two views in hour 0
+    } finally q.stop()
+  }
+
+  test("userSessions groups by gap (two sessions for user 1)") {
+    val got = EventStreams.userSessions(batch.toDF(), gap = "30 minutes")
+      .filter($"user_id" === 1).collect()
+    assert(got.length === 2) // minutes 0-5 vs minute 65
+    assert(got.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("compactLog emits latest-writer state changes incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LogRecord]
+    val q = EventStreams.compactLog(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("compact_out").start()
+    try {
+      mem.addData(LogRecord(1, "UPSERT", 7, "s0", Seq(1f)))
+      q.processAllAvailable()
+      mem.addData(LogRecord(2, "DELETE", 7, "s0", null),
+        LogRecord(3, "UPSERT", 8, "s0", Seq(2f)))
+      q.processAllAvailable()
+      // stale write below the current winner: no change emitted
+      mem.addData(LogRecord(1, "UPSERT", 7, "s0", Seq(9f)))
+      q.processAllAvailable()
+      val rows = spark.table("compact_out").as[StateChange].collect()
+      assert(rows.count(r => r.id == 7 && r.present) === 1)   // initial upsert
+      assert(rows.count(r => r.id == 7 && !r.present) === 1)  // delete
+      assert(rows.count(_.id == 8) === 1)
+      assert(rows.length === 3) // stale write emitted nothing
+    } finally q.stop()
+  }
+
+  test("hourlyRollup over real events parquet (batch form) is consistent with groupBy") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val viaStreamOp = EventStreams.hourlyRollup(ev)
+      .agg(sum("n")).head().getLong(0)
+    assert(viaStreamOp === ev.count())
+  }
+}

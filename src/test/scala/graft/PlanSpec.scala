@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan assertions: the plans must be the ones that survive a
+  * 100× scale-up — filters pushed to parquet, columns pruned, dims
+  * broadcast, top-k fused. A correctness-green query with the wrong plan
+  * fails here. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("knn_single fuses to TakeOrderedAndProject (per-partition top-k + merge)") {
+    assert(plan("knn_single").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg prunes columns: scan reads only what the query needs") {
+    val p = plan("q1_agg")
+    // ReadSchema must not include unused wide columns
+    assert(!p.contains("l_partkey"), "l_partkey should be pruned")
+    assert(!p.contains("l_suppkey"), "l_suppkey should be pruned")
+  }
+
+  test("q3/q5 joins broadcast the dimension side") {
+    assert(plan("q3_join").contains("BroadcastHashJoin"))
+    assert(plan("q5_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair means two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("knn_batch broadcasts the query side (vectors never shuffle)") {
+    val p = plan("knn_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("whole-stage codegen covers the hot pipelines (post-AQE final plans)") {
+    // '*(' prefixes mark operators inside a WholeStageCodegen stage; AQE
+    // only finalizes the plan after execution.
+    val q1 = SparkEntry.queries("q1_agg")(spark, sf)
+    q1.collect()
+    assert(q1.queryExecution.executedPlan.toString.contains("*("))
+    val knn = SparkEntry.queries("knn_single")(spark, sf)
+    knn.collect()
+    assert(knn.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("join_semi/join_anti plan as semi/anti joins, not inner+distinct") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("events_hourly scan prunes the props JSON column") {
+    val p = plan("events_hourly")
+    assert(!p.contains("props"), "props should be pruned from the events scan")
+  }
+}
