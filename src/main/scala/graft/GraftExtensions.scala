@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{DotProduct, L2SquaredDistance}
+
+/** SQL surface for the native vector expressions.
+  *
+  * Either install at session build time:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  * or register into a live session with `GraftExtensions.register(spark)`.
+  * Afterwards `SELECT l2sq(a.embedding, b.embedding)` works in SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("l2sq",
+      info("l2sq", "l2sq(a, b) - squared L2 distance of two float arrays"),
+      (exprs: Seq[Expression]) => L2SquaredDistance(exprs(0), exprs(1))),
+    ("dot_f32",
+      info("dot_f32", "dot_f32(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -21,8 +21,17 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Squared L2 distance between two float-array columns (fold order:
-    * element 0 → n-1, double accumulation). */
+    * element 0 → n-1, double accumulation). Backed by the native
+    * codegen'd expression — value-identical to [[l2sqHof]]. */
   def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.L2SquaredDistance(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** Builtin higher-order-function form of [[l2sq]] (zip_with+aggregate).
+    * Kept as the executable spec the native expression is tested against. */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
@@ -31,8 +40,15 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Dot product (double accumulation, left fold). */
+  /** Dot product (double accumulation, left fold); native codegen. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** Builtin higher-order-function form of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
