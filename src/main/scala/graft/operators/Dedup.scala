@@ -115,12 +115,23 @@ object Dedup {
     // 4: LSH candidates between representatives
     val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
       "id", bands, rowsPerBand)
-    val repSh = reps.select(col("rep"), col("sh"), col("members"))
+    // Verification side: hashed-distinct shingle sets (cheap long
+    // compares instead of strings; hash collisions are deterministic and
+    // mirrored by the oracle) plus the full signature for the estimate.
+    val repSh = withSig.select(col("rep"),
+      array_distinct(col("hs")).as("hsd"), col("minhash_sig"), col("members"))
+    val estFloor = math.max(0.0, threshold - 0.15)
     val crossPairs = cand
-      .join(repSh.select(col("rep").as("id1"), col("sh").as("sh1"),
-        col("members").as("m1")), "id1")
-      .join(repSh.select(col("rep").as("id2"), col("sh").as("sh2"),
-        col("members").as("m2")), "id2")
+      .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1"),
+        col("minhash_sig").as("sig1"), col("members").as("m1")), "id1")
+      .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2"),
+        col("minhash_sig").as("sig2"), col("members").as("m2")), "id2")
+      // signature-agreement estimate: O(H) prefilter that kills nearly
+      // every false candidate before the O(|set|) exact verify
+      .withColumn("est",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes)
+      .filter(col("est") >= estFloor)
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       // 5: expand rep pairs to member pairs (same sets → same jaccard)

@@ -36,14 +36,15 @@ object TextQueries extends QueryPack {
   private def dMinhashPipeline(shingleExpr: String, numHashes: Int, bands: Int,
       threshold: Double): String = {
     val r = numHashes / bands
+    val estFloor = math.max(0.0, threshold - 0.15)
     val bucket = (0 until r).map(k => s"CAST(sg[$r*b+${k + 1}] AS VARCHAR)")
       .mkString(" || ':' || ")
     s"""WITH t AS (
        |  SELECT doc_id, $shingleExpr AS sh FROM documents
        |), hsh AS (
-       |  SELECT doc_id, sh, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
+       |  SELECT doc_id, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
        |), sig AS (
-       |  SELECT doc_id, sh, list_transform(range(0,$numHashes), j ->
+       |  SELECT doc_id, list_distinct(hs) AS hsd, list_transform(range(0,$numHashes), j ->
        |    list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+7)) % 2147483647))) AS sg
        |  FROM hsh
        |), bands AS (
@@ -53,10 +54,15 @@ object TextQueries extends QueryPack {
        |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
        |                            AND a.doc_id < c.doc_id
+       |), est AS (
+       |  SELECT id1, id2, x.hsd AS h1, y.hsd AS h2,
+       |    list_sum(list_transform(range(1,${numHashes + 1}), i ->
+       |      CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END)) * 1.0 / $numHashes AS est
+       |  FROM cand JOIN sig x ON x.doc_id = id1 JOIN sig y ON y.doc_id = id2
        |)
-       |SELECT id1, id2, round(${dJac("x.sh", "y.sh")}, 6) AS jaccard
-       |FROM cand JOIN t x ON x.doc_id = id1 JOIN t y ON y.doc_id = id2
-       |WHERE ${dJac("x.sh", "y.sh")} >= $threshold
+       |SELECT id1, id2, round(${dJac("h1", "h2")}, 6) AS jaccard
+       |FROM est
+       |WHERE est >= $estFloor AND ${dJac("h1", "h2")} >= $threshold
        |ORDER BY id1, id2""".stripMargin
   }
 
