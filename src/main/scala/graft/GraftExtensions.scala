@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, L2SquaredDistance}
+import graft.expressions.{DotProduct, L2SquaredDistance, SignatureAgreement}
 
 /** SQL surface for the native vector expressions.
   *
@@ -33,7 +33,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => L2SquaredDistance(exprs(0), exprs(1))),
     ("dot_f32",
       info("dot_f32", "dot_f32(a, b) - dot product of two float arrays"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("sig_agreement",
+      info("sig_agreement", "sig_agreement(a, b) - count of agreeing positions in two bigint arrays"),
+      (exprs: Seq[Expression]) => SignatureAgreement(exprs(0), exprs(1))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

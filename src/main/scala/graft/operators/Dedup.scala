@@ -115,23 +115,32 @@ object Dedup {
     // 4: LSH candidates between representatives
     val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
       "id", bands, rowsPerBand)
-    // Verification side: hashed-distinct shingle sets (cheap long
-    // compares instead of strings; hash collisions are deterministic and
-    // mirrored by the oracle) plus the full signature for the estimate.
+    // Two-stage verification: stage 1 joins ONLY the signatures (H longs)
+    // and applies the O(H) signature-agreement estimate — nearly every
+    // false band collision dies here, so the wide shingle sets never
+    // shuffle for them. Stage 2 joins the hashed-distinct shingle sets
+    // (cheap long compares; hash collisions deterministic and mirrored by
+    // the oracle) for the exact jaccard on the survivors only.
+    val repSig = withSig.select(col("rep"), col("minhash_sig"))
     val repSh = withSig.select(col("rep"),
-      array_distinct(col("hs")).as("hsd"), col("minhash_sig"), col("members"))
+      array_distinct(col("hs")).as("hsd"), col("members"))
     val estFloor = math.max(0.0, threshold - 0.15)
-    val crossPairs = cand
-      .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1"),
-        col("minhash_sig").as("sig1"), col("members").as("m1")), "id1")
-      .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2"),
-        col("minhash_sig").as("sig2"), col("members").as("m2")), "id2")
-      // signature-agreement estimate: O(H) prefilter that kills nearly
-      // every false candidate before the O(|set|) exact verify
+    val survivors = cand
+      .join(repSig.select(col("rep").as("id1"), col("minhash_sig").as("sig1")), "id1")
+      .join(repSig.select(col("rep").as("id2"), col("minhash_sig").as("sig2")), "id2")
       .withColumn("est",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
-          x => x)).cast("double") / numHashes)
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.SignatureAgreement(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sig1")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sig2"))))
+          .cast("double") / numHashes)
       .filter(col("est") >= estFloor)
+      .select(col("id1"), col("id2"))
+    val crossPairs = survivors
+      .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1"),
+        col("members").as("m1")), "id1")
+      .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2"),
+        col("members").as("m2")), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       // 5: expand rep pairs to member pairs (same sets → same jaccard)
@@ -174,21 +183,39 @@ object Dedup {
       idCol: String = "doc_id",
       maxHamming: Int = 6,
       blockBits: Int = 8): DataFrame = {
-    // token hashes materialized behind an exchange: md5 runs once per
-    // token (the exchange stops CollapseProject from inlining the hash
-    // array into all 32 per-bit votes), and the repartition spreads the
-    // per-doc compute across the cluster regardless of input split count.
-    val hashed = docs.select(col(idCol).as("id"),
-        transform(array_distinct(tokens(col(textCol))), (s: Column) => hash32(s)).as("hs"))
-      .repartition(col("id"))
-    val sh = hashed.select(col("id"), simhash32FromHashes(col("hs")).as("simhash"))
+    // SimHash is a function of the token SET, so identical sets collapse
+    // to one representative (exact-dedup-before-near-dedup, as in
+    // minhashNearDups): duplicate-heavy corpora would otherwise put whole
+    // clusters into one block and go quadratic. Token hashes are
+    // materialized behind the exchange so md5 runs once per token, not
+    // once per simhash bit.
+    val reps = docs.select(col(idCol).as("id"),
+        array_sort(array_distinct(tokens(col(textCol)))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
+      .repartition(col("rep"))
+      .withColumn("hs", transform(col("tok"), (s: Column) => hash32(s)))
+    val sh = reps.select(col("rep"), col("members"),
+      simhash32FromHashes(col("hs")).as("simhash"))
     val blocked = sh.withColumn("blk",
       floor(col("simhash") / pow(lit(2.0), lit(32 - blockBits))).cast("long"))
     val a = blocked.as("a"); val b = blocked.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // cross-representative pairs (hamming of identical sets is 0, so
+    // within-cluster pairs are emitted separately below)
+    val crossPairs = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.rep") < col("b.rep"))
       .withColumn("hamming", hamming(col("a.simhash"), col("b.simhash")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
+      .select(explode(col("a.members")).as("x"), col("b.members").as("mb"), col("hamming"))
+      .select(col("x"), explode(col("mb")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("id1"),
+        greatest(col("x"), col("y")).as("id2"), col("hamming"))
+    val dupPairs = reps.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("id1"), col("y").as("id2"), lit(0L).as("hamming"))
+    crossPairs.unionByName(dupPairs)
   }
 
   /** Embedding-cosine/L2 near-duplicate pairs, exact within blocks. */
