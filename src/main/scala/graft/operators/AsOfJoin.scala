@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the latest right row whose timestamp
+  * is ≤ (or <) the left timestamp, per key.
+  *
+  * Spark has no built-in as-of join; the naive range join
+  * (`l.key = r.key AND r.ts <= l.ts` + window-max) explodes to the full
+  * per-key cross product before pruning. This implementation uses the
+  * union trick instead: tag both sides, sort per key by (ts, side),
+  * propagate the last right payload forward with `last(ignoreNulls)` —
+  * ONE shuffle on the key, O(n log n) per key, no cross product. This is
+  * the plan that survives 100 TB; it is also how the batch form of
+  * streaming stream-stream joins behaves.
+  *
+  * Output: all left rows + `rightCols` (null where no right row precedes).
+  */
+object AsOfJoin {
+
+  /**
+    * @param left      left table
+    * @param right     right table
+    * @param keyCols   equi-key column names present on both sides
+    * @param leftTs    left timestamp column name
+    * @param rightTs   right timestamp column name
+    * @param rightCols right payload columns to carry (renamed as given)
+    * @param strict    true → right.ts strictly before left.ts
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side marker orders right rows before left rows at equal ts for
+    // inclusive semantics (right visible at its own timestamp), after
+    // them for strict semantics.
+    val rightMarker = if (strict) lit(0) else lit(0)
+    val leftMarker = lit(1)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", leftMarker)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        Seq(col("__ts"), col("__side"))): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", rightMarker)
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        .zip(leftCols).map { case (n, name) =>
+          if (keyCols.contains(name)) col(name) else n.as(name)
+        } ++
+        rightCols.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col("__ts"), col("__side"))): _*)
+    val unioned = l.unionByName(r)
+    // strict: the window must not see a right row at the same ts —
+    // order right rows AFTER left rows at equal ts and look back 1 row.
+    val ordered =
+      if (strict)
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ts"), col("__side").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+      else
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ts"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(ordered))
+    }
+    withPayload
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col(s"__last_$c").as(c))): _*)
+  }
+}
