@@ -80,6 +80,26 @@ object VectorQueries extends QueryPack {
         .limit(10)
     }),
 
+    // Grouped top-k via the custom BottomK bounded-heap aggregate
+    // (graft.expressions.BottomK): per-label 3 nearest to the query.
+    // Map-side partial aggregation reduces each task's slice to ≤ k pairs
+    // before the shuffle — the scale-correct form of per-group top-k
+    // (the oracle states the same semantics as a window).
+    "grouped_topk" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      e.crossJoin(broadcast(q))
+        .select($"label".cast("long").as("label"), $"vec_id",
+          l2sq($"embedding", $"qvec").as("distance"))
+        .groupBy($"label")
+        .agg(graft.expressions.BottomK.bottomK($"distance", $"vec_id", 3).as("hits"))
+        .select($"label", posexplode($"hits"))
+        .select($"label", ($"pos" + 1).cast("long").as("rank"),
+          $"col.id".as("vec_id"), round($"col.distance", 4).as("distance"))
+        .orderBy($"label", $"rank")
+    }),
+
     // Per-label vector statistics (norm distribution). Cross-row double
     // sums go through round→decimal so aggregation order cannot perturb
     // the result (float-determinism discipline, SURVEY.md §7 risk 2).
@@ -140,6 +160,18 @@ object VectorQueries extends QueryPack {
          |WHERE e.vec_id != 0
          |ORDER BY sim DESC, e.vec_id
          |LIMIT 10""".stripMargin,
+
+    "grouped_topk" ->
+      s"""SELECT label, rank, vec_id, distance FROM (
+         |  SELECT CAST(e.label AS BIGINT) AS label, e.vec_id,
+         |    round(${duckL2sq("e.embedding", "q.qvec")}, 4) AS distance,
+         |    CAST(row_number() OVER (PARTITION BY e.label
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qvec")}, e.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |)
+         |WHERE rank <= 3
+         |ORDER BY label, rank""".stripMargin,
 
     "vector_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
