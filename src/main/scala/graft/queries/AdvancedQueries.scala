@@ -118,6 +118,20 @@ object AdvancedQueries extends QueryPack {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // GROUPING SETS via the SQL surface (engine registers the table and
+    // runs pure SQL — the DataFrame and SQL forms share one Catalyst).
+    "grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS ls,
+          |       count(1) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
     // Extended string functions over part.
     "string_fns2" -> ((s, dir) => {
       import s.implicits._
@@ -212,6 +226,15 @@ object AdvancedQueries extends QueryPack {
         |FROM g
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin,
 
     "string_fns2" ->
       """SELECT p_partkey,
