@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Knn, MutationLog}
+
+/** Property-based invariants (SURVEY.md §5.3):
+  *  (a) distributed top-k ≡ global sort-take-k, for any partitioning;
+  *  (b) log replay is partitioning-insensitive but log_index-sensitive;
+  *  (c) upsert-then-delete annihilates.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (scalatestplus bridge is not a
+    * dependency; generators are driven directly with fixed seeds). */
+  private def samples[A](gen: Gen[A], n: Int = 10): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val vecGen: Gen[List[(Long, List[Float])]] = for {
+    n <- Gen.choose(0, 40)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+    vecs <- Gen.listOfN(n, Gen.listOfN(4, Gen.chooseNum(-8f, 8f)))
+  } yield ids.zip(vecs)
+
+  test("(a) topK(xs, k) == sort(xs).take(k) under any partitioning") {
+    samples(for { xs <- vecGen; k <- Gen.choose(0, 12); p <- Gen.choose(1, 7) } yield (xs, k, p))
+      .foreach { case (xs, k, parts) =>
+        val df = xs.toDF("vec_id", "embedding").repartition(parts)
+        val got = Knn.topK(df, Seq(0f, 0f, 0f, 0f), k)
+          .collect().map(r => (r.getDouble(1), r.getLong(0))).toList
+        val expected = xs
+          .map { case (id, v) => (v.map(x => x.toDouble * x).sum, id) }
+          .sorted.take(k)
+        // compare with tolerance-free double equality: both sides fold
+        // float->double squares; order of per-element ops is identical
+        assert(got.map(_._2) === expected.map(_._2))
+      }
+  }
+
+  private val logGen: Gen[List[(Long, String, Long, String)]] = for {
+    n <- Gen.choose(0, 30)
+    entries <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 5L)
+      shard <- Gen.oneOf("s0", "s1")
+      op <- Gen.oneOf("UPSERT", "DELETE")
+    } yield (id, shard, op))
+  } yield entries.zipWithIndex.map { case ((id, sh, op), i) => (i.toLong, op, id, sh) }
+
+  /** Sequential-fold model: a key survives iff its highest-log_index
+    * entry is an UPSERT. */
+  private def replayReference(log: List[(Long, String, Long, String)]): Set[(Long, String)] =
+    // .toList before collect: Map.collect with pair-typed results would
+    // rebuild a Map and silently dedup by the first tuple element
+    log.groupBy(e => (e._3, e._4)).toList
+      .collect { case (key, entries) if entries.maxBy(_._1)._2 == "UPSERT" => key }
+      .toSet
+
+  test("(b) replay ≡ sequential fold, insensitive to partitioning") {
+    samples(for { l <- logGen; p <- Gen.choose(1, 5) } yield (l, p))
+      .foreach { case (log, parts) =>
+        val df = log.map { case (i, op, id, sh) => (i, op, id, sh, Seq(1f)) }
+          .toDF("log_index", "op", "id", "shard_id", "embedding")
+          .repartition(parts)
+        val got = MutationLog.replay(df)
+          .select("id", "shard_id").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got === replayReference(log))
+      }
+  }
+
+  test("(b') compact(log, cut) replays identically for any cut") {
+    samples(for { l <- logGen; c <- Gen.choose(0L, 30L) } yield (l, c), 8)
+      .foreach { case (log, cut) =>
+        if (log.nonEmpty) {
+          val df = log.map { case (i, op, id, sh) => (i, op, id, sh, Seq(1f)) }
+            .toDF("log_index", "op", "id", "shard_id", "embedding")
+          val direct = MutationLog.replay(df)
+            .select("id", "shard_id").collect().map(_.toSeq).toSet
+          val compacted = MutationLog.replay(MutationLog.compact(df, cut))
+            .select("id", "shard_id").collect().map(_.toSeq).toSet
+          assert(compacted === direct)
+        }
+      }
+  }
+
+  test("(c) trailing upsert+delete of v excludes v; trailing upsert includes it") {
+    samples(logGen, 8).foreach { log =>
+      val base = log.length.toLong
+      val extended = log ++ List(
+        (base, "UPSERT", 99L, "s0"), (base + 1, "DELETE", 99L, "s0"),
+        (base + 2, "UPSERT", 98L, "s0"))
+      val df = extended.map { case (i, op, id, sh) => (i, op, id, sh, Seq(1f)) }
+        .toDF("log_index", "op", "id", "shard_id", "embedding")
+      val ids = MutationLog.replay(df).select("id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(99L))
+      assert(ids.contains(98L))
+    }
+  }
+}
