@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.SearchService
+
+/** The reference's Search/Upsert/Delete lifecycle semantics end-to-end
+  * (SURVEY.md §3.1/§3.2): cache hit flags, invalidate-on-mutation, k=0
+  * gate, and read-your-writes after apply. */
+class SearchServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshService = new SearchService(
+    Seq((1L, "s0", Seq(0f, 0f)), (2L, "s0", Seq(1f, 0f)), (3L, "s1", Seq(2f, 2f)))
+      .toDF("id", "shard_id", "embedding"))
+
+  test("second identical search is served from cache") {
+    val svc = freshService
+    val (h1, c1) = svc.search(Seq(0f, 0f), 2)
+    val (h2, c2) = svc.search(Seq(0f, 0f), 2)
+    assert(!c1 && c2)
+    assert(h1 === h2)
+    assert(h1.map(_.id) === Seq(1L, 2L))
+  }
+
+  test("k=0 returns empty and never caches") {
+    val svc = freshService
+    assert(svc.search(Seq(0f, 0f), 0)._1.isEmpty)
+    assert(svc.cacheSize === 0)
+  }
+
+  test("different k is a different cache entry") {
+    val svc = freshService
+    svc.search(Seq(0f, 0f), 1)
+    svc.search(Seq(0f, 0f), 2)
+    assert(svc.cacheSize === 2)
+  }
+
+  test("mutation invalidates the cache and reads see the new state") {
+    val svc = freshService
+    svc.search(Seq(0f, 0f), 3)
+    assert(svc.cacheSize === 1)
+    // upsert a new nearest neighbor at the origin
+    svc.upsert(Seq((9L, "s0", Seq(0f, 0.1f))).toDF("id", "shard_id", "embedding"))
+    assert(svc.cacheSize === 0) // full flush, reference parity
+    val (hits, cached) = svc.search(Seq(0f, 0f), 2)
+    assert(!cached)
+    assert(hits.map(_.id) === Seq(1L, 9L)) // read-your-writes
+  }
+
+  test("delete removes from results after invalidation") {
+    val svc = freshService
+    svc.delete(Seq((1L, "s0")).toDF("id", "shard_id"))
+    val (hits, _) = svc.search(Seq(0f, 0f), 3)
+    assert(!hits.map(_.id).contains(1L))
+  }
+
+  test("upsert replaces the existing vector for the same (shard, id)") {
+    val svc = freshService
+    svc.upsert(Seq((2L, "s0", Seq(9f, 9f))).toDF("id", "shard_id", "embedding"))
+    val (hits, _) = svc.search(Seq(9f, 9f), 1)
+    assert(hits.head.id === 2L)
+    assert(svc.current.count() === 3) // replaced, not duplicated
+  }
+}
