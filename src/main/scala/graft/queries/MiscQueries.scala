@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.sources.Tables
+import graft.queries.VectorQueries.duckL2sq
+
+/** Remaining SQL-surface breadth: array functions (scalar outputs),
+  * null-handling functions, bag-semantics set ops, correlated/scalar
+  * subqueries, inequality (theta) joins, and a self-measuring ANN recall
+  * query (IVF top-k overlap vs the exact baseline).
+  */
+object MiscQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Array functions with scalar outputs (element_at, slice, size,
+    // array_min/max over computed arrays).
+    "array_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          round(element_at($"embedding", 1).cast("double"), 6).as("first"),
+          round(element_at($"embedding", -1).cast("double"), 6).as("last"),
+          round(array_min($"embedding").cast("double"), 6).as("lo"),
+          round(array_max($"embedding").cast("double"), 6).as("hi"),
+          round(aggregate(slice($"embedding", 1, 8),
+            lit(0.0), (a, x) => a + x.cast("double")), 6).as("head8_sum"))
+        .orderBy($"vec_id")
+    }),
+
+    // Null-handling: coalesce/nullif/nvl chains over generated nulls.
+    "null_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_custkey",
+          when($"c_acctbal" < 0, lit(null)).otherwise($"c_acctbal").as("bal_pos"))
+        .select($"c_custkey",
+          coalesce($"bal_pos", lit(0.0)).as("bal_or_zero"),
+          $"bal_pos".isNull.as("was_negative"),
+          nullif(coalesce($"bal_pos", lit(0.0)), lit(0.0)).as("bal_or_null"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Bag-semantics set operations (UNION ALL / EXCEPT ALL duplicates).
+    "set_ops_all" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.orders(s, dir)
+      val a = ord.filter($"o_totalprice" > 300000).select($"o_custkey")
+      val b = ord.filter($"o_orderstatus" === "F" && $"o_totalprice" > 300000)
+        .select($"o_custkey")
+      a.unionAll(a).exceptAll(b)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy($"o_custkey")
+    }),
+
+    // Scalar + correlated subquery: customers above their nation's mean.
+    "scalar_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_sq")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal
+          |FROM cust_sq c
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_sq i
+          |                   WHERE i.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Inequality (theta) join: region pairs ordered by key.
+    "theta_join" -> ((s, dir) => {
+      import s.implicits._
+      val r = Tables.region(s, dir)
+      val a = r.select($"r_regionkey".as("k1"), $"r_name".as("n1"))
+      val b = r.select($"r_regionkey".as("k2"), $"r_name".as("n2"))
+      a.join(b, $"k1" < $"k2")
+        .select($"k1".cast("long").as("k1"), $"n1", $"k2".cast("long").as("k2"), $"n2")
+        .orderBy($"k1", $"k2")
+    }),
+
+    // Self-measuring approximation quality: IVF nprobe=2 recall@10 per
+    // query against the exact scan (both computed in-engine).
+    "ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val exact = graft.operators.Knn.batchTopK(e, q, 10)
+        .select($"query_id", $"vec_id")
+      val ivf = Ann.search(e, Ann.seedCentroids(e, 8), q, k = 10, nprobe = 2)
+        .select($"query_id", $"vec_id")
+      exact.join(ivf, Seq("query_id", "vec_id"))
+        .groupBy($"query_id")
+        .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy($"query_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first,
+        |  round(CAST(embedding[-1] AS DOUBLE), 6) AS last,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS lo,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS hi,
+        |  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "null_fns" ->
+      """SELECT c_custkey,
+        |  coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_or_zero,
+        |  (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL AS was_negative,
+        |  nullif(coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0), 0.0) AS bal_or_null
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_ops_all" ->
+      """SELECT o_custkey, count(*) AS multiplicity FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |   UNION ALL
+        |   SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice > 300000)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+        |                   WHERE i.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "theta_join" ->
+      """SELECT CAST(a.r_regionkey AS BIGINT) AS k1, a.r_name AS n1,
+        |       CAST(b.r_regionkey AS BIGINT) AS k2, b.r_name AS n2
+        |FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+        |ORDER BY k1, k2""".stripMargin,
+
+    "ann_recall" -> {
+      val duckCentroids =
+        "SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8"
+      s"""WITH queries AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 16
+         |), exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckL2sq("e.embedding", "q.qvec")}, e.vec_id) AS rnk
+         |    FROM embeddings e CROSS JOIN queries q
+         |  ) WHERE rnk <= 10
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckL2sq("e.embedding", "c.centroid")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN ($duckCentroids) c
+         |  ) WHERE rn = 1
+         |), probed AS (
+         |  SELECT query_id, qvec, cell FROM (
+         |    SELECT q.query_id, q.qvec, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckL2sq("q.qvec", "c.centroid")}, c.cell) AS crn
+         |    FROM queries q CROSS JOIN ($duckCentroids) c
+         |  ) WHERE crn <= 2
+         |), ivf AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${duckL2sq("e.embedding", "p.qvec")}, e.vec_id) AS rnk
+         |    FROM probed p
+         |    JOIN assigned a ON a.cell = p.cell
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |  ) WHERE rnk <= 10
+         |)
+         |SELECT exact.query_id, count(*) * 1.0 / 10.0 AS recall_at_10
+         |FROM exact JOIN ivf ON exact.query_id = ivf.query_id
+         |                   AND exact.vec_id = ivf.vec_id
+         |GROUP BY exact.query_id
+         |ORDER BY exact.query_id""".stripMargin
+    }
+  )
+}
