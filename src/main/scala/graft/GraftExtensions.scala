@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, L2SquaredDistance, SignatureAgreement}
+import graft.expressions.{DotProduct, JaccardLongs, L2SquaredDistance, SignatureAgreement}
 
 /** SQL surface for the native vector expressions.
   *
@@ -36,7 +36,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
     ("sig_agreement",
       info("sig_agreement", "sig_agreement(a, b) - count of agreeing positions in two bigint arrays"),
-      (exprs: Seq[Expression]) => SignatureAgreement(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => SignatureAgreement(exprs(0), exprs(1))),
+    ("jaccard_longs",
+      info("jaccard_longs", "jaccard_longs(a, b) - jaccard similarity of two distinct bigint arrays"),
+      (exprs: Seq[Expression]) => JaccardLongs(exprs(0), exprs(1))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -141,16 +141,27 @@ object Dedup {
         col("members").as("m1")), "id1")
       .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2"),
         col("members").as("m2")), "id2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      // native primitive kernel; value-identical to the array_intersect
+      // form (JaccardLongs scaladoc)
+      .withColumn("jaccard",
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.JaccardLongs(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh1")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh2")))))
       .filter(col("jaccard") >= threshold)
-      // 5: expand rep pairs to member pairs (same sets → same jaccard)
+      // 5: expand rep pairs to member pairs (same sets → same jaccard).
+      // A repartition between the two explodes parallelizes generation:
+      // a 100k-member duplicate cluster would otherwise emit its whole
+      // |m1|×|m2| cross product from one task.
       .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
+      .repartition(col("a"))
       .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
       .select(least(col("a"), col("b")).as("id1"),
         greatest(col("a"), col("b")).as("id2"), col("jaccard"))
     // within-cluster pairs: identical sets, jaccard exactly 1.0
     val dupPairs = reps.filter(size(col("members")) > 1)
       .select(explode(col("members")).as("a"), col("members"))
+      .repartition(col("a"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a").as("id1"), col("b").as("id2"), lit(1.0).as("jaccard"))
@@ -207,11 +218,13 @@ object Dedup {
       .withColumn("hamming", hamming(col("a.simhash"), col("b.simhash")))
       .filter(col("hamming") <= maxHamming)
       .select(explode(col("a.members")).as("x"), col("b.members").as("mb"), col("hamming"))
+      .repartition(col("x")) // parallelize the second explode (see minhashNearDups)
       .select(col("x"), explode(col("mb")).as("y"), col("hamming"))
       .select(least(col("x"), col("y")).as("id1"),
         greatest(col("x"), col("y")).as("id2"), col("hamming"))
     val dupPairs = reps.filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))
+      .repartition(col("x"))
       .select(col("x"), explode(col("members")).as("y"))
       .filter(col("x") < col("y"))
       .select(col("x").as("id1"), col("y").as("id2"), lit(0L).as("hamming"))

@@ -62,6 +62,28 @@ class L2ExpressionSpec extends SparkSpec {
     assert(!r.isNullAt(1))
   }
 
+  test("JaccardLongs ≡ array_intersect form on random long sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.JaccardLongs(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"a"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression($"b"))).as("native"),
+      (size(array_intersect($"a", $"b")).cast("double") /
+        (size($"a") + size($"b") - size(array_intersect($"a", $"b")))).as("hof"))
+    val bad = df.collect().filter { r =>
+      val n = r.getDouble(0)
+      val h = if (r.isNullAt(1)) 0.0 else r.getDouble(1) // 0/0 → null in HOF form
+      n != h && !(n == 0.0 && r.isNullAt(1))
+    }
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+  }
+
   test("codegen path actually engages (no fallback) and value is right") {
     // force both interpreted and codegen evaluation paths on a literal
     val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 4f))).toDF("a", "b")
