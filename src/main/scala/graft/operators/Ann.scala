@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -24,6 +24,40 @@ import graft.functions.VectorFunctions._
   *    the recall-1.0 baseline.
   */
 object Ann {
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: plane p,
+    * component d is `hash32("p:d") / 2^31 - 1` ∈ [-1, 1) — derived from
+    * md5 so the oracle can regenerate the identical matrix in SQL.
+    * Computed once on the driver and embedded as a literal (the per-row
+    * work is just `planes` dot products). */
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until planes).map(p => (1 to dim).map(d =>
+      hash32(s"$p:$d").toDouble / math.pow(2, 31) - 1.0))
+  }
+
+  /** Sign-LSH bucket id of an embedding: bit p set iff dot(w_p, x) ≥ 0.
+    * Cosine-similar vectors agree on most signs → same/nearby buckets.
+    * This is the hash-bucket scale path for cosine ANN (the IVF below is
+    * the partition-pruning path); both trade recall for scan fraction. */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.size
+    planes.zipWithIndex.map { case (w, p) =>
+      val dotP = (1 to dim).map(d =>
+        lit(w(d - 1)) * element_at(emb, d).cast("double")).reduce(_ + _)
+      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Attach sign-LSH buckets; vectors store/shuffle by `lsh_bucket`. */
+  def withLshBucket(vectors: DataFrame, planes: Int = 16,
+      embCol: String = "embedding", dim: Int = 64): DataFrame =
+    vectors.withColumn("lsh_bucket", lshBucket(col(embCol), hyperplanes(planes, dim)))
 
   /** Deterministic centroid seeds: the first `k` vectors by id.
     * (Zero-iteration k-means; `refine` runs Lloyd steps.) */

@@ -28,6 +28,18 @@ object AnnQueries extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Sign-LSH bucket profile: 8 hyperplanes derived from md5 (the
+    // oracle regenerates the identical matrix in SQL), bucket = sign
+    // bits of the 8 dot products. Verifies the whole hash path exactly.
+    "ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Ann.withLshBucket(Tables.embeddings(s, dir), planes = 8)
+        .groupBy($"lsh_bucket")
+        .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"),
+          max($"vec_id").as("max_id"))
+        .orderBy($"lsh_bucket")
+    }),
+
     // IVF cell population profile — verifies the assignment operator on
     // its own and shows cell balance (skew matters for the scale path).
     "ann_cells" -> ((s, dir) => {
@@ -51,7 +63,32 @@ object AnnQueries extends QueryPack {
        |    FROM embeddings e CROSS JOIN ($duckCentroids) c
        |  ) WHERE rn = 1""".stripMargin
 
+  /** hash32 fragment (same as TextQueries): first 8 md5 nibbles, exact fold. */
+  private def dHash32(s: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), i -> " +
+      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+
   def oracle: Map[String, String] = Map(
+
+    "ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT p, list_transform(range(1,65), d ->
+         |    ${dHash32("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} / 2^31 - 1.0) AS w
+         |  FROM (SELECT unnest(range(0,8)) AS p)
+         |), bits AS (
+         |  SELECT e.vec_id, pl.p,
+         |    CASE WHEN list_sum(list_transform(range(1,65), d ->
+         |           pl.w[d] * CAST(e.embedding[d] AS DOUBLE))) >= 0
+         |         THEN CAST(2^pl.p AS BIGINT) ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN planes pl
+         |), buckets AS (
+         |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS lsh_bucket
+         |  FROM bits GROUP BY vec_id
+         |)
+         |SELECT lsh_bucket, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM buckets
+         |GROUP BY lsh_bucket
+         |ORDER BY lsh_bucket""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH assigned AS (

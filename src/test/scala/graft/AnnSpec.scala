@@ -45,6 +45,24 @@ class AnnSpec extends SparkSpec {
     assert(avg > 0.3, s"avg recall@10 nprobe=2 was $avg") // random data: cells ~uniform
   }
 
+  test("lsh: hyperplanes deterministic; near-identical vectors share a bucket") {
+    val p1 = Ann.hyperplanes(8, 64)
+    val p2 = Ann.hyperplanes(8, 64)
+    assert(p1 === p2)
+    assert(p1.flatten.forall(v => v >= -1.0 && v < 1.0))
+    import spark.implicits._
+    val base = Seq.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val twin = base.updated(0, base.head + 1e-6f)
+    val far = base.map(v => -v)
+    val got = Seq((1L, base), (2L, twin), (3L, far)).toDF("vec_id", "embedding")
+    val buckets = Ann.withLshBucket(got, planes = 8)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) === buckets(2L)) // near-identical → same bucket
+    assert(buckets(1L) !== buckets(3L)) // antipodal → all bits flip
+    assert((buckets(1L) ^ buckets(3L)) === 255L)
+  }
+
   test("refine produces K centroids of the right dimension") {
     val refined = Ann.refine(e, centroids)
     assert(refined.count() === 8)
