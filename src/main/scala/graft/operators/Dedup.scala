@@ -168,6 +168,17 @@ object Dedup {
     crossPairs.unionByName(dupPairs)
   }
 
+  /** The dedup DECISION: which docs survive. Given near-dup pairs with
+    * id1 < id2 (any of the pair generators above), drop every id that
+    * appears on the id2 side — i.e., keep the lowest id of each
+    * duplicate chain reachable by 1+ hops downward. Anti join: one
+    * shuffle on the id. (Full connected components would need iteration;
+    * the lowest-id-wins rule over pairs is the standard single-pass
+    * policy and is what the reference-side oracle can express.) */
+  def keepList(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("id2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** All-pairs word-shingle jaccard within a blocking key (exact n-gram
     * Jaccard dedup; the blocked-quadratic baseline LSH approximates). */
   def jaccardPairsBlocked(

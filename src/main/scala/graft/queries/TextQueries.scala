@@ -115,6 +115,18 @@ object TextQueries extends QueryPack {
         .orderBy($"id1", $"id2")
     }),
 
+    // The dedup decision: docs surviving word-set near-dedup (lowest id
+    // of each duplicate chain wins; everything on an id2 side drops).
+    "dedup_keep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs,
+        shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
+      Dedup.keepList(docs, pairs)
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // Per-document statistics + quality score.
     "text_stats" -> ((s, dir) => {
       import s.implicits._
@@ -170,6 +182,13 @@ object TextQueries extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> dMinhashPipeline(dTok, 12, 4, 0.8),
+
+    "dedup_keep" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT id2 FROM (${dMinhashPipeline(dTok, 12, 4, 0.8)})
+         |)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (

@@ -71,6 +71,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late rows once the watermark has advanced") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.hourlyRollup(mem.toDF(), watermarkDelay = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      mem.addData(Ev(ts(0), "view", 1, 1.0), Ev(ts(30), "view", 1, 1.0))
+      q.processAllAvailable()
+      // advance event time far past hour 0 + watermark → hour-0 window closes
+      mem.addData(Ev(ts(200), "view", 1, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_out").collect()
+      assert(closed.exists(_.getTimestamp(0) === ts(0))) // hour-0 emitted with 2 events
+      assert(closed.find(_.getTimestamp(0) === ts(0)).get.getLong(2) === 2L)
+      // a very late row for hour 0 must NOT reopen the window
+      mem.addData(Ev(ts(1), "view", 9, 9.0))
+      q.processAllAvailable()
+      val after = spark.table("late_out").collect()
+        .filter(_.getTimestamp(0) === ts(0))
+      assert(after.length === 1 && after.head.getLong(2) === 2L)
+    } finally q.stop()
+  }
+
   test("hourlyRollup over real events parquet (batch form) is consistent with groupBy") {
     val ev = graft.sources.Tables.events(spark, sf)
       .withColumn("ts", $"ts".cast("timestamp"))
