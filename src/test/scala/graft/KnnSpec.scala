@@ -76,6 +76,22 @@ class KnnSpec extends SparkSpec {
     assert(plan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("dimension generality: 768-dim vectors (reference sample config) work end-to-end") {
+    // config/node1.textproto:13 uses dim 768; testdata is 64 — prove the
+    // operators are dimension-agnostic.
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(768)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(7)._2
+    val hits = Knn.topK(df, query, 3).collect()
+    assert(hits.head.getLong(0) === 7L) // self is nearest at distance 0
+    assert(hits.head.getDouble(1) === 0.0)
+    assert(hits.length === 3)
+    val centroids = graft.operators.Ann.seedCentroids(df, 4)
+    val assigned = graft.operators.Ann.assign(df, centroids)
+    assert(assigned.count() === 50)
+  }
+
   test("cosine of identical vectors is 1") {
     val df = vecDf(Seq(1L -> Seq(1f, 2f, 3f)))
       .select(cosine($"embedding", $"embedding").as("c"))
