@@ -38,20 +38,19 @@ object AsOfJoin {
       rightCols: Seq[String],
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    // side marker orders right rows before left rows at equal ts for
-    // inclusive semantics (right visible at its own timestamp), after
-    // them for strict semantics.
-    val rightMarker = if (strict) lit(0) else lit(0)
-    val leftMarker = lit(1)
+    // side marker: right rows are 0, left rows 1. Inclusive mode orders
+    // right-before-left at equal ts (right visible at its own
+    // timestamp); strict mode orders left-before-right (__side.desc) and
+    // looks back one row, hiding same-ts right rows.
     val l = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", leftMarker)
+      .withColumn("__side", lit(1))
       .select((leftCols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
         Seq(col("__ts"), col("__side"))): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", rightMarker)
+      .withColumn("__side", lit(0))
       .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
         .zip(leftCols).map { case (n, name) =>
           if (keyCols.contains(name)) col(name) else n.as(name)
