@@ -63,6 +63,39 @@ object Multimodal {
       .withColumn("frame_ts_ms", col("frame_idx") * everyMs)
   }
 
+  /** Decoded-media record for the partitioned decode path. */
+  final case class DecodedMedia(media_id: Long, kind: String,
+      byte_len: Long, dec_width: Int, dec_height: Int)
+
+  /** Per-partition batched decode — the integration shape for a REAL
+    * codec (JNI/native library): the decoder is initialized once per
+    * partition (expensive setup amortized over the partition's rows) and
+    * streamed over the rows without materializing the partition. This is
+    * the deliberate `mapPartitions` last-resort tier (SURVEY.md §2
+    * preference order) — appropriate here because a codec is imperative
+    * per-row work no Catalyst expression can express. The decode itself
+    * is STUBBED (deterministic function of the bytes); swap the body of
+    * `decodeOne` for the real codec call. */
+  def decodePartitioned(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // stand-in for expensive per-partition codec initialization
+        val codec = new java.util.zip.CRC32()
+        def decodeOne(bytes: Array[Byte]): (Long, Int, Int) = {
+          codec.reset(); codec.update(bytes)
+          val c = codec.getValue
+          (bytes.length.toLong, (c % 1920 + 1).toInt, ((c >> 11) % 1080 + 1).toInt)
+        }
+        rows.map { case (id, kind, bytes) =>
+          val (len, w, h) = decodeOne(bytes)
+          DecodedMedia(id, kind, len, w, h)
+        }
+      }
+      .toDF()
+  }
+
   /** Resize plumbing: records target dims + scale factors from the
     * stub-decoded dims; a real implementation would transform `bytes`. */
   def resizePlan(decoded: DataFrame, targetW: Int, targetH: Int): DataFrame =

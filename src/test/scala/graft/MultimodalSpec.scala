@@ -64,6 +64,16 @@ class MultimodalSpec extends SparkSpec {
     assert(sx > 0 && sx === 224.0 / r.getAs[Int]("dec_width"))
   }
 
+  test("decodePartitioned: per-partition codec, deterministic across partitionings") {
+    val once = Multimodal.decodePartitioned(media)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    val repart = Multimodal.decodePartitioned(media.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(once.sameElements(repart))
+    assert(once.length === 4)
+    assert(once.forall { case (_, len, w) => len > 0 && w >= 1 && w <= 1920 })
+  }
+
   test("metadata projection prunes the binary column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(tmp)
