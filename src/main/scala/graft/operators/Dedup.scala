@@ -94,6 +94,40 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       shingler: Column => Column = null): DataFrame = {
+    val (reps, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
+      numHashes, bands, threshold, shingler)
+    val crossPairs = verified
+      // 5: expand rep pairs to member pairs (same sets → same jaccard).
+      // A repartition between the two explodes parallelizes generation:
+      // a 100k-member duplicate cluster would otherwise emit its whole
+      // |m1|×|m2| cross product from one task.
+      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
+      .repartition(col("a"))
+      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+    // within-cluster pairs: identical sets, jaccard exactly 1.0
+    val dupPairs = reps.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .repartition(col("a"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"), lit(1.0).as("jaccard"))
+    crossPairs.unionByName(dupPairs)
+  }
+
+  /** Shared pipeline: representatives + VERIFIED rep pairs (with member
+    * lists), i.e. everything before member-pair expansion.
+    * Returns (reps(set_key, rep, members, sh), verified(id1, id2, m1, m2, jaccard)). */
+  private def minhashRepPairs(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      shingler: Column => Column): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val mkShingles: Column => Column = if (shingler != null) shingler else { c =>
       val t = array_distinct(tokens(c))
@@ -149,23 +183,40 @@ object Dedup {
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh1")),
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh2")))))
       .filter(col("jaccard") >= threshold)
-      // 5: expand rep pairs to member pairs (same sets → same jaccard).
-      // A repartition between the two explodes parallelizes generation:
-      // a 100k-member duplicate cluster would otherwise emit its whole
-      // |m1|×|m2| cross product from one task.
-      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
-      .repartition(col("a"))
-      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
-      .select(least(col("a"), col("b")).as("id1"),
-        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
-    // within-cluster pairs: identical sets, jaccard exactly 1.0
-    val dupPairs = reps.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .repartition(col("a"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("id1"), col("b").as("id2"), lit(1.0).as("jaccard"))
-    crossPairs.unionByName(dupPairs)
+      .select(col("id1"), col("id2"), col("m1"), col("m2"), col("jaccard"))
+    (reps, crossPairs)
+  }
+
+  /** The survivor set of minhash near-dedup WITHOUT materializing the
+    * member-pair cross products: per the expansion semantics, the drops
+    * of a verified rep pair (A, B) are exactly (members(A) ∪ members(B))
+    * minus their minimum — every other member has a smaller partner in
+    * some expanded pair — and the drops of a multi-member cluster are its
+    * members minus its minimum. Equivalent to
+    * `keepList(docs, minhashNearDups(...))` (asserted in DedupSpec) but
+    * O(members) instead of O(members²) where duplicate clusters are fat. */
+  def minhashKeep(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 1,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      shingler: Column => Column = null): DataFrame = {
+    val (reps, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
+      numHashes, bands, threshold, shingler)
+    val pairDrops = verified
+      .select(concat(col("m1"), col("m2")).as("mm"))
+      .select(explode(col("mm")).as("id"), array_min(col("mm")).as("keep"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id"))
+    val clusterDrops = reps.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("id"), array_min(col("members")).as("keep"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id"))
+    docs.join(pairDrops.unionByName(clusterDrops).distinct()
+      .withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
   /** The dedup DECISION: which docs survive. Given near-dup pairs with

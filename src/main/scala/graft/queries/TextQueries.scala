@@ -119,10 +119,11 @@ object TextQueries extends QueryPack {
     // of each duplicate chain wins; everything on an id2 side drops).
     "dedup_keep" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDups(docs,
-        shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
-      Dedup.keepList(docs, pairs)
+      // rep-level survivor computation — never materializes the member
+      // pair cross products (equivalent to keepList over the full pairs;
+      // the oracle states the naive pair form)
+      Dedup.minhashKeep(Tables.documents(s, dir),
+          shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
     }),

@@ -59,6 +59,16 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("minhashKeep ≡ keepList over expanded pairs (testdata)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaPairs = Dedup.keepList(docs,
+        Dedup.minhashNearDups(docs, threshold = 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Dedup.minhashKeep(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct === viaPairs)
+  }
+
   test("jaccard is symmetric and bounded") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
       .select(jaccard($"a", $"b").as("j1"), jaccard($"b", $"a").as("j2"))
