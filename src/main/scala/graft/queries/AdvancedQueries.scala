@@ -82,6 +82,38 @@ object AdvancedQueries extends QueryPack {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // The AsOfJoin OPERATOR under the oracle: purchases ⟕ most recent
+    // view at-or-before, per user (the operator's union-trick plan vs the
+    // oracle's window formulation — same semantics, value-checked).
+    "asof_op" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts".as("purchase_ts"), $"value".as("amount"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts".as("view_ts"))
+      graft.operators.AsOfJoin.joinAsOf(
+          purchases, views, Seq("user_id"), "purchase_ts", "view_ts", Seq("view_ts"))
+        .select($"user_id", $"event_id", $"purchase_ts", $"view_ts".as("last_view"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Ranking-function breadth: ntile/percent_rank/cume_dist + frame
+    // first/last over order prices per status.
+    "window_fns2" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first($"o_totalprice").over(frame).as("min_price"),
+          last($"o_totalprice").over(frame).as("max_price"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Pivot: daily event counts, one column per event type.
     "pivot_agg" -> ((s, dir) => {
       import s.implicits._
@@ -194,6 +226,29 @@ object AdvancedQueries extends QueryPack {
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "asof_op" ->
+      """SELECT user_id, event_id, ts AS purchase_ts, last_view FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+        |  FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_fns2" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(o_totalprice) OVER wf AS min_price,
+        |  last_value(o_totalprice) OVER wf AS max_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "pivot_agg" ->
       """SELECT date_trunc('day', ts) AS day,
