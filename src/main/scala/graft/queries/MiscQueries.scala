@@ -78,6 +78,42 @@ object MiscQueries extends QueryPack {
         .orderBy($"k1", $"k2")
     }),
 
+    // Bit manipulation (exact integer semantics on both engines).
+    "bit_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey",
+          ($"o_orderkey".bitwiseAND(lit(255L))).as("low8"),
+          ($"o_orderkey".bitwiseOR(lit(16L))).as("or16"),
+          ($"o_orderkey".bitwiseXOR($"o_custkey")).as("xkey"),
+          shiftleft($"o_orderkey", 3).as("shl3"),
+          shiftright($"o_orderkey", 2).as("shr2"),
+          bit_count($"o_orderkey").cast("long").as("popcnt"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Encoding/codec functions: hex, base64, ascii/chr.
+    "codec_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.region(s, dir)
+        .select($"r_regionkey".cast("long").as("r_regionkey"),
+          lower(hex($"r_regionkey" + 1000)).as("key_hex"),
+          base64(encode($"r_name", "UTF-8")).as("name_b64"),
+          ascii($"r_name").cast("long").as("first_ascii"),
+          chr($"r_regionkey" + 65).as("key_chr"))
+        .orderBy($"r_regionkey")
+    }),
+
+    // Deterministic pagination: ORDER BY + OFFSET/LIMIT.
+    "limit_offset" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select($"o_orderkey", $"o_totalprice")
+    }),
+
     // Self-measuring approximation quality: IVF nprobe=2 recall@10 per
     // query against the exact scan (both computed in-engine).
     "ann_recall" -> ((s, dir) => {
@@ -140,6 +176,32 @@ object MiscQueries extends QueryPack {
         |       CAST(b.r_regionkey AS BIGINT) AS k2, b.r_name AS n2
         |FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
         |ORDER BY k1, k2""".stripMargin,
+
+    "bit_fns" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low8,
+        |  o_orderkey | 16 AS or16,
+        |  xor(o_orderkey, o_custkey) AS xkey,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "codec_fns" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |  lower(to_hex(r_regionkey + 1000)) AS key_hex,
+        |  to_base64(encode(r_name)) AS name_b64,
+        |  CAST(ascii(r_name) AS BIGINT) AS first_ascii,
+        |  chr(r_regionkey + 65) AS key_chr
+        |FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
 
     "ann_recall" -> {
       val duckCentroids =
