@@ -13,7 +13,7 @@ object EventQueries extends QueryPack {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = queriesExtra ++ Map(
 
     // JSON scalar extraction + filtered agg. get_json_object is
     // codegen'd; at scale the props column is pruned unless referenced.
@@ -57,7 +57,60 @@ object EventQueries extends QueryPack {
     })
   )
 
+  def queriesExtra: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Conversion funnel: users whose first view precedes their first
+    // click, which precedes their first purchase (order-sensitive).
+    "events_funnel" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts")).as("first_view"),
+          min(when($"event_type" === "click", $"ts")).as("first_click"),
+          min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+        .withColumn("converted",
+          $"first_view" < $"first_click" && $"first_click" < $"first_purchase")
+        .filter($"converted")
+        .select($"user_id", $"first_view", $"first_click", $"first_purchase")
+        .orderBy($"user_id")
+    }),
+
+    // Boolean aggregates + conditional counting per status.
+    "bool_aggs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          bool_and($"o_totalprice" > 1000).as("all_over_1k"),
+          bool_or($"o_totalprice" > 400000).as("any_over_400k"),
+          count_if($"o_totalprice" > 300000).as("n_over_300k"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    })
+  )
+
   def oracle: Map[String, String] = Map(
+
+    "events_funnel" ->
+      """SELECT user_id, first_view, first_click, first_purchase FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |WHERE first_view < first_click AND first_click < first_purchase
+        |ORDER BY user_id""".stripMargin,
+
+    "bool_aggs" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_over_300k,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,
