@@ -142,10 +142,15 @@ object Dedup {
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"),
         first(col("sh")).as("sh"))
       .repartition(col("rep"))
-    // 3: one hash32 per shingle, H numeric families
+    // 3: one hash32 per shingle, H numeric families. Persisted: the
+    // bucket self-join and both verification joins consume this plan,
+    // and exchange reuse does not cover post-exchange projections — the
+    // md5/minhash work would otherwise run once per consumer. Rep-level
+    // rows are small (one per DISTINCT shingle set).
     val withSig = reps
       .withColumn("hs", transform(col("sh"), (s: Column) => hash32(s)))
       .withColumn("minhash_sig", minhashNumeric(col("hs"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: LSH candidates between representatives
     val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
       "id", bands, rowsPerBand)
@@ -268,8 +273,11 @@ object Dedup {
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
       .repartition(col("rep"))
       .withColumn("hs", transform(col("tok"), (s: Column) => hash32(s)))
+    // persisted: both sides of the block self-join consume this plan and
+    // would otherwise recompute the 32-bit vote per side
     val sh = reps.select(col("rep"), col("members"),
-      simhash32FromHashes(col("hs")).as("simhash"))
+        simhash32FromHashes(col("hs")).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sh.withColumn("blk",
       floor(col("simhash") / pow(lit(2.0), lit(32 - blockBits))).cast("long"))
     val a = blocked.as("a"); val b = blocked.as("b")
