@@ -76,6 +76,26 @@ object EventQueries extends QueryPack {
         .orderBy($"user_id")
     }),
 
+    // Week-over-week retention: users active in week 1 who return in
+    // week 2 (self semi-join on time buckets), with per-type breakdown.
+    "events_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val w1 = ev.filter($"ts" < lit("2024-01-08").cast("timestamp_ntz"))
+        .select($"user_id").distinct()
+      val w2 = ev.filter($"ts" >= lit("2024-01-08").cast("timestamp_ntz") &&
+          $"ts" < lit("2024-01-15").cast("timestamp_ntz"))
+        .select($"user_id").distinct()
+      val retained = w1.join(w2, Seq("user_id"), "left_semi")
+      ev.join(retained, Seq("user_id"), "left_semi")
+        .filter($"ts" >= lit("2024-01-08").cast("timestamp_ntz") &&
+          $"ts" < lit("2024-01-15").cast("timestamp_ntz"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_retained_users"))
+        .orderBy($"event_type")
+    }),
+
     // Boolean aggregates + conditional counting per status.
     "bool_aggs" -> ((s, dir) => {
       import s.implicits._
@@ -101,6 +121,23 @@ object EventQueries extends QueryPack {
         |  FROM events GROUP BY user_id)
         |WHERE first_view < first_click AND first_click < first_purchase
         |ORDER BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH w1 AS (
+        |  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'
+        |), w2 AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |), retained AS (
+        |  SELECT user_id FROM w1 WHERE user_id IN (SELECT user_id FROM w2)
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_retained_users
+        |FROM events
+        |WHERE user_id IN (SELECT user_id FROM retained)
+        |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "bool_aggs" ->
       """SELECT o_orderstatus,
