@@ -64,4 +64,12 @@ object VectorFunctions {
 
   /** Cosine distance = 1 - cosine similarity. */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosine(a, b)
+
+  /** Unit-normalize a float vector (double arithmetic; output
+    * ARRAY<DOUBLE>). After normalization, dot ≡ cosine — the standard
+    * preprocessing that lets a cosine ANN store run on dot products. */
+  def l2normalize(a: Column): Column = {
+    val n = l2norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
 }

@@ -56,7 +56,19 @@ object LogQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "log_replay" -> ((s, dir) => replayAt(s, dir, Long.MaxValue)),
-    "log_replay_stale" -> ((s, dir) => replayAt(s, dir, 9999L))
+    "log_replay_stale" -> ((s, dir) => replayAt(s, dir, 9999L)),
+
+    // Oracle-level compaction proof: replaying compact(log, 9999) must
+    // equal replaying the raw log — the oracle runs the RAW replay, so a
+    // hash match IS the equivalence (compaction invisible to readers,
+    // SURVEY.md §7 risk 3).
+    "log_compacted" -> ((s, dir) => {
+      import s.implicits._
+      MutationLog.replay(MutationLog.compact(syntheticLog(s, dir), 9999L))
+        .select($"shard_id", $"id", $"log_index",
+          round(l2norm($"embedding"), 4).as("norm"))
+        .orderBy($"shard_id", $"id")
+    })
   )
 
   private def duckReplay(commit: String): String =
@@ -84,6 +96,8 @@ object LogQueries extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "log_replay" -> duckReplay("9223372036854775807"),
-    "log_replay_stale" -> duckReplay("9999")
+    "log_replay_stale" -> duckReplay("9999"),
+    // raw replay — matching it proves compact() is reader-invisible
+    "log_compacted" -> duckReplay("9223372036854775807")
   )
 }

@@ -100,6 +100,19 @@ object VectorQueries extends QueryPack {
         .orderBy($"label", $"rank")
     }),
 
+    // Vector normalization: after l2normalize, dot ≡ cosine and every
+    // norm is 1 (the preprocessing that turns a cosine ANN into a dot
+    // ANN). Outputs scalars so the check is value-exact.
+    "vector_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val n = l2normalize($"embedding")
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          round(element_at(n, 1), 6).as("first_n"),
+          round(aggregate(n, lit(0.0), (a, x) => a + x * x), 6).as("norm_sq"))
+        .orderBy($"vec_id")
+    }),
+
     // Per-label vector statistics (norm distribution). Cross-row double
     // sums go through round→decimal so aggregation order cannot perturb
     // the result (float-determinism discipline, SURVEY.md §7 risk 2).
@@ -172,6 +185,19 @@ object VectorQueries extends QueryPack {
          |)
          |WHERE rank <= 3
          |ORDER BY label, rank""".stripMargin,
+
+    "vector_normalize" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  round(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS first_n,
+         |  round(list_sum(list_transform(range(1, len(embedding) + 1), d ->
+         |    (CAST(embedding[d] AS DOUBLE) / nrm) * (CAST(embedding[d] AS DOUBLE) / nrm))), 6) AS norm_sq
+         |FROM t
+         |ORDER BY vec_id""".stripMargin,
 
     "vector_stats" ->
       s"""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
