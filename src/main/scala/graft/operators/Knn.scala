@@ -82,6 +82,24 @@ object Knn {
       .filter(col("rank") <= k)
   }
 
+  /** Range (radius) search: every vector within `maxDistSq` squared-L2
+    * of the query, ascending — FAISS's range_search counterpart to the
+    * top-k scan. The predicate evaluates inside the scan stage, so at
+    * scale only matching rows leave the executors (no global k-limit
+    * coordination at all). */
+  def rangeSearch(
+      vectors: DataFrame,
+      query: Seq[Float],
+      maxDistSq: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dist = l2sq(col(embCol), lit(query.toArray))
+    vectors
+      .select(col(idCol), dist.as("distance"))
+      .filter(col("distance") <= maxDistSq)
+      .orderBy(col("distance"), col(idCol))
+  }
+
   /** Filtered search: restrict the candidate set by an arbitrary
     * predicate before the scan. The filter is pushed into the parquet
     * scan by Catalyst (the reference has no equivalent — closest is its

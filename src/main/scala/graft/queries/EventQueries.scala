@@ -96,6 +96,27 @@ object EventQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // Anomaly detection: per-type z-scores from EXACT decimal moments
+    // (order-insensitive mean/std), flagging |z| > 2.5 events.
+    "events_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val dec = $"value".cast(org.apache.spark.sql.types.DecimalType(12, 2))
+      val moments = Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("sx"),
+          sum(dec * dec).cast("double").as("sx2"))
+        .select($"event_type",
+          ($"sx" / $"n").as("mean"),
+          sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("sd"))
+      Tables.events(s, dir)
+        .join(broadcast(moments), "event_type")
+        .withColumn("z", ($"value" - $"mean") / $"sd")
+        .filter(abs($"z") > 2.5)
+        .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
+        .orderBy($"event_id")
+    }),
+
     // Boolean aggregates + conditional counting per status.
     "bool_aggs" -> ((s, dir) => {
       import s.implicits._
@@ -138,6 +159,23 @@ object EventQueries extends QueryPack {
         |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "events_zscore" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY event_type
+        |), mm AS (
+        |  SELECT event_type, sx / n AS mean,
+        |         sqrt((sx2 - sx * sx / n) / (n - 1)) AS sd
+        |  FROM m
+        |)
+        |SELECT event_id, e.event_type, value,
+        |       round((value - mean) / sd, 6) AS z
+        |FROM events e JOIN mm ON e.event_type = mm.event_type
+        |WHERE abs((value - mean) / sd) > 2.5
+        |ORDER BY event_id""".stripMargin,
 
     "bool_aggs" ->
       """SELECT o_orderstatus,

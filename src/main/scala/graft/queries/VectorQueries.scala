@@ -100,6 +100,20 @@ object VectorQueries extends QueryPack {
         .orderBy($"label", $"rank")
     }),
 
+    // Range (radius) search: all vectors within squared-L2 1.6 of the
+    // query — the filter-in-scan counterpart of top-k.
+    "knn_range" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+      e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(q))
+        .select($"vec_id", l2sq($"embedding", $"qvec").as("distance"))
+        .filter($"distance" <= 1.6)
+        .select($"vec_id", round($"distance", 4).as("distance"))
+        .orderBy($"distance", $"vec_id")
+    }),
+
     // Vector normalization: after l2normalize, dot ≡ cosine and every
     // norm is 1 (the preprocessing that turns a cosine ANN into a dot
     // ANN). Outputs scalars so the check is value-exact.
@@ -185,6 +199,15 @@ object VectorQueries extends QueryPack {
          |)
          |WHERE rank <= 3
          |ORDER BY label, rank""".stripMargin,
+
+    "knn_range" ->
+      s"""SELECT e.vec_id,
+         |       round(${duckL2sq("e.embedding", "q.qvec")}, 4) AS distance
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id != 0
+         |  AND ${duckL2sq("e.embedding", "q.qvec")} <= 1.6
+         |ORDER BY distance, e.vec_id""".stripMargin,
 
     "vector_normalize" ->
       s"""WITH t AS (
