@@ -14,7 +14,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * hundreds), so a primitive nested-loop count beats building a hash set
   * per row (no boxing, no allocation); value-identical to
   * `size(array_intersect(a,b)) / (size(a)+size(b)-inter)` on distinct
-  * inputs, which remains the executable spec in tests. */
+  * NON-EMPTY inputs, which remains the executable spec in tests. One
+  * deliberate divergence: on two empty arrays the SQL form yields NULL
+  * (0/0) while this kernel returns 0.0 — a "no shingles in common"
+  * convention chosen so the dedup verify stage never manufactures a
+  * null similarity. Unreachable with current tokenization (empty text
+  * still produces one empty-string token), but the convention is part
+  * of the contract. */
 case class JaccardLongs(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -24,6 +24,10 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // Produces null on length mismatch even for non-null inputs, so the
+  // default child-derived nullability would be wrong (and would route
+  // codegen through the non-nullable path where `isNull` is undeclared).
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -83,6 +87,7 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     L2SquaredDistance(left, right).checkInputDataTypes()
 

@@ -16,6 +16,7 @@ case class SignatureAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null on length mismatch
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(LongType, _) => true

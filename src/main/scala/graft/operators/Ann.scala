@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.BottomK.bottomK
 import graft.functions.VectorFunctions._
 
 /** Approximate nearest-neighbor search — the scale path past the
@@ -12,16 +12,19 @@ import graft.functions.VectorFunctions._
   * IVF (inverted-file) layout, Spark-first:
   *  - BUILD: pick K centroids (deterministic seed rows, optionally
   *    refined by Lloyd iterations — each iteration is one groupBy), then
-  *    assign every vector to its nearest centroid. The assignment is a
-  *    broadcast join (centroids are tiny) + per-vector argmin window —
-  *    no shuffle of the vector table.
+  *    assign every vector to its nearest centroid. Centroids are
+  *    driver-sized BY DEFINITION (K ≪ N), so assignment is a row-local
+  *    argmin over a literal centroid array — ZERO shuffle, zero join:
+  *    the cell column is computed inside the scan projection.
   *  - STORE: partition the table by `cell`. At 100 TB each cell is a
   *    parquet partition; probing = partition pruning, i.e. the scan
   *    reads nprobe/K of the data — same pruning Catalyst already does
   *    for `shard_id`.
-  *  - SEARCH: rank cells by centroid distance, scan the nprobe nearest
-  *    cells exactly, top-k. Recall < 1 by design; brute force (Knn) is
-  *    the recall-1.0 baseline.
+  *  - SEARCH: rank cells by centroid distance (row-local over the same
+  *    literal), scan the nprobe nearest cells exactly, top-k via the
+  *    BottomK partial aggregate (map-side k-bounded heaps, tiny final
+  *    merge — never a single-task per-query sort). Recall < 1 by
+  *    design; brute force (Knn) is the recall-1.0 baseline.
   */
 object Ann {
 
@@ -73,7 +76,6 @@ object Ann {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val assigned = assign(vectors, centroids, idCol, embCol)
       .join(vectors, idCol)
-    val dim = org.apache.spark.sql.functions.size(col(embCol))
     assigned.groupBy(col("cell"))
       .agg(array_agg(col(embCol)).as("members"))
       .select(col("cell"),
@@ -82,20 +84,64 @@ object Ann {
           .as("centroid"))
   }
 
-  /** Assign each vector to its nearest centroid (broadcast + argmin). */
-  def assign(vectors: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cell"),
-        l2sq(col(embCol), col("centroid")).as("cdist"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cell"))
+  /** Pull a (small) centroid table to the driver as (cell, centroid)
+    * pairs, sorted by cell. Doubles (e.g. refined centroids) are
+    * quantized to float — the storage element type of every embedding. */
+  def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] =
+    centroids.select(col("cell").cast("long"), col("centroid"))
+      .collect()
+      .map { r =>
+        val emb = r.getSeq[Any](1).map {
+          case f: Float => f
+          case d: Double => d.toFloat
+          case x => x.toString.toFloat
+        }.toArray
+        (r.getLong(0), emb)
+      }.sortBy(_._1).toSeq
+
+  /** Row-local nearest-centroid cell: `least` over K literal
+    * (distance, cell) structs — lexicographic struct comparison IS the
+    * (distance, cell)-ascending argmin, fully codegen'd, evaluated
+    * inside the scan projection. No join, no exchange, no window. */
+  def nearestCell(emb: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    val scored = cents.map { case (cellId, c) =>
+      struct(l2sq(emb, lit(c)).as("dist"), lit(cellId).as("cell"))
+    }
+    val best = if (scored.size == 1) scored.head else least(scored: _*)
+    best.getField("cell")
   }
 
+  /** The `nprobe` cells nearest to a query vector, ascending by
+    * (distance, cell) — same row-local literal fold as [[nearestCell]];
+    * `array_sort` on structs is the lexicographic order. */
+  def probeCells(qvec: Column, cents: Seq[(Long, Array[Float])], nprobe: Int): Column = {
+    val scored = array(cents.map { case (cellId, c) =>
+      struct(l2sq(qvec, lit(c)).as("dist"), lit(cellId).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** Vectors with their IVF cell attached — the materialization point:
+    * write this out partitioned by `cell` and probing becomes partition
+    * pruning. Computed row-locally (see [[nearestCell]]). */
+  def withCells(vectors: DataFrame, centroids: DataFrame,
+      embCol: String = "embedding"): DataFrame =
+    vectors.withColumn("cell", nearestCell(col(embCol), collectCentroids(centroids)))
+
+  /** Assign each vector to its nearest centroid → (id, cell). */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    withCells(vectors, centroids, embCol).select(col(idCol), col("cell"))
+
   /** IVF search: probe the `nprobe` cells whose centroids are nearest to
-    * the query, exact top-k within them. `queries` = (query_id, qvec). */
+    * the query, exact top-k within them. `queries` = (query_id, qvec).
+    *
+    * Plan shape: cell assignment and probe lists are row-local literal
+    * folds (no shuffle); the probed-cell join broadcasts the tiny query
+    * side; the per-query top-k is the BottomK partial aggregate, so each
+    * map task emits ≤ k rows per query before the (queries × k)-row
+    * exchange. Nothing in this plan sorts or shuffles the vector table.
+    */
   def search(
       vectors: DataFrame,
       centroids: DataFrame,
@@ -104,22 +150,21 @@ object Ann {
       nprobe: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val assigned = assign(vectors, centroids, idCol, embCol)
-      .join(vectors, idCol)
-    // cells to probe per query
-    val cw = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
-    val probed = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qvec"), col("cell"),
-        l2sq(col("qvec"), col("centroid")).as("cdist"))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cell"))
-    // exact scan restricted to probed cells
-    val w = Window.partitionBy(col("query_id")).orderBy(col("distance"), col(idCol))
-    probed.join(assigned, "cell")
-      .select(col("query_id"), col(idCol),
-        l2sq(col(embCol), col("qvec")).as("distance"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val cents = collectCentroids(centroids)
+    val withCell = vectors.withColumn("cell", nearestCell(col(embCol), cents))
+    val probed = queries
+      .select(col("query_id"), col("qvec"),
+        explode(probeCells(col("qvec"), cents, nprobe)).as("cell"))
+    val scored = withCell.join(broadcast(probed), "cell")
+      .select(col("query_id"),
+        l2sq(col(embCol), col("qvec")).as("distance"),
+        col(idCol))
+    scored.groupBy(col("query_id"))
+      .agg(bottomK(col("distance"), col(idCol).cast("long"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as(idCol),
+        col("col.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -38,6 +38,11 @@ object AsOfJoin {
       rightCols: Seq[String],
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Payload travels as ONE struct column so every carried value comes
+    // from the SAME right row — per-column last(ignoreNulls) would fill
+    // a legitimately-null payload column from an older row.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     // side marker: right rows are 0, left rows 1. Inclusive mode orders
     // right-before-left at equal ts (right visible at its own
     // timestamp); strict mode orders left-before-right (__side.desc) and
@@ -46,8 +51,8 @@ object AsOfJoin {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-        Seq(col("__ts"), col("__side"))): _*)
+        Seq(lit(null).cast(payloadType).as("__r"),
+          col("__ts"), col("__side"))): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
@@ -55,26 +60,27 @@ object AsOfJoin {
         .zip(leftCols).map { case (n, name) =>
           if (keyCols.contains(name)) col(name) else n.as(name)
         } ++
-        rightCols.map(c => col(c).as(s"__r_$c")) ++
-        Seq(col("__ts"), col("__side"))): _*)
+        Seq(struct(rightCols.map(col): _*).as("__r"),
+          col("__ts"), col("__side"))): _*)
     val unioned = l.unionByName(r)
     // strict: the window must not see a right row at the same ts —
     // order right rows AFTER left rows at equal ts and look back 1 row.
+    // The payload struct itself is the tertiary sort key: among right
+    // rows sharing (key, ts) the winner is deterministic (largest
+    // payload by field-wise struct ordering) instead of scan-order.
     val ordered =
       if (strict)
         Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("__ts"), col("__side").desc)
+          .orderBy(col("__ts"), col("__side").desc, col("__r"))
           .rowsBetween(Window.unboundedPreceding, -1)
       else
         Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("__ts"), col("__side"))
+          .orderBy(col("__ts"), col("__side"), col("__r"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(ordered))
-    }
-    withPayload
+    unioned
+      .withColumn("__last", last(col("__r"), ignoreNulls = true).over(ordered))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightCols.map(c => col(s"__last_$c").as(c))): _*)
+        rightCols.map(c => col("__last").getField(c).as(c))): _*)
   }
 }

@@ -57,11 +57,49 @@ object Knn {
     * `(query_id, qvec)`; one result row set per query id.
     *
     * The query side is broadcast: the vectors table never shuffles, and
-    * the per-query top-k is a single window pass. For very large query
-    * batches (beyond broadcast threshold) the same plan degrades
-    * gracefully to a shuffled join on no keys — callers should chunk.
+    * the per-query top-k is the [[graft.expressions.BottomK]] partial
+    * aggregate — each map task reduces its slice to a k-bounded heap, so
+    * only `tasks × queries × k` rows reach the exchange and no task ever
+    * sorts a full per-query partition (the window form would put ALL
+    * scored rows of one query into one task — a full-corpus sort on a
+    * single core at 100 TB). For very large query batches (beyond
+    * broadcast threshold) the same plan degrades gracefully to a
+    * shuffled join on no keys — callers should chunk.
     */
   def batchTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    if (k <= 0) {
+      // reference parity: k = 0 → empty (same schema as the k > 0 path)
+      return batchTopKWindow(vectors, queries, 0, idCol, embCol,
+        queryIdCol, queryVecCol)
+    }
+    vectors
+      .crossJoin(broadcast(queries))
+      .select(
+        col(queryIdCol),
+        l2sq(col(embCol), col(queryVecCol)).as("distance"),
+        col(idCol))
+      .groupBy(col(queryIdCol))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("distance"), col(idCol).cast("long"), k).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol),
+        col("col.id").as(idCol),
+        col("col.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Window-function form of [[batchTopK]] — the executable spec the
+    * aggregate form is property-tested against (identical output), and
+    * the k ≤ 0 fallback. Not the scale path: the per-query window sorts
+    * every scored row of a query inside one task. */
+  def batchTopKWindow(
       vectors: DataFrame,
       queries: DataFrame,
       k: Int,
@@ -73,13 +111,14 @@ object Knn {
       .crossJoin(broadcast(queries))
       .select(
         col(queryIdCol),
-        col(idCol),
+        col(idCol).cast("long").as(idCol),
         l2sq(col(embCol), col(queryVecCol)).as("distance"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("distance"), col(idCol))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("distance"), col("rank"))
   }
 
   /** Range (radius) search: every vector within `maxDistSq` squared-L2

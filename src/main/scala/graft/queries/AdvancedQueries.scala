@@ -118,7 +118,7 @@ object AdvancedQueries extends QueryPack {
     "pivot_agg" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
-        .groupBy(date_trunc("day", $"ts").as("day"))
+        .groupBy(to_date($"ts").as("day"))
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
         .select($"day",
@@ -251,7 +251,7 @@ object AdvancedQueries extends QueryPack {
         |ORDER BY o_orderkey""".stripMargin,
 
     "pivot_agg" ->
-      """SELECT date_trunc('day', ts) AS day,
+      """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
         |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
         |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,

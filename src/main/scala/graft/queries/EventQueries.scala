@@ -34,7 +34,7 @@ object EventQueries extends QueryPack {
     "events_hourly" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
-        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .groupBy(date_trunc("hour", $"ts").cast("timestamp_ntz").as("hour"), $"event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct($"user_id").as("users"),
           sum(dec2($"value")).cast("double").as("revenue"))

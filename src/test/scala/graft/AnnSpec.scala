@@ -45,6 +45,23 @@ class AnnSpec extends SparkSpec {
     assert(avg > 0.3, s"avg recall@10 nprobe=2 was $avg") // random data: cells ~uniform
   }
 
+  test("assign is row-local: no exchange, no join, no window in the plan") {
+    val plan = Ann.assign(e, centroids).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("search plan: BottomK partial agg, no per-query window, single broadcast join") {
+    val q = e.filter($"vec_id" === 42)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val plan = Ann.search(e, centroids, q, k = 10, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.toLowerCase.contains("bottomk"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("lsh: hyperplanes deterministic; near-identical vectors share a bucket") {
     val p1 = Ann.hyperplanes(8, 64)
     val p2 = Ann.hyperplanes(8, 64)

@@ -65,6 +65,28 @@ class KnnSpec extends SparkSpec {
     assert(byQuery(11L).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq === Seq(5L, 4L))
   }
 
+  test("batchTopK (BottomK aggregate) ≡ batchTopKWindow spec on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val df = vecDf(vecs)
+    val q = vecDf((1000L until 1005L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    for (k <- Seq(1, 7, 250)) {
+      val agg = Knn.batchTopK(df, q, k)
+        .orderBy($"query_id", $"rank").collect().toSeq
+      val win = Knn.batchTopKWindow(df, q, k)
+        .orderBy($"query_id", $"rank").collect().toSeq
+      assert(agg === win, s"k=$k")
+    }
+  }
+
+  test("batchTopK plan has partial aggregation, no single-partition window exchange") {
+    val q = vecDf(Seq(10L -> Seq(0f, 0f))).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val plan = Knn.batchTopK(fixture, q, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("topKWhere filters candidates before scan") {
     val got = Knn.topKWhere(fixture, $"vec_id" > 3, Seq(0f, 0f), 10).collect()
     assert(got.map(_.getLong(0)).toSet === Set(4L, 5L))

@@ -76,7 +76,7 @@ def main():
                 if not g[c].equals(e[c]):
                     mask = ~(g[c] == e[c])
                     try:
-                        mask = mask | g[c].isna() != e[c].isna()
+                        mask = mask | (g[c].isna() != e[c].isna())
                     except Exception:
                         pass
                     idx = list(g.index[mask])[:3]
