@@ -67,6 +67,32 @@ object TextFunctions {
         h => (h * lit(2L * j + 1) + lit(j.toLong * j + 7)) % lit(2147483647L)))
     }: _*)
 
+  /** Native one-pass form of [[minhashNumeric]] (value-identical; the
+    * codegen'd kernel computes all H family minima in a single loop —
+    * see graft.expressions.MinHashFamilies for why this matters on
+    * char-shingle inputs). */
+  def minhashFamilies(hashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.MinHashFamilies(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes),
+        numHashes))
+
+  /** Order-independent fingerprint of a DISTINCT-element string-array
+    * column — two independent xxhash64 streams XOR-folded plus the set
+    * size (~128 bits: a cross-set collision needs a simultaneous
+    * collision in both streams). Used as the internal dedup grouping key
+    * for "identical shingle set": unlike md5(concat_ws(array_sort(sh)))
+    * it needs no per-doc sort and no giant concat buffer, and XOR is
+    * commutative so element order never matters. Internal only — never
+    * oracle-visible (a rep collapse keyed on it is semantics-preserving
+    * regardless of the key function). */
+  def setFingerprint(arr: Column): Column =
+    struct(
+      aggregate(arr, lit(0L), (acc, s) => acc.bitwiseXOR(xxhash64(s))).as("f1"),
+      aggregate(arr, lit(0L),
+        (acc, s) => acc.bitwiseXOR(xxhash64(lit(0x9e3779b9L), s))).as("f2"),
+      size(arr).as("n"))
+
   /** Jaccard similarity of two DISTINCT-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

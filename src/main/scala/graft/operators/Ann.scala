@@ -99,11 +99,37 @@ object Ann {
         (r.getLong(0), emb)
       }.sortBy(_._1).toSeq
 
-  /** Row-local nearest-centroid cell: `least` over K literal
-    * (distance, cell) structs — lexicographic struct comparison IS the
-    * (distance, cell)-ascending argmin, fully codegen'd, evaluated
-    * inside the scan projection. No join, no exchange, no window. */
-  def nearestCell(emb: Column, cents: Seq[(Long, Array[Float])]): Column = {
+  /** Above this K the literal-struct form is replaced by the
+    * single-literal fold: K struct() expression nodes each embedding a
+    * dim-float array literal are fine at test K (8–64) but blow plan
+    * size / codegen constant pools at production cell counts. */
+  private[graft] val InlineCentroidMax = 64
+
+  /** The whole centroid table as ONE Literal value (ArrayData behind a
+    * single plan node, shipped to executors as a referenced constant —
+    * NOT K expression nodes): plan size and generated code stay O(1)
+    * regardless of K. Element = struct(cell LONG, centroid ARRAY<FLOAT>). */
+  private[graft] def centroidLit(cents: Seq[(Long, Array[Float])]): Column =
+    typedlit(cents.map { case (cellId, c) => (cellId, c.toSeq) })
+
+  /** (distance, cell) structs for every centroid, via a transform over
+    * the single centroid literal — the scale path shared by
+    * [[nearestCell]] and [[probeCells]] at large K. */
+  private[graft] def scoredCells(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
+    transform(centroidLit(cents), s =>
+      struct(l2sq(emb, s.getField("_2")).as("dist"), s.getField("_1").as("cell")))
+
+  /** Row-local nearest-centroid cell, evaluated inside the scan
+    * projection — no join, no exchange, no window. Lexicographic struct
+    * comparison IS the (distance, cell)-ascending argmin. Small K uses
+    * `least` over inline literal structs (tightest codegen); large K the
+    * single-literal fold (`array_min` over [[scoredCells]]) so the plan
+    * survives production cell counts — value-identical (AnnSpec). */
+  def nearestCell(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
+    if (cents.size <= InlineCentroidMax) nearestCellInline(emb, cents)
+    else nearestCellFold(emb, cents)
+
+  private[graft] def nearestCellInline(emb: Column, cents: Seq[(Long, Array[Float])]): Column = {
     val scored = cents.map { case (cellId, c) =>
       struct(l2sq(emb, lit(c)).as("dist"), lit(cellId).as("cell"))
     }
@@ -111,13 +137,19 @@ object Ann {
     best.getField("cell")
   }
 
+  private[graft] def nearestCellFold(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
+    array_min(scoredCells(emb, cents)).getField("cell")
+
   /** The `nprobe` cells nearest to a query vector, ascending by
-    * (distance, cell) — same row-local literal fold as [[nearestCell]];
-    * `array_sort` on structs is the lexicographic order. */
+    * (distance, cell) — same hybrid as [[nearestCell]]; `array_sort` on
+    * structs is the lexicographic order. */
   def probeCells(qvec: Column, cents: Seq[(Long, Array[Float])], nprobe: Int): Column = {
-    val scored = array(cents.map { case (cellId, c) =>
-      struct(l2sq(qvec, lit(c)).as("dist"), lit(cellId).as("cell"))
-    }: _*)
+    val scored =
+      if (cents.size <= InlineCentroidMax)
+        array(cents.map { case (cellId, c) =>
+          struct(l2sq(qvec, lit(c)).as("dist"), lit(cellId).as("cell"))
+        }: _*)
+      else scoredCells(qvec, cents)
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
   }
 

@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 
@@ -22,6 +22,21 @@ import graft.functions.VectorFunctions._
   *  - Embedding near-dup: exact within blocks (here: label; generally:
   *    any coarse quantization/IVF cell) — the blocked-exact baseline the
   *    Ann LSH path approximates.
+  *
+  * NO per-group arrays anywhere: duplicate-cluster membership is a
+  * (rep, id) MAPPING FRAME, never a `collect_list` row — a web-scale
+  * boilerplate cluster (millions of members) stays distributed instead
+  * of becoming one unbounded array in a single aggregation buffer, and
+  * pair expansion is two scalar equi-joins instead of exploding array
+  * copies through an exchange.
+  *
+  * Cache scoping: the near-dup pipelines persist two frames per call
+  * (the shingled corpus and the rep-level signatures) because multiple
+  * join branches consume them and exchange reuse does not cover
+  * post-exchange projections. CALLERS OWN CLEANUP: run the returned
+  * frame, then `spark.catalog.clearCache()` (Bench and Verify do this
+  * after every query) — long-lived sessions that skip it accumulate
+  * cached plans (the r2 bench regression).
   */
 object Dedup {
 
@@ -70,21 +85,25 @@ object Dedup {
     * Output (id1, id2, jaccard ≥ threshold), id1 < id2.
     *
     * Scale structure (this is where 100 TB lives or dies):
-    *  1. Shingle sets are computed once per doc behind a repartition on
-    *     the id — parallelism comes from the cluster, not the input
-    *     split count.
+    *  1. ONE shingle pass over the corpus, persisted: every downstream
+    *     branch (rep collapse, membership map) reads the cached frame
+    *     instead of re-tokenizing.
     *  2. EXACT-DEDUP BEFORE NEAR-DEDUP: identical shingle sets collapse
     *     to one representative (signature and jaccard are functions of
     *     the set alone, so the final pair set is provably identical to
     *     the naive form — the oracle runs the naive form). Web-scale
     *     corpora are duplicate-heavy; this collapses the quadratic
     *     candidate blowup inside duplicate clusters to a single row.
-    *  3. One md5 per shingle (hash32), H families by exact integer
-    *     arithmetic (minhashNumeric).
+    *     The grouping key is an order-independent set fingerprint
+    *     (no per-doc sort, see TextFunctions.setFingerprint).
+    *  3. One md5 per shingle (hash32), all H families in one native
+    *     codegen'd pass (MinHashFamilies).
     *  4. Candidates come from an equi-join on (band, bucket) between
     *     representatives — never a quadratic block compare.
-    *  5. Verified rep pairs expand back to doc pairs; within-cluster
-    *     pairs are jaccard-1.0 by construction. */
+    *  5. Verified REP pairs expand to doc pairs via two scalar joins
+    *     against the (rep, id) membership frame — no arrays cross any
+    *     exchange; within-cluster pairs are jaccard-1.0 by construction.
+    */
   def minhashNearDups(
       docs: DataFrame,
       textCol: String = "text",
@@ -94,31 +113,29 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       shingler: Column => Column = null): DataFrame = {
-    val (reps, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
+    val (memberMap, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
       numHashes, bands, threshold, shingler)
+    // 5: expand rep pairs to member pairs (same sets → same jaccard).
+    // Scalar equi-joins on the rep id — AQE broadcasts the small side at
+    // test scale, sort-merge at 100 TB; a member of cluster 1 can exceed
+    // a member of cluster 2, hence the least/greatest re-canonicalization.
     val crossPairs = verified
-      // 5: expand rep pairs to member pairs (same sets → same jaccard).
-      // A repartition between the two explodes parallelizes generation:
-      // a 100k-member duplicate cluster would otherwise emit its whole
-      // |m1|×|m2| cross product from one task.
-      .select(explode(col("m1")).as("a"), col("m2"), col("jaccard"))
-      .repartition(col("a"))
-      .select(col("a"), explode(col("m2")).as("b"), col("jaccard"))
+      .join(memberMap.select(col("rep").as("id1"), col("id").as("a")), "id1")
+      .join(memberMap.select(col("rep").as("id2"), col("id").as("b")), "id2")
       .select(least(col("a"), col("b")).as("id1"),
         greatest(col("a"), col("b")).as("id2"), col("jaccard"))
     // within-cluster pairs: identical sets, jaccard exactly 1.0
-    val dupPairs = reps.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .repartition(col("a"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("id1"), col("b").as("id2"), lit(1.0).as("jaccard"))
+    val m1 = memberMap.as("x"); val m2 = memberMap.as("y")
+    val dupPairs = m1.join(m2,
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(dupPairs)
   }
 
-  /** Shared pipeline: representatives + VERIFIED rep pairs (with member
-    * lists), i.e. everything before member-pair expansion.
-    * Returns (reps(set_key, rep, members, sh), verified(id1, id2, m1, m2, jaccard)). */
+  /** Shared pipeline: duplicate-cluster membership + VERIFIED rep pairs,
+    * i.e. everything before member-pair expansion.
+    * Returns (memberMap(rep, id), verified(id1, id2, jaccard)) where
+    * verified ids are reps with id1 < id2 and rep = min(member ids). */
   private def minhashRepPairs(
       docs: DataFrame,
       textCol: String,
@@ -133,24 +150,41 @@ object Dedup {
       val t = array_distinct(tokens(c))
       if (shingleN == 1) t else array_distinct(wordShingles(t, shingleN))
     }
-    // 1-2: shingle once, canonicalize the set, collapse to representatives
-    val sh = docs.select(col(idCol).as("id"), mkShingles(col(textCol)).as("sh"))
-    val reps = sh
-      // \u0001 separator: an unseparated concat could alias distinct sets
-      .withColumn("set_key", md5(concat_ws("\u0001", array_sort(col("sh")))))
-      .groupBy(col("set_key"))
-      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"),
-        first(col("sh")).as("sh"))
-      .repartition(col("rep"))
-    // 3: one hash32 per shingle, H numeric families. Persisted: the
-    // bucket self-join and both verification joins consume this plan,
-    // and exchange reuse does not cover post-exchange projections — the
-    // md5/minhash work would otherwise run once per consumer. Rep-level
-    // rows are small (one per DISTINCT shingle set).
+    // 1: single shingle pass, persisted (two consumers: rep collapse and
+    // membership map; callers clearCache — see object scaladoc)
+    val keyed = docs
+      .select(col(idCol).as("id"), mkShingles(col(textCol)).as("sh"))
+      .withColumn("set_key", setFingerprint(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // 2: collapse to representatives. first(sh) is an arbitrary member's
+    // array — safe: members share the shingle SET and every downstream
+    // use (hash32 + family minima, distinct-set jaccard) is
+    // order-independent. Map-side partial `first` means at most one
+    // array per set_key per partition crosses the exchange.
+    val reps = keyed.groupBy(col("set_key"))
+      .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"))
+    // 3: one hash32 per shingle, all H families in one codegen'd pass.
+    // Persisted: the bucket self-join and both verification joins consume
+    // this plan, and exchange reuse does not cover post-exchange
+    // projections. Rep-level rows are small (one per DISTINCT set).
     val withSig = reps
       .withColumn("hs", transform(col("sh"), (s: Column) => hash32(s)))
-      .withColumn("minhash_sig", minhashNumeric(col("hs"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("set_key"), col("rep"),
+        minhashFamilies(col("hs"), numHashes).as("minhash_sig"),
+        array_distinct(col("hs")).as("hsd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager materialization, in dependency order: the consumers below
+    // include several independent broadcast-exchange subtrees, which
+    // Spark executes as separate jobs — against a LAZY cache they race
+    // and each recomputes the full shingle pass before blocks land
+    // ("Block already exists" churn, ~2.5× wall time). Two cheap counts
+    // populate the caches exactly once.
+    keyed.count()
+    withSig.count()
+    // membership: which doc ids share each rep's shingle set
+    val memberMap = keyed.select(col("set_key"), col("id"))
+      .join(withSig.select(col("set_key"), col("rep")), "set_key")
+      .select(col("rep"), col("id"))
     // 4: LSH candidates between representatives
     val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
       "id", bands, rowsPerBand)
@@ -161,8 +195,7 @@ object Dedup {
     // (cheap long compares; hash collisions deterministic and mirrored by
     // the oracle) for the exact jaccard on the survivors only.
     val repSig = withSig.select(col("rep"), col("minhash_sig"))
-    val repSh = withSig.select(col("rep"),
-      array_distinct(col("hs")).as("hsd"), col("members"))
+    val repSh = withSig.select(col("rep"), col("hsd"))
     val estFloor = math.max(0.0, threshold - 0.15)
     val survivors = cand
       .join(repSig.select(col("rep").as("id1"), col("minhash_sig").as("sig1")), "id1")
@@ -175,11 +208,9 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est") >= estFloor)
       .select(col("id1"), col("id2"))
-    val crossPairs = survivors
-      .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1"),
-        col("members").as("m1")), "id1")
-      .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2"),
-        col("members").as("m2")), "id2")
+    val verified = survivors
+      .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1")), "id1")
+      .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2")), "id2")
       // native primitive kernel; value-identical to the array_intersect
       // form (JaccardLongs scaladoc)
       .withColumn("jaccard",
@@ -188,18 +219,21 @@ object Dedup {
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh1")),
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh2")))))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("m1"), col("m2"), col("jaccard"))
-    (reps, crossPairs)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    (memberMap, verified)
   }
 
   /** The survivor set of minhash near-dedup WITHOUT materializing the
-    * member-pair cross products: per the expansion semantics, the drops
-    * of a verified rep pair (A, B) are exactly (members(A) ∪ members(B))
-    * minus their minimum — every other member has a smaller partner in
-    * some expanded pair — and the drops of a multi-member cluster are its
-    * members minus its minimum. Equivalent to
-    * `keepList(docs, minhashNearDups(...))` (asserted in DedupSpec) but
-    * O(members) instead of O(members²) where duplicate clusters are fat. */
+    * member-pair cross products. Since rep = min(member ids), the
+    * expanded-pair drop set reduces to rep level:
+    *  - a verified pair (r1 < r2) drops ALL members of r2's cluster (its
+    *    smallest member r2 still exceeds r1), and members-minus-min of
+    *    r1's cluster — which is exactly r1's within-cluster drop set;
+    *  - a multi-member cluster drops members minus its rep.
+    * So drops = members-of-losing-reps ∪ (memberMap where id ≠ rep).
+    * Equivalent to `keepList(docs, minhashNearDups(...))` (asserted in
+    * DedupSpec) but O(members) instead of O(members²) where duplicate
+    * clusters are fat — and array-free. */
   def minhashKeep(
       docs: DataFrame,
       textCol: String = "text",
@@ -209,17 +243,12 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       shingler: Column => Column = null): DataFrame = {
-    val (reps, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
+    val (memberMap, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
       numHashes, bands, threshold, shingler)
-    val pairDrops = verified
-      .select(concat(col("m1"), col("m2")).as("mm"))
-      .select(explode(col("mm")).as("id"), array_min(col("mm")).as("keep"))
-      .filter(col("id") =!= col("keep"))
-      .select(col("id"))
-    val clusterDrops = reps.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("id"), array_min(col("members")).as("keep"))
-      .filter(col("id") =!= col("keep"))
-      .select(col("id"))
+    // id1 < id2 at rep level → the losing (dropped-entirely) side is id2
+    val losing = verified.select(col("id2").as("rep")).distinct()
+    val pairDrops = memberMap.join(losing, "rep").select(col("id"))
+    val clusterDrops = memberMap.filter(col("id") =!= col("rep")).select(col("id"))
     docs.join(pairDrops.unionByName(clusterDrops).distinct()
       .withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -228,9 +257,9 @@ object Dedup {
     * id1 < id2 (any of the pair generators above), drop every id that
     * appears on the id2 side — i.e., keep the lowest id of each
     * duplicate chain reachable by 1+ hops downward. Anti join: one
-    * shuffle on the id. (Full connected components would need iteration;
-    * the lowest-id-wins rule over pairs is the standard single-pass
-    * policy and is what the reference-side oracle can express.) */
+    * shuffle on the id. (Full connected components — see
+    * [[connectedComponents]] — needs iteration; the lowest-id-wins rule
+    * over pairs is the standard single-pass policy.) */
   def keepList(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
@@ -254,50 +283,53 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: candidates blocked on the top
-    * `blockBits` bits, verified by hamming distance ≤ maxHamming. */
+    * `blockBits` bits, verified by hamming distance ≤ maxHamming.
+    * Same rep-collapse + membership-map structure as minhash (SimHash is
+    * a function of the token SET): no arrays cross any exchange. */
   def simhashNearDups(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 6,
       blockBits: Int = 8): DataFrame = {
-    // SimHash is a function of the token SET, so identical sets collapse
-    // to one representative (exact-dedup-before-near-dedup, as in
-    // minhashNearDups): duplicate-heavy corpora would otherwise put whole
-    // clusters into one block and go quadratic. Token hashes are
-    // materialized behind the exchange so md5 runs once per token, not
-    // once per simhash bit.
-    val reps = docs.select(col(idCol).as("id"),
-        array_sort(array_distinct(tokens(col(textCol)))).as("tok"))
-      .groupBy(col("tok"))
-      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"))
-      .repartition(col("rep"))
+    val keyed = docs
+      .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("tok"))
+      .withColumn("set_key", setFingerprint(col("tok")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed.groupBy(col("set_key"))
+      .agg(min(col("id")).as("rep"), first(col("tok")).as("tok"))
+    // persisted: both sides of the block self-join and the membership
+    // join consume this plan; token hashes materialize behind it so md5
+    // runs once per token, not once per simhash bit
+    val sh = reps
       .withColumn("hs", transform(col("tok"), (s: Column) => hash32(s)))
-    // persisted: both sides of the block self-join consume this plan and
-    // would otherwise recompute the 32-bit vote per side
-    val sh = reps.select(col("rep"), col("members"),
-        simhash32FromHashes(col("hs")).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("set_key"), col("rep"), simhash32FromHashes(col("hs")).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager cache population, same rationale as minhashRepPairs
+    keyed.count()
+    sh.count()
+    val memberMap = keyed.select(col("set_key"), col("id"))
+      .join(sh.select(col("set_key"), col("rep")), "set_key")
+      .select(col("rep"), col("id"))
     val blocked = sh.withColumn("blk",
       floor(col("simhash") / pow(lit(2.0), lit(32 - blockBits))).cast("long"))
     val a = blocked.as("a"); val b = blocked.as("b")
     // cross-representative pairs (hamming of identical sets is 0, so
     // within-cluster pairs are emitted separately below)
-    val crossPairs = a.join(b,
+    val repPairs = a.join(b,
         col("a.blk") === col("b.blk") && col("a.rep") < col("b.rep"))
       .withColumn("hamming", hamming(col("a.simhash"), col("b.simhash")))
       .filter(col("hamming") <= maxHamming)
-      .select(explode(col("a.members")).as("x"), col("b.members").as("mb"), col("hamming"))
-      .repartition(col("x")) // parallelize the second explode (see minhashNearDups)
-      .select(col("x"), explode(col("mb")).as("y"), col("hamming"))
+      .select(col("a.rep").as("r1"), col("b.rep").as("r2"), col("hamming"))
+    val crossPairs = repPairs
+      .join(memberMap.select(col("rep").as("r1"), col("id").as("x")), "r1")
+      .join(memberMap.select(col("rep").as("r2"), col("id").as("y")), "r2")
       .select(least(col("x"), col("y")).as("id1"),
         greatest(col("x"), col("y")).as("id2"), col("hamming"))
-    val dupPairs = reps.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("x"), col("members"))
-      .repartition(col("x"))
-      .select(col("x"), explode(col("members")).as("y"))
-      .filter(col("x") < col("y"))
-      .select(col("x").as("id1"), col("y").as("id2"), lit(0L).as("hamming"))
+    val m1 = memberMap.as("x"); val m2 = memberMap.as("y")
+    val dupPairs = m1.join(m2,
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(0L).as("hamming"))
     crossPairs.unionByName(dupPairs)
   }
 

@@ -85,4 +85,43 @@ class AnnSpec extends SparkSpec {
     assert(refined.count() === 8)
     assert(refined.select(size($"centroid")).head().getInt(0) === 64)
   }
+
+  test("fold path ≡ inline path for nearestCell and probeCells (same K)") {
+    val cents = Ann.collectCentroids(centroids) // K=8
+    val both = e.limit(100).select(
+      Ann.nearestCellInline($"embedding", cents).as("inline"),
+      Ann.nearestCellFold($"embedding", cents).as("fold"),
+      Ann.probeCells($"embedding", cents, 3).as("probeInline"),
+      transform(slice(array_sort(Ann.scoredCells($"embedding", cents)), 1, 3),
+        s => s.getField("cell")).as("probeFold")).collect()
+    both.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+  }
+
+  test("K=1024, dim=64: fold path compiles, plans O(1), matches driver argmin") {
+    // 1024 deterministic centroids — far beyond any inline-literal comfort
+    val cents = Seq.tabulate(1024) { k =>
+      (k.toLong, Array.tabulate(64)(d => (math.sin(k * 64 + d) * 10).toFloat))
+    }
+    val sample = e.limit(20)
+    val got = sample.select($"vec_id",
+        Ann.nearestCell($"embedding", cents).as("cell"),
+        Ann.probeCells($"embedding", cents, 4).as("probed"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toList
+    // driver-side expected argmin with (dist, cell) tie-break
+    val vecs = sample.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    got.foreach { case (id, cell, probed) =>
+      val ranked = cents.map { case (cid, c) => (d2(vecs(id), c), cid) }.sorted
+      assert(cell === ranked.head._2)
+      assert(probed.toList === ranked.take(4).map(_._2))
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -73,5 +74,28 @@ class TextFunctionsSpec extends SparkSpec {
     val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
       .select(contentHash($"a").as("ha"), contentHash($"b").as("hb")).head()
     assert(df.getString(0) === df.getString(1))
+  }
+
+  test("minhashFamilies (native) ≡ minhashNumeric (HOF spec) incl. empty") {
+    val df = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("lorem", "ipsum"),
+      Seq.empty[String]
+    ).toDF("sh").withColumn("hs", transform($"sh", (s: Column) => hash32(s)))
+    val got = df.select(
+      minhashFamilies($"hs", 12).as("native"),
+      minhashNumeric($"hs", 12).as("spec")).collect()
+    got.foreach { r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)) }
+  }
+
+  test("setFingerprint is order-independent and set-discriminating") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "a", "b")),   // same set, different order
+      (3L, Seq("a", "b", "d"))    // different set
+    ).toDF("id", "sh").select($"id", setFingerprint($"sh").as("k")).collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(df(1L) === df(2L))
+    assert(df(1L) !== df(3L))
   }
 }

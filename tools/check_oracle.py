@@ -18,7 +18,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
     df = df.reindex(sorted(df.columns), axis=1)
+    # parquet DATE may surface as object-of-datetime.date on one side and
+    # datetime64 on the other depending on reader version — unify first
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].dropna()
+            if len(v) and isinstance(v.iloc[0], datetime.date) \
+                    and not isinstance(v.iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
     # unify datetime resolution/tz: everything → naive datetime64[us]
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
