@@ -77,6 +77,16 @@ object TextFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes),
         numHashes))
 
+  /** DISTINCT hash32 values of all character n-grams in one native pass
+    * — set-identical to `transform(array_distinct(charShingles(c, n)),
+    * hash32)` without materializing shingle strings (the fused kernel
+    * for char-level near-dup at scale; see
+    * graft.expressions.NgramHashes). */
+  def ngramHashes(c: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NgramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), n))
+
   /** Order-independent fingerprint of a DISTINCT-element string-array
     * column — two independent xxhash64 streams XOR-folded plus the set
     * size (~128 bits: a cross-set collision needs a simultaneous

@@ -112,9 +112,10 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4,
       threshold: Double = 0.8,
-      shingler: Column => Column = null): DataFrame = {
+      shingler: Column => Column = null,
+      hashedShingler: Column => Column = null): DataFrame = {
     val (memberMap, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
-      numHashes, bands, threshold, shingler)
+      numHashes, bands, threshold, shingler, hashedShingler)
     // 5: expand rep pairs to member pairs (same sets → same jaccard).
     // Scalar equi-joins on the rep id — AQE broadcasts the small side at
     // test scale, sort-merge at 100 TB; a member of cluster 1 can exceed
@@ -144,34 +145,53 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      shingler: Column => Column): (DataFrame, DataFrame) = {
+      shingler: Column => Column,
+      hashedShingler: Column => Column = null): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
-    val mkShingles: Column => Column = if (shingler != null) shingler else { c =>
-      val t = array_distinct(tokens(c))
-      if (shingleN == 1) t else array_distinct(wordShingles(t, shingleN))
-    }
-    // 1: single shingle pass, persisted (two consumers: rep collapse and
-    // membership map; callers clearCache — see object scaladoc)
+    // The pipeline works on HASHED shingles end to end — the shingle
+    // strings never leave the scan projection. `hashedShingler` (e.g.
+    // TextFunctions.ngramHashes) emits the long set in one fused kernel;
+    // the string-shingler paths hash via transform(…, hash32).
+    val hashShingles: Column => Column =
+      if (hashedShingler != null) hashedShingler
+      else {
+        val mkShingles: Column => Column = if (shingler != null) shingler else { c =>
+          val t = array_distinct(tokens(c))
+          if (shingleN == 1) t else array_distinct(wordShingles(t, shingleN))
+        }
+        c => transform(mkShingles(c), (s: Column) => hash32(s))
+      }
+    // 1: single shingle+hash pass, persisted (two consumers: rep
+    // collapse and membership map; callers clearCache — object scaladoc).
+    // The repartition spreads the hash work across the cluster even when
+    // the source collapses to few input splits (one small parquet file =
+    // one task otherwise); it moves raw text once, comparable to the
+    // set_key shuffle right below.
     val keyed = docs
-      .select(col(idCol).as("id"), mkShingles(col(textCol)).as("sh"))
-      .withColumn("set_key", setFingerprint(col("sh")))
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(col("id"))
+      .select(col("id"), hashShingles(col(textCol)).as("hs"))
+      .withColumn("set_key", setFingerprint(col("hs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // 2: collapse to representatives. first(sh) is an arbitrary member's
-    // array — safe: members share the shingle SET and every downstream
-    // use (hash32 + family minima, distinct-set jaccard) is
-    // order-independent. Map-side partial `first` means at most one
-    // array per set_key per partition crosses the exchange.
+    // 2: collapse to representatives. first(hs) is an arbitrary member's
+    // array — safe: members share the hashed-shingle SET and every
+    // downstream use (family minima, distinct-set jaccard, XOR
+    // fingerprint) is order-independent. Map-side partial `first` means
+    // at most one array per set_key per partition crosses the exchange.
     val reps = keyed.groupBy(col("set_key"))
-      .agg(min(col("id")).as("rep"), first(col("sh")).as("sh"))
-    // 3: one hash32 per shingle, all H families in one codegen'd pass.
-    // Persisted: the bucket self-join and both verification joins consume
-    // this plan, and exchange reuse does not cover post-exchange
-    // projections. Rep-level rows are small (one per DISTINCT set).
+      .agg(min(col("id")).as("rep"), first(col("hs")).as("hs"))
+    // 3: all H families in one codegen'd pass. Persisted: the bucket
+    // self-join and both verification joins consume this plan, and
+    // exchange reuse does not cover post-exchange projections. Rep-level
+    // rows are small (one per DISTINCT set).
+    // hsd sorted ONCE per representative so the per-candidate-pair
+    // jaccard is a linear merge, not a quadratic nested loop — on
+    // template-heavy corpora (banding passes most pairs) the verify
+    // kernel dominates the whole pipeline without this.
     val withSig = reps
-      .withColumn("hs", transform(col("sh"), (s: Column) => hash32(s)))
       .select(col("set_key"), col("rep"),
         minhashFamilies(col("hs"), numHashes).as("minhash_sig"),
-        array_distinct(col("hs")).as("hsd"))
+        array_sort(array_distinct(col("hs"))).as("hsd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Eager materialization, in dependency order: the consumers below
     // include several independent broadcast-exchange subtrees, which
@@ -211,11 +231,12 @@ object Dedup {
     val verified = survivors
       .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1")), "id1")
       .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2")), "id2")
-      // native primitive kernel; value-identical to the array_intersect
-      // form (JaccardLongs scaladoc)
+      // native merge-intersection kernel over the pre-sorted sets;
+      // value-identical to the array_intersect form (JaccardLongs
+      // scaladoc + JaccardSortedLongs equivalence in DedupSpec)
       .withColumn("jaccard",
         org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.expressions.JaccardLongs(
+          graft.expressions.JaccardSortedLongs(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh1")),
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh2")))))
       .filter(col("jaccard") >= threshold)
@@ -242,9 +263,10 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4,
       threshold: Double = 0.8,
-      shingler: Column => Column = null): DataFrame = {
+      shingler: Column => Column = null,
+      hashedShingler: Column => Column = null): DataFrame = {
     val (memberMap, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
-      numHashes, bands, threshold, shingler)
+      numHashes, bands, threshold, shingler, hashedShingler)
     // id1 < id2 at rep level → the losing (dropped-entirely) side is id2
     val losing = verified.select(col("id2").as("rep")).distinct()
     val pairDrops = memberMap.join(losing, "rep").select(col("id"))
@@ -293,6 +315,8 @@ object Dedup {
       maxHamming: Int = 6,
       blockBits: Int = 8): DataFrame = {
     val keyed = docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // parallelize tokenization past few-split sources
       .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("tok"))
       .withColumn("set_key", setFingerprint(col("tok")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -62,3 +62,14 @@ final class SearchService(
   def cacheSize: Int = memo.size
   def current: DataFrame = state
 }
+
+object SearchService {
+  /** O-13: build from a typed node config (file-based, default-on-absent
+    * — see [[graft.util.ConfigLoader]]). The reference wires
+    * `NodeRuntimeConfig.cache` into its query cache the same way
+    * (`src/server/main.cc` → `ShardManager`). */
+  def fromConfig(initial: DataFrame, cfg: graft.util.NodeRuntimeConfig,
+      idCol: String = "id", embCol: String = "embedding"): SearchService =
+    new SearchService(initial, cfg.cache.maxEntries,
+      cfg.cache.ttlSeconds * 1000L, idCol, embCol)
+}

@@ -102,7 +102,7 @@ object TextQueries extends QueryPack {
       import s.implicits._
       Dedup.minhashNearDups(Tables.documents(s, dir),
           numHashes = 48, bands = 16, threshold = 0.55,
-          shingler = c => array_distinct(charShingles(c, 4)))
+          hashedShingler = c => ngramHashes(c, 4))
         .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
         .orderBy($"id1", $"id2")
     }),

@@ -69,6 +69,19 @@ class DedupSpec extends SparkSpec {
     assert(direct === viaPairs)
   }
 
+  test("JaccardSortedLongs ≡ JaccardLongs on sorted distinct inputs") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(5L, 6L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(4L), Seq(4L))
+    ).toDF("a", "b").select(
+      column(graft.expressions.JaccardSortedLongs(expression($"a"), expression($"b"))).as("m"),
+      column(graft.expressions.JaccardLongs(expression($"a"), expression($"b"))).as("n"))
+    df.collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("jaccard is symmetric and bounded") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
       .select(jaccard($"a", $"b").as("j1"), jaccard($"b", $"a").as("j2"))

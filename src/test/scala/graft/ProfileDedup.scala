@@ -30,7 +30,7 @@ object ProfileDedup {
     println(s"PROF keep=$keep")
     val fullNg = time("full-ngram")(
       graft.operators.Dedup.minhashNearDups(docs, numHashes = 48, bands = 16,
-        threshold = 0.55, shingler = c => array_distinct(charShingles(c, 4))).count())
+        threshold = 0.55, hashedShingler = c => ngramHashes(c, 4)).count())
     println(s"PROF ngram-pairs=$fullNg")
     val fullSh = time("full-simhash")(
       graft.operators.Dedup.simhashNearDups(docs).count())

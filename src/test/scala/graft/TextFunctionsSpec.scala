@@ -88,6 +88,20 @@ class TextFunctionsSpec extends SparkSpec {
     got.foreach { r => assert(r.getSeq[Any](0) === r.getSeq[Any](1)) }
   }
 
+  test("ngramHashes (fused) ≡ hash32 over distinct charShingles (spec)") {
+    val df = Seq("the quick brown fox", "ab", "aaaa", "ααββγγ δδ")
+      .toDF("text").select(
+        ngramHashes($"text", 4).as("fused"),
+        transform(array_distinct(charShingles($"text", 4)),
+          (s: Column) => hash32(s)).as("spec"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0).toSet === r.getSeq[Long](1).toSet)
+      // spec path has string-distinct shingles; absent hash collisions
+      // the long sets are the same size too
+      assert(r.getSeq[Long](0).size === r.getSeq[Long](1).toSet.size)
+    }
+  }
+
   test("setFingerprint is order-independent and set-discriminating") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),
