@@ -66,6 +66,27 @@ object TextQueries extends QueryPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** SimHash near-dup pairs (mirrors Dedup.simhashNearDups), no final
+    * ORDER BY — shared by the dedup_simhash oracle and the dedup_cc
+    * recursive closure. */
+  private val dSimhashPairs: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($dTok, s -> ${dHash32("s")}) AS hs
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+       |    CASE WHEN 2 * list_sum(list_transform(hs, h ->
+       |           CAST(floor(h / 2^j) AS BIGINT) % 2)) > len(hs)
+       |         THEN 2^j ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM t
+       |), b AS (
+       |  SELECT doc_id, simhash, CAST(floor(simhash / 2^24) AS BIGINT) AS blk FROM sh
+       |)
+       |SELECT a.doc_id AS id1, c.doc_id AS id2,
+       |       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+       |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+       |WHERE bit_count(xor(a.simhash, c.simhash)) <= 6""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on the content digest (one shuffle on a
@@ -105,6 +126,15 @@ object TextQueries extends QueryPack {
           hashedShingler = c => ngramHashes(c, 4))
         .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
         .orderBy($"id1", $"id2")
+    }),
+
+    // Transitive dedup closure: connected components of the simhash
+    // near-dup graph (hamming is NOT transitive, so A~B~C chains exist
+    // that single-pass keepList cannot collapse). Every doc labeled with
+    // the lowest id reachable through any chain.
+    "dedup_cc" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashComponents(Tables.documents(s, dir)).orderBy($"doc_id")
     }),
 
     // Embedding near-dup pairs (exact within label blocks).
@@ -191,24 +221,24 @@ object TextQueries extends QueryPack {
          |)
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_simhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, list_transform($dTok, s -> ${dHash32("s")}) AS hs
-         |  FROM documents
-         |), sh AS (
-         |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
-         |    CASE WHEN 2 * list_sum(list_transform(hs, h ->
-         |           CAST(floor(h / 2^j) AS BIGINT) % 2)) > len(hs)
-         |         THEN 2^j ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM t
-         |), b AS (
-         |  SELECT doc_id, simhash, CAST(floor(simhash / 2^24) AS BIGINT) AS blk FROM sh
+    "dedup_simhash" -> s"$dSimhashPairs\nORDER BY id1, id2",
+
+    // connected components of the simhash near-dup graph: transitive
+    // closure by recursive CTE, component = min reachable id
+    "dedup_cc" ->
+      s"""WITH RECURSIVE prs AS (
+         |  $dSimhashPairs
+         |), und AS (
+         |  SELECT id1 AS a, id2 AS b FROM prs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM prs
+         |), walk(id, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.anc
          |)
-         |SELECT a.doc_id AS id1, c.doc_id AS id2,
-         |       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
-         |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
-         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 6
-         |ORDER BY id1, id2""".stripMargin,
+         |SELECT id AS doc_id, min(anc) AS component
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" -> dMinhashPipeline(
       "list_distinct(list_transform(range(1, len(text) - 2), i -> text[i:i+3]))",

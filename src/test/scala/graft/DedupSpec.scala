@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(direct === viaPairs)
   }
 
+  test("connectedComponents collapses chains; singletons map to themselves") {
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3 (no 1-3 edge), clique 5-6; 4 and 7 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("on transitively-closed pair sets, CC roots ≡ keepList survivors") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    // two complete cliques: {1,2,3} and {4,6}
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 6L)).toDF("id1", "id2")
+    val roots = Dedup.connectedComponents(nodes, pairs)
+      .filter($"doc_id" === $"component")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.keepList(nodes, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(roots === survivors)
+    assert(roots === Set(1L, 4L, 5L))
+  }
+
   test("JaccardSortedLongs ≡ JaccardLongs on sorted distinct inputs") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val df = Seq(
