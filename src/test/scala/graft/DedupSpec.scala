@@ -92,6 +92,16 @@ class DedupSpec extends SparkSpec {
     assert(roots === Set(1L, 4L, 5L))
   }
 
+  test("simhashComponents ≡ generic CC over the expanded pair set (testdata)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaReps = Dedup.simhashComponents(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = Dedup.connectedComponents(docs, Dedup.simhashNearDups(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReps === viaPairs)
+    spark.catalog.clearCache()
+  }
+
   test("JaccardSortedLongs ≡ JaccardLongs on sorted distinct inputs") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val df = Seq(

@@ -62,4 +62,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("events_hourly")
     assert(!p.contains("props"), "props should be pruned from the events scan")
   }
+
+  test("dedup plans contain no unbounded per-group array aggregation") {
+    // cluster membership must be a (rep, id) mapping frame, never a
+    // collect_list row — a web-scale duplicate cluster would otherwise
+    // become one unbounded array in a single aggregation buffer
+    Seq("dedup_minhash", "dedup_ngram", "dedup_simhash", "dedup_keep", "dedup_cc")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("collect_list"), s"$q plan materializes member arrays")
+        spark.catalog.clearCache()
+      }
+  }
+
+  test("multimodal frame sampling never carries the binary column") {
+    val p = plan("multimodal_stats")
+    // the Generate (explode) input must not include the bytes column
+    val gen = p.linesIterator.filter(_.contains("Generate")).mkString
+    assert(!gen.contains("bytes"), "explode input should drop media bytes")
+  }
 }
