@@ -51,6 +51,19 @@ object EventStreams {
       .select(col("user_id"), col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup — the incremental form of Dedup.exact: drop
+    * any document whose normalized-content hash was already seen within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keeps one
+    * state row per distinct hash and EVICTS it once the watermark
+    * passes — bounded state on an unbounded stream (a plain
+    * dropDuplicates would grow state forever at 100 TB/day). */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", graft.functions.TextFunctions.contentHash(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** A mutation-log record for streaming compaction. */
   case class LogRecord(logIndex: Long, op: String, id: Long,
       shardId: String, embedding: Seq[Float])

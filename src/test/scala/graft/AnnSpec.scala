@@ -86,6 +86,25 @@ class AnnSpec extends SparkSpec {
     assert(refined.select(size($"centroid")).head().getInt(0) === 64)
   }
 
+  test("IVF store: probing a cell-partitioned table is partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    try {
+      Ann.withCells(e, centroids).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val probed = stored.filter($"cell".isin(1L, 3L))
+      val scan = probed.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+      // the probe really reads only the probed cells' files
+      // partition columns are type-inferred (int) from directory names
+      val cells = probed.select($"cell".cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(cells.subsetOf(Set(1L, 3L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("fold path ≡ inline path for nearestCell and probeCells (same K)") {
     val cents = Ann.collectCentroids(centroids) // K=8
     val both = e.limit(100).select(

@@ -41,6 +41,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(
+      (ts(0), "the quick brown fox"),
+      (ts(1), "THE  quick brown FOX"),   // dup after normalization
+      (ts(2), "something else"),
+      (ts(3), "the quick brown fox"))    // dup again
+    val q = EventStreams.dedupStream(
+        mem.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark so the first batch is emitted
+      mem.addData((ts(60), "late closer"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).toSet
+      assert(texts.contains("the quick brown fox"))
+      assert(texts.contains("something else"))
+      // exactly one survivor of the three normalized-identical docs
+      assert(spark.table("dedup_out")
+        .filter(lower($"text").contains("quick")).count() === 1)
+    } finally q.stop()
+  }
+
   test("userSessions groups by gap (two sessions for user 1)") {
     val got = EventStreams.userSessions(batch.toDF(), gap = "30 minutes")
       .filter($"user_id" === 1).collect()
