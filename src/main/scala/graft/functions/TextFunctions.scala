@@ -103,6 +103,32 @@ object TextFunctions {
         (acc, s) => acc.bitwiseXOR(xxhash64(lit(0x9e3779b9L), s))).as("f2"),
       size(arr).as("n"))
 
+  /** BPE-ish tokenizer pattern: space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace runs — the GPT-2-style pre-tokenizer
+    * shape without lookarounds, restricted to constructs Java regex and
+    * RE2 (DuckDB) evaluate identically so the oracle can replicate it. */
+  val bpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish tokens of the RAW text (pre-tokenizer pieces). */
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
+  /** Winnowing document fingerprint (rolling-hash selection): hash32 of
+    * every char `k`-gram in POSITION order, then the minimum of each
+    * sliding window of `w` consecutive hashes, distinct. Standard
+    * winnowing guarantee: any match of length ≥ k+w−1 between two docs
+    * shares a fingerprint. Texts shorter than k+w−1 contribute their
+    * global minimum (one window); texts shorter than k fingerprint to
+    * the empty set. All builtins — the oracle replicates it exactly. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    val hs = transform(charShingles(c, k), (s: Column) => hash32(s))
+    when(size(hs) === 0, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        i => array_min(slice(hs, i, lit(w))))))
+  }
+
   /** Jaccard similarity of two DISTINCT-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

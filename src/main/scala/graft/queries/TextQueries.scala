@@ -191,6 +191,28 @@ object TextQueries extends QueryPack {
         .orderBy($"lang")
     }),
 
+    // Token counting: whitespace tokens vs BPE-ish regex pieces (both
+    // engines run the identical RE2-safe pattern).
+    "token_bpe" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", tokenCount($"text").as("n_ws"),
+          bpeTokenCount($"text").as("n_bpe"))
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprinting: winnowed rolling-hash selection over char
+    // 5-grams (window 4) — any shared substring of length ≥ 8 between
+    // two docs guarantees a shared fingerprint.
+    "doc_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          array_sort(winnowFingerprints($"text", 5, 4)).as("fps"))
+        .withColumn("n_fp", size($"fps").cast("long"))
+        .orderBy($"doc_id")
+    }),
+
     // Corpus term frequency top-20 (explode → count → top-k).
     "token_topk" -> ((s, dir) => {
       import s.implicits._
@@ -294,6 +316,33 @@ object TextQueries extends QueryPack {
          |GROUP BY lang
          |ORDER BY lang""".stripMargin
     },
+
+    "token_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split($dNorm, ' ')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text,
+         |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(1, greatest(len(text) - 4, 0) + 1), i -> text[i:i+4]),
+         |    s -> ${dHash32("s")}) AS hs
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_sort(list_distinct(
+         |           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+         |             i -> list_min(hs[i:i+3]))))
+         |    END AS fps
+         |  FROM t
+         |)
+         |SELECT doc_id, fps, CAST(len(fps) AS BIGINT) AS n_fp
+         |FROM f
+         |ORDER BY doc_id""".stripMargin,
 
     "token_topk" ->
       s"""SELECT token, count(*) AS n

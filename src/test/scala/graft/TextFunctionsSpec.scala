@@ -102,6 +102,27 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokens splits letter/digit/punct runs with space prefixes") {
+    val got = Seq("Hello world42, ok!").toDF("text")
+      .select(bpeTokens($"text").as("t")).head().getSeq[String](0)
+    assert(got === Seq("Hello", " world", "42", ",", " ok", "!"))
+  }
+
+  test("winnowing: docs sharing a substring ≥ k+w-1 share a fingerprint") {
+    val k = 5; val w = 4
+    val df = Seq(
+      (1L, "aaaa SHARED-RUN-OF-TEXT zzzz"),
+      (2L, "bbbb cccc SHARED-RUN-OF-TEXT dddd"),
+      (3L, "completely unrelated content here"),
+      (4L, "abc") // shorter than k → empty fingerprint set
+    ).toDF("id", "text")
+      .select($"id", winnowFingerprints($"text", k, w).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((df(1L) & df(2L)).nonEmpty)   // shared run ≥ k+w-1 chars
+    assert((df(1L) & df(3L)).isEmpty)
+    assert(df(4L).isEmpty)
+  }
+
   test("setFingerprint is order-independent and set-discriminating") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),

@@ -35,13 +35,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             if getattr(s.dt, "tz", None) is not None:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s.astype("datetime64[us]")
-    if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # normalize list/array cells to tuples so comparison works
+    # normalize list/array cells to tuples BEFORE sorting — numpy arrays
+    # are unhashable and break sort_values/factorize
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
                               (hasattr(v, "__len__") and not isinstance(v, (str, bytes))) else v)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 
