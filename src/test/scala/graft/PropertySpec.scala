@@ -56,6 +56,28 @@ class PropertySpec extends SparkSpec {
       .collect { case (key, entries) if entries.maxBy(_._1)._2 == "UPSERT" => key }
       .toSet
 
+  test("(d) JaccardSortedLongs ≡ JaccardLongs on random sorted distinct sets") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val setGen = Gen.listOf(Gen.choose(0L, 200L)).map(_.distinct.sorted)
+    samples(for { a <- setGen; b <- setGen } yield (a, b), n = 30).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b").select(
+        column(graft.expressions.JaccardSortedLongs(expression($"a"), expression($"b"))).as("m"),
+        column(graft.expressions.JaccardLongs(expression($"a"), expression($"b"))).as("n")).head()
+      assert(r.getDouble(0) === r.getDouble(1), s"a=$a b=$b")
+    }
+  }
+
+  test("(e) MinHashFamilies ≡ minhashNumeric on random 32-bit hash arrays") {
+    import graft.functions.TextFunctions.{minhashFamilies, minhashNumeric}
+    val hsGen = Gen.listOf(Gen.choose(0L, (1L << 32) - 1))
+    samples(for { hs <- hsGen; h <- Gen.choose(1, 48) } yield (hs, h), n = 20)
+      .foreach { case (hs, h) =>
+        val r = Seq(Tuple1(hs)).toDF("hs").select(
+          minhashFamilies($"hs", h).as("a"), minhashNumeric($"hs", h).as("b")).head()
+        assert(r.getSeq[Any](0) === r.getSeq[Any](1), s"hs=$hs h=$h")
+      }
+  }
+
   test("(b) replay ≡ sequential fold, insensitive to partitioning") {
     samples(for { l <- logGen; p <- Gen.choose(1, 5) } yield (l, p))
       .foreach { case (log, parts) =>
