@@ -12,6 +12,23 @@ class SearchServiceSpec extends SparkSpec {
     Seq((1L, "s0", Seq(0f, 0f)), (2L, "s0", Seq(1f, 0f)), (3L, "s1", Seq(2f, 2f)))
       .toDF("id", "shard_id", "embedding"))
 
+  test("fromConfig wires cache settings from a node config (O-13)") {
+    val cfg = graft.util.ConfigLoader.fromString(
+      """cache {
+        |  max_entries: 2
+        |  default_ttl_seconds: 60
+        |}""".stripMargin)
+    val svc = SearchService.fromConfig(
+      Seq((1L, "s0", Seq(0f, 0f)), (2L, "s0", Seq(1f, 0f)))
+        .toDF("id", "shard_id", "embedding"), cfg)
+    // LRU capacity 2: three distinct queries evict the oldest
+    svc.search(Seq(0f, 0f), 1); svc.search(Seq(1f, 0f), 1); svc.search(Seq(2f, 0f), 1)
+    assert(svc.cacheSize === 2)
+    // default-on-absent parity: absent block → 1024 entries
+    val dflt = graft.util.ConfigLoader.fromString("")
+    assert(dflt.cache.maxEntries === 1024 && dflt.cache.ttlSeconds === 60)
+  }
+
   test("second identical search is served from cache") {
     val svc = freshService
     val (h1, c1) = svc.search(Seq(0f, 0f), 2)
