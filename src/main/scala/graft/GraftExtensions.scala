@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, JaccardLongs, L2SquaredDistance, SignatureAgreement}
+import graft.expressions.{DotProduct, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignatureAgreement}
 
 /** SQL surface for the native vector expressions.
   *
@@ -39,7 +39,21 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => SignatureAgreement(exprs(0), exprs(1))),
     ("jaccard_longs",
       info("jaccard_longs", "jaccard_longs(a, b) - jaccard similarity of two distinct bigint arrays"),
-      (exprs: Seq[Expression]) => JaccardLongs(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => JaccardLongs(exprs(0), exprs(1))),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of two SORTED distinct bigint arrays (merge-intersection)"),
+      (exprs: Seq[Expression]) => JaccardSortedLongs(exprs(0), exprs(1))),
+    ("minhash_families",
+      info("minhash_families", "minhash_families(hashes, H) - all H MinHash family minima of a 32-bit hash array"),
+      (exprs: Seq[Expression]) => MinHashFamilies(exprs(0), foldableInt(exprs(1), "minhash_families(H)"))),
+    ("ngram_hashes",
+      info("ngram_hashes", "ngram_hashes(text, n) - distinct hash32 values of all char n-grams"),
+      (exprs: Seq[Expression]) => NgramHashes(exprs(0), foldableInt(exprs(1), "ngram_hashes(n)"))))
+
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue
+  }
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit =

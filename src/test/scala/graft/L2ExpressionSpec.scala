@@ -62,6 +62,18 @@ class L2ExpressionSpec extends SparkSpec {
     assert(!r.isNullAt(1))
   }
 
+  test("SQL registration: text kernels callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT ngram_hashes('abcdef', 4) AS nh,
+        |       minhash_families(array(5L, 9L, 1L), 3) AS mf,
+        |       jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS js""".stripMargin)
+      .head()
+    assert(r.getSeq[Long](0).size === 3)       // 'abcd','bcde','cdef'
+    assert(r.getSeq[Long](1).size === 3)
+    assert(r.getDouble(2) === 0.5)
+  }
+
   test("JaccardLongs ≡ array_intersect form on random long sets") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { _ =>
