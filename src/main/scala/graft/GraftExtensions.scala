@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignatureAgreement}
+import graft.expressions.{DotProduct, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignatureAgreement, SimHash32}
 
 /** SQL surface for the native vector expressions.
   *
@@ -48,7 +48,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => MinHashFamilies(exprs(0), foldableInt(exprs(1), "minhash_families(H)"))),
     ("ngram_hashes",
       info("ngram_hashes", "ngram_hashes(text, n) - distinct hash32 values of all char n-grams"),
-      (exprs: Seq[Expression]) => NgramHashes(exprs(0), foldableInt(exprs(1), "ngram_hashes(n)"))))
+      (exprs: Seq[Expression]) => NgramHashes(exprs(0), foldableInt(exprs(1), "ngram_hashes(n)"))),
+    ("simhash32",
+      info("simhash32", "simhash32(hashes) - 32-bit per-bit-majority SimHash of a 32-bit hash array"),
+      (exprs: Seq[Expression]) => SimHash32(exprs(0))))
 
   private def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")

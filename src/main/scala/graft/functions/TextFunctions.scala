@@ -155,6 +155,14 @@ object TextFunctions {
           lit(0L), (a, h) => a + floor(h / pow(lit(2.0), j)).cast("long") % 2) > size(hashes),
         pow(lit(2.0), j)).otherwise(lit(0.0))).cast("long")
 
+  /** Native one-pass form of [[simhash32FromHashes]] (value-identical;
+    * see graft.expressions.SimHash32 — the HOF form re-walks the hash
+    * array once per bit). */
+  def simhash32Native(hashes: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SimHash32(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes)))
+
   /** 32-bit SimHash over a token array (convenience form). */
   def simhash32(tok: Column): Column =
     simhash32FromHashes(transform(tok, (s: Column) => hash32(s)))

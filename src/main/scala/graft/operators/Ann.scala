@@ -70,18 +70,25 @@ object Ann {
       .select(col(idCol).as("cell"), col(embCol).as("centroid"))
 
   /** One Lloyd refinement step: mean of assigned vectors per cell.
-    * (Float means are order-sensitive — refined centroids are for
-    * performance experiments, not oracle-checked queries.) */
+    * Computed as per-(cell, dimension) averages over the exploded
+    * components — the per-group state is one running mean, and the only
+    * array built is the dim-length centroid itself. (An
+    * `array_agg(embedding)` per cell would buffer the cell's whole
+    * population in one aggregation row — a scale landmine at real cell
+    * sizes.) Float means are order-sensitive — refined centroids are for
+    * performance experiments, not oracle-checked queries. */
   def refine(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val assigned = assign(vectors, centroids, idCol, embCol)
       .join(vectors, idCol)
-    assigned.groupBy(col("cell"))
-      .agg(array_agg(col(embCol)).as("members"))
-      .select(col("cell"),
-        expr(s"transform(sequence(1, size(members[0])), " +
-          s"i -> aggregate(members, 0.0D, (acc, m) -> acc + m[i-1]) / size(members))")
-          .as("centroid"))
+    assigned
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      // bounded by dim, ordered by pos via the struct sort
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), s => s.getField("m")).as("centroid"))
   }
 
   /** Pull a (small) centroid table to the driver as (cell, centroid)

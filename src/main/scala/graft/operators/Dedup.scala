@@ -409,7 +409,7 @@ object Dedup {
     // runs once per token, not once per simhash bit
     val sh = reps
       .withColumn("hs", transform(col("tok"), (s: Column) => hash32(s)))
-      .select(col("set_key"), col("rep"), simhash32FromHashes(col("hs")).as("simhash"))
+      .select(col("set_key"), col("rep"), simhash32Native(col("hs")).as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager cache population, same rationale as minhashRepPairs
     keyed.count()

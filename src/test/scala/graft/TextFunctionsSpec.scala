@@ -102,6 +102,15 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash32Native ≡ simhash32FromHashes (HOF spec) incl. empty") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map(_ =>
+      Tuple1(Seq.fill(rnd.nextInt(40))(rnd.nextLong(1L << 32)))) :+ Tuple1(Seq.empty[Long])
+    rows.toDF("hs")
+      .select(simhash32Native($"hs").as("a"), simhash32FromHashes($"hs").as("b"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("bpeTokens splits letter/digit/punct runs with space prefixes") {
     val got = Seq("Hello world42, ok!").toDF("text")
       .select(bpeTokens($"text").as("t")).head().getSeq[String](0)
