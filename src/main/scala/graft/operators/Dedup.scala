@@ -193,13 +193,13 @@ object Dedup {
         minhashFamilies(col("hs"), numHashes).as("minhash_sig"),
         array_sort(array_distinct(col("hs"))).as("hsd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Eager materialization, in dependency order: the consumers below
-    // include several independent broadcast-exchange subtrees, which
-    // Spark executes as separate jobs — against a LAZY cache they race
-    // and each recomputes the full shingle pass before blocks land
-    // ("Block already exists" churn, ~2.5× wall time). Two cheap counts
-    // populate the caches exactly once.
-    keyed.count()
+    // Eager materialization: the consumers below include several
+    // independent broadcast-exchange subtrees, which Spark executes as
+    // separate jobs — against a LAZY cache they race and each recomputes
+    // the full shingle pass before blocks land ("Block already exists"
+    // churn, ~2.5× wall time). One cheap count populates BOTH caches:
+    // withSig depends on keyed, so the same job materializes the keyed
+    // blocks on its way to the rep signatures.
     withSig.count()
     // membership: which doc ids share each rep's shingle set
     val memberMap = keyed.select(col("set_key"), col("id"))
@@ -412,7 +412,7 @@ object Dedup {
       .select(col("set_key"), col("rep"), simhash32Native(col("hs")).as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager cache population, same rationale as minhashRepPairs
-    keyed.count()
+    // (one count materializes keyed and sh — same dependency chain)
     sh.count()
     val memberMap = keyed.select(col("set_key"), col("id"))
       .join(sh.select(col("set_key"), col("rep")), "set_key")
