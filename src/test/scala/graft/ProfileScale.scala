@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Scale-up smoke: replicate the sf0.1 documents table k× with a
+  * replica-unique suffix on EVERY token, so each replica is a disjoint
+  * vocabulary shard carrying the original's internal duplicate
+  * structure — duplicate density stays constant while volume grows k×
+  * (the realistic corpus-growth model; suffixing whole docs instead
+  * would densify the near-dup graph quadratically). Run manually via
+  * `Test/runMain graft.ProfileScale`. */
+object ProfileScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select($"doc_id", $"text")
+    val n = base.count()
+    def replicate(k: Int) = (0 until k).map { i =>
+      base.select(($"doc_id" + lit(i.toLong * 1000000L)).as("doc_id"),
+        regexp_replace($"text", "(\\S+)", "$1" + s"x$i").as("text"))
+    }.reduce(_ unionByName _)
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $label: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$r")
+      spark.catalog.clearCache()
+    }
+    Seq(1, 3, 10).foreach { k =>
+      val docs = replicate(k)
+      println(s"PROF scale=$k docs=${n * k}")
+      time(s"minhash-x$k")(
+        graft.operators.Dedup.minhashNearDups(docs, threshold = 0.8).count())
+      time(s"keep-x$k")(
+        graft.operators.Dedup.minhashKeep(docs, threshold = 0.8).count())
+      time(s"cc-x$k")(
+        graft.operators.Dedup.simhashComponents(docs).count())
+    }
+    spark.stop()
+  }
+}
