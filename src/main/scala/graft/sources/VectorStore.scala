@@ -41,4 +41,31 @@ object VectorStore {
   /** O-7 Invalidate: drop the cached copy (the reference clears its whole
     * query cache on any applied mutation, `src/cache/query_cache.cc:45-49`). */
   def invalidate(df: DataFrame): Unit = { df.unpersist(); () }
+
+  /** Incremental IVF index maintenance: a STREAM of upsert mutations is
+    * assigned its IVF cell row-locally (no shuffle — the same literal
+    * centroid fold as the batch path) and appended to the
+    * cell-partitioned store, so newly ingested vectors are immediately
+    * probe-able by partition pruning. Deletes/compaction stay a batch
+    * concern (periodic MutationLog.replay + [[write]] rewrite — the
+    * lambda-architecture split the reference's persist-per-mutation
+    * design motivates). Returns the started query. */
+  def appendStream(
+      mutations: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      path: String,
+      checkpoint: String,
+      embCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    mutations
+      .filter(org.apache.spark.sql.functions.col("op") === "UPSERT")
+      .withColumn("cell", graft.operators.Ann.nearestCell(
+        org.apache.spark.sql.functions.col(embCol), centroids))
+      .drop("op")
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
 }

@@ -75,6 +75,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("appendStream ingests upserts into the cell-partitioned IVF store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream")
+    val mem = MemoryStream[(String, Long, Seq[Float])]
+    val cents = Seq(0L -> Array(0f, 0f), 1L -> Array(10f, 10f))
+    val q = graft.sources.VectorStore.appendStream(
+      mem.toDF().toDF("op", "vec_id", "embedding"), cents,
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData(
+        ("UPSERT", 1L, Seq(0.1f, 0.2f)),   // near centroid 0
+        ("UPSERT", 2L, Seq(9.5f, 9.5f)),   // near centroid 1
+        ("DELETE", 3L, Seq(0f, 0f)))       // filtered out
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/store")
+      val byId = stored.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Number]("cell").longValue).toMap
+      assert(byId === Map(1L -> 0L, 2L -> 1L))
+      // cell is a physical partition directory → probing = pruning
+      assert(new java.io.File(s"$dir/store/cell=0").exists)
+      assert(new java.io.File(s"$dir/store/cell=1").exists)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("compactLog emits latest-writer state changes incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[LogRecord]
