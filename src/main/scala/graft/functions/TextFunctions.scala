@@ -136,9 +136,16 @@ object TextFunctions {
   }
 
   /** Portable 32-bit hash: the first 8 nibbles of the md5 hex digest as
-    * an integer (Spark: conv base-16; oracle: exact strpos/16^k fold —
-    * both land on the same value < 2^32). */
+    * an integer (oracle: exact strpos/16^k fold — both land on the same
+    * value < 2^32). Native kernel; [[hash32Hof]] is the builtin-composed
+    * executable spec. */
   def hash32(s: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.Hash32(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
+
+  /** Builtin-composed form of [[hash32]] (hex substring + base parse). */
+  def hash32Hof(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** 32-bit SimHash from a precomputed token-hash array: per-bit majority

@@ -32,6 +32,15 @@ class TextFunctionsSpec extends SparkSpec {
   test("hash32 matches the oracle's exact fold (value pinned)") {
     // DuckDB: first 8 nibbles of md5('hello') = 1564557354
     assert(one(hash32($"text"), "hello").getLong(0) === 1564557354L)
+    assert(one(hash32Hof($"text"), "hello").getLong(0) === 1564557354L)
+  }
+
+  test("hash32 native ≡ hex-parse spec on random strings incl. unicode/empty") {
+    val rnd = new scala.util.Random(3)
+    val strs = (0 until 60).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(20)).mkString) ++ Seq("", "ααβ δ", "日本語", " ")
+    strs.toDF("s").select(hash32($"s").as("a"), hash32Hof($"s").as("b"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("simhash32 is deterministic and within 32 bits") {
