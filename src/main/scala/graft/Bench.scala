@@ -39,7 +39,15 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name $pass FAILED: ${e.getClass.getName}: ${e.getMessage}")
             -1.0
-        } finally spark.catalog.clearCache()
+        } finally {
+          spark.catalog.clearCache()
+          // clearCache misses localCheckpoint blocks (drop lists, CC
+          // label rounds) — they register as persistent RDDs, not
+          // CacheManager entries. Safe here: the frames are dead after
+          // the pass (never unpersist a live checkpoint — its blocks
+          // are the only copy).
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       runOnce("warmup")
       name -> runOnce("measured")
     }
@@ -48,8 +56,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    spark.stop()
-    // last stdout line, after spark.stop() so no further output follows
+    // stop() before the JSON so no further stdout follows — but never
+    // let a teardown failure eat the run's results
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"sf":"$sfDir"}""")
   }
 }

@@ -167,11 +167,15 @@ object Dedup {
     // the source collapses to few input splits (one small parquet file =
     // one task otherwise); it moves raw text once, comparable to the
     // set_key shuffle right below.
+    // set_key fingerprints the DISTINCT hash set (setFingerprint's
+    // precondition): the string-shingler path can carry duplicate longs
+    // after a hash32 collision, and XOR-cancelling duplicates would
+    // weaken both fingerprint streams at once
     val keyed = docs
       .select(col(idCol).as("id"), col(textCol))
       .repartition(col("id"))
       .select(col("id"), hashShingles(col(textCol)).as("hs"))
-      .withColumn("set_key", setFingerprint(col("hs")))
+      .withColumn("set_key", setFingerprint(array_distinct(col("hs"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // 2: collapse to representatives. first(hs) is an arbitrary member's
     // array — safe: members share the hashed-shingle SET and every
@@ -407,7 +411,7 @@ object Dedup {
       .select(col(idCol), col(textCol))
       .repartition(col(idCol)) // parallelize tokenization past few-split sources
       .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("tok"))
-      .withColumn("set_key", setFingerprint(col("tok")))
+      .withColumn("set_key", setFingerprint(col("tok"))) // tok is string-distinct
       .persist(StorageLevel.MEMORY_AND_DISK)
     val reps = keyed.groupBy(col("set_key"))
       .agg(min(col("id")).as("rep"), first(col("tok")).as("tok"))

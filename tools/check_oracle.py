@@ -25,8 +25,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object and len(df):
             v = df[c].dropna()
-            if len(v) and isinstance(v.iloc[0], datetime.date) \
-                    and not isinstance(v.iloc[0], datetime.datetime):
+            if len(v) and all(isinstance(x, datetime.date)
+                              and not isinstance(x, datetime.datetime) for x in v):
                 df[c] = pd.to_datetime(df[c])
     # unify datetime resolution/tz: everything → naive datetime64[us]
     for c in df.columns:
