@@ -78,6 +78,24 @@ object MiscQueries extends QueryPack {
         .orderBy($"k1", $"k2")
     }),
 
+    // Banded range join: price histogram via interval membership with NO
+    // equality key — the banding rewrite turns a would-be nested-loop
+    // join into an equi join on the band (asserted in PlanSpec).
+    "range_band" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val bands = s.range(10).select($"id".as("band_id"),
+        (lit(900.0) + $"id" * 10.0).as("lo"),
+        (lit(909.99) + $"id" * 10.0).as("hi"))
+      graft.operators.RangeJoin.banded(
+          Tables.part(s, dir), "p_retailprice", bands, "lo", "hi", 10.0)
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_parts"),
+          (sum($"p_retailprice".cast(DecimalType(15, 2))).cast("double") /
+            count(lit(1))).as("avg_price"))
+        .orderBy($"band_id")
+    }),
+
     // Bit manipulation (exact integer semantics on both engines).
     "bit_fns" -> ((s, dir) => {
       import s.implicits._
@@ -176,6 +194,17 @@ object MiscQueries extends QueryPack {
         |       CAST(b.r_regionkey AS BIGINT) AS k2, b.r_name AS n2
         |FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
         |ORDER BY k1, k2""".stripMargin,
+
+    "range_band" ->
+      """WITH bands AS (
+        |  SELECT b AS band_id, 900.0 + 10.0 * b AS lo, 909.99 + 10.0 * b AS hi
+        |  FROM (SELECT unnest(range(0, 10)) AS b)
+        |)
+        |SELECT band_id, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(15,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice <= hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin,
 
     "bit_fns" ->
       """SELECT o_orderkey,

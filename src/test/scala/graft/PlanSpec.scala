@@ -63,6 +63,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("props"), "props should be pruned from the events scan")
   }
 
+  test("range_band plans as an equi join on the band, not a nested loop") {
+    val p = plan("range_band")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup plans contain no unbounded per-group array aggregation") {
     // cluster membership must be a (rep, id) mapping frame, never a
     // collect_list row — a web-scale duplicate cluster would otherwise
