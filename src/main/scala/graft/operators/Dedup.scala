@@ -33,10 +33,12 @@ import graft.functions.VectorFunctions._
   * Cache scoping: the near-dup pipelines persist two frames per call
   * (the shingled corpus and the rep-level signatures) because multiple
   * join branches consume them and exchange reuse does not cover
-  * post-exchange projections. CALLERS OWN CLEANUP: run the returned
-  * frame, then `spark.catalog.clearCache()` (Bench and Verify do this
-  * after every query) — long-lived sessions that skip it accumulate
-  * cached plans (the r2 bench regression).
+  * post-exchange projections; keep/CC paths also localCheckpoint small
+  * frames (drop lists, label rounds). CALLERS OWN CLEANUP: run the
+  * returned frame, then `spark.catalog.clearCache()` plus an unpersist
+  * of leftover checkpointed RDDs (Bench and Verify do both after every
+  * query) — long-lived sessions that skip it accumulate cached state
+  * (the r2 bench regression).
   */
 object Dedup {
 
