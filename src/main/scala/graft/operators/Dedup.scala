@@ -207,8 +207,15 @@ object Dedup {
     // withSig depends on keyed, so the same job materializes the keyed
     // blocks on its way to the rep signatures.
     withSig.count()
-    // membership: which doc ids share each rep's shingle set
-    val memberMap = keyed.select(col("set_key"), col("id"))
+    // membership: which doc ids share each rep's shingle set. Docs with
+    // an EMPTY shingle set (shorter than the shingle width) are
+    // excluded: the naive/oracle definition never pairs them (their
+    // signatures are all-null, so the est prefilter drops every
+    // candidate, and jaccard(∅,∅) is 0/0 — not 1), so the identical-set
+    // ⇒ jaccard-1.0 collapse does not apply to the empty set. They
+    // survive dedup as individuals.
+    val memberMap = keyed.filter(size(col("hs")) > 0)
+      .select(col("set_key"), col("id"))
       .join(withSig.select(col("set_key"), col("rep")), "set_key")
       .select(col("rep"), col("id"))
     // 4: LSH candidates between representatives
