@@ -106,6 +106,87 @@ class DedupDifferentialSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side mirror of the simhash definition. */
+  private def naiveSimhash(docs: Seq[(Long, String)], maxHamming: Int,
+      blockBits: Int): Set[(Long, Long, Long)] = {
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val byDoc = docs.map { case (id, text) =>
+      val hs = norm(text).split(" ", -1).toSeq.distinct.map(hash32)
+      val sim = (0 until 32).map { j =>
+        if (2 * hs.count(h => ((h >> j) & 1) == 1) > hs.size) 1L << j else 0L
+      }.sum
+      (id, sim, sim >> (32 - blockBits))
+    }
+    (for {
+      (id1, s1, b1) <- byDoc
+      (id2, s2, b2) <- byDoc
+      if id1 < id2 && b1 == b2
+      h = java.lang.Long.bitCount(s1 ^ s2).toLong
+      if h <= maxHamming
+    } yield (id1, id2, h)).toSet
+  }
+
+  test("simhash pipeline ≡ naive per-doc algorithm on random small corpora") {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = for {
+      n <- Gen.choose(0, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(2, 12)
+      texts <- Gen.listOfN(n, docGen)
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+
+    samples(corpusGen, 6).foreach { corpus =>
+      val expected = naiveSimhash(corpus, maxHamming = 6, blockBits = 8)
+      val got = Dedup.simhashNearDups(corpus.toDF("doc_id", "text"),
+          maxHamming = 6, blockBits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.clearCache()
+      assert(got === expected, s"corpus=$corpus")
+    }
+  }
+
+  test("keep and connectedComponents ≡ naive forms on random corpora") {
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    val docGen = for {
+      n <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val corpusGen = for {
+      n <- Gen.choose(2, 10)
+      texts <- Gen.listOfN(n, docGen)
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+
+    samples(corpusGen, 6).foreach { corpus =>
+      val ids = corpus.map(_._1)
+      // naive keep: drop every id on the id2 side of a naive minhash pair
+      val mh = naive(corpus, numHashes = 12, bands = 4, threshold = 0.7)
+      val expectedKeep = ids.toSet -- mh.keySet.map(_._2)
+      val gotKeep = Dedup.minhashKeep(corpus.toDF("doc_id", "text"), threshold = 0.7)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      assert(gotKeep === expectedKeep, s"keep corpus=$corpus")
+      // naive CC over simhash pairs: iterate min-label to fixpoint
+      val edges = naiveSimhash(corpus, 6, 8).map(p => (p._1, p._2))
+      var label = ids.map(i => i -> i).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m || label(b) != m) {
+            label += a -> m; label += b -> m; changed = true
+          }
+        }
+      }
+      val gotCc = Dedup.simhashComponents(corpus.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      assert(gotCc === label, s"cc corpus=$corpus")
+    }
+  }
+
   test("pipeline ≡ naive per-doc algorithm on random small corpora") {
     val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
     val docGen = for {
