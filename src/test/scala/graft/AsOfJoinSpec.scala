@@ -36,6 +36,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.getDouble(3) === 99.5) // falls back to the t(8) quote
   }
 
+  test("randomized differential: joinAsOf ≡ naive per-row scan (both modes)") {
+    val rnd = new scala.util.Random(17)
+    (0 until 5).foreach { _ =>
+      val keys = Seq("A", "B", "C")
+      val lrows = (1 to 40).map(i =>
+        (keys(rnd.nextInt(3)), t(rnd.nextInt(30)), i.toDouble))
+      val rrows = (1 to 30).map(i =>
+        (keys(rnd.nextInt(3)), t(rnd.nextInt(30)), 100.0 + i))
+      val l = lrows.toDF("sym", "trade_ts", "trade_px")
+      val r = rrows.toDF("sym", "quote_ts", "quote_px")
+      Seq(false, true).foreach { strict =>
+        val got = AsOfJoin.joinAsOf(l, r, Seq("sym"), "trade_ts", "quote_ts",
+            Seq("quote_px"), strict = strict)
+          .select("sym", "trade_ts", "trade_px", "quote_px").collect()
+          .map(x => (x.getString(0), x.getTimestamp(1), x.getDouble(2),
+            if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+        // naive: per left row, the max-ts (tie: max payload as the
+        // deterministic tertiary) right row at/before (or strictly
+        // before) the left ts for the same key
+        val expected = lrows.map { case (k, ts, px) =>
+          val cand = rrows.filter { case (rk, rts, _) =>
+            rk == k && (if (strict) rts.before(ts) else !rts.after(ts))
+          }
+          val best = if (cand.isEmpty) None
+            else Some(cand.maxBy(c => (c._2.getTime, c._3))._3)
+          (k, ts, px, best)
+        }.toSet
+        assert(got === expected, s"strict=$strict")
+      }
+    }
+  }
+
   test("plan shuffles once on the key — no range-join cross product") {
     val plan = AsOfJoin.joinAsOf(trades, quotes, Seq("sym"),
       "trade_ts", "quote_ts", Seq("quote_px")).queryExecution.executedPlan.toString
