@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignatureAgreement, SimHash32}
+import graft.expressions.{DotProduct, Hash56, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignatureAgreement, SimHashBits, WinnowFingerprints}
 
 /** SQL surface for the native vector expressions.
   *
@@ -51,7 +51,17 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => NgramHashes(exprs(0), foldableInt(exprs(1), "ngram_hashes(n)"))),
     ("simhash32",
       info("simhash32", "simhash32(hashes) - 32-bit per-bit-majority SimHash of a 32-bit hash array"),
-      (exprs: Seq[Expression]) => SimHash32(exprs(0))))
+      (exprs: Seq[Expression]) => SimHashBits(exprs(0), 32)),
+    ("simhash_bits",
+      info("simhash_bits", "simhash_bits(hashes, bits) - bits-wide per-bit-majority SimHash of a hash array"),
+      (exprs: Seq[Expression]) => SimHashBits(exprs(0), foldableInt(exprs(1), "simhash_bits(bits)"))),
+    ("hash56",
+      info("hash56", "hash56(s) - first 14 md5 nibbles as an unsigned 56-bit integer"),
+      (exprs: Seq[Expression]) => Hash56(exprs(0))),
+    ("winnow_fps",
+      info("winnow_fps", "winnow_fps(text, k, w) - distinct winnowed minima of char k-gram hash32s over windows of w"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
+        foldableInt(exprs(1), "winnow_fps(k)"), foldableInt(exprs(2), "winnow_fps(w)"))))
 
   private def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")

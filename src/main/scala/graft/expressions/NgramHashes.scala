@@ -64,6 +64,20 @@ object NgramHashes {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** hash56 of a UTF8String: first 7 md5 digest bytes as an unsigned
+    * 56-bit big-endian integer — identical to
+    * `conv(substring(md5(s), 1, 14), 16, 10)`. 56 bits (not 64) so the
+    * value and every integer fold over it stay exact in a SIGNED 64-bit
+    * BIGINT on both engines (the DuckDB oracle replicates the fold). */
+  def hash56(s: UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 48) | ((d(1) & 0xffL) << 40) |
+      ((d(2) & 0xffL) << 32) | ((d(3) & 0xffL) << 24) |
+      ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
+  }
+
   /** Shared kernel for interpreted eval and codegen. */
   def compute(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()

@@ -120,8 +120,18 @@ object TextFunctions {
     * winnowing guarantee: any match of length ≥ k+w−1 between two docs
     * shares a fingerprint. Texts shorter than k+w−1 contribute their
     * global minimum (one window); texts shorter than k fingerprint to
-    * the empty set. All builtins — the oracle replicates it exactly. */
-  def winnowFingerprints(c: Column, k: Int, w: Int): Column = {
+    * the empty set. Native one-pass kernel (monotonic-deque window min,
+    * one md5 per gram); [[winnowFingerprintsHof]] is the builtin-composed
+    * executable spec — O(len²) md5 calls, spec/test use only. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), k, w))
+
+  /** Builtin-composed spec form of [[winnowFingerprints]]. WARNING: the
+    * lambda body re-evaluates the whole `hs` subtree once per window —
+    * quadratic in document length; never put this in a hot path. */
+  def winnowFingerprintsHof(c: Column, k: Int, w: Int): Column = {
     val hs = transform(charShingles(c, k), (s: Column) => hash32(s))
     when(size(hs) === 0, array().cast("array<long>"))
       .otherwise(array_distinct(transform(
@@ -148,6 +158,19 @@ object TextFunctions {
   def hash32Hof(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Portable 56-bit hash: the first 14 nibbles of the md5 hex digest.
+    * 56 bits (not 64) so the value and the oracle's nibble-fold stay
+    * exact in a SIGNED 64-bit BIGINT on both engines. Feeds the banded
+    * SimHash dedup sketch. */
+  def hash56(s: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.Hash56(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
+
+  /** Builtin-composed form of [[hash56]] (hex substring + base parse). */
+  def hash56Hof(s: Column): Column =
+    conv(substring(md5(s), 1, 14), 16, 10).cast("long")
+
   /** 32-bit SimHash from a precomputed token-hash array: per-bit majority
     * vote. Bit j of h is floor(h / 2^j) % 2 — exact in double for
     * h < 2^32, identical in the oracle. Callers should materialize the
@@ -162,13 +185,28 @@ object TextFunctions {
           lit(0L), (a, h) => a + floor(h / pow(lit(2.0), j)).cast("long") % 2) > size(hashes),
         pow(lit(2.0), j)).otherwise(lit(0.0))).cast("long")
 
-  /** Native one-pass form of [[simhash32FromHashes]] (value-identical;
-    * see graft.expressions.SimHash32 — the HOF form re-walks the hash
+  /** `bits`-wide SimHash from a precomputed token-hash array, built from
+    * per-bit shift/mask builtins (exact at any width ≤ 62, unlike the
+    * `floor(h / 2^j)` double form which loses bits past 2^53). The
+    * executable spec for [[simhashNative]]; the bit loop unrolls at plan
+    * build time. */
+  def simhashBitsFromHashes(hashes: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(lit(2) * aggregate(hashes, lit(0L),
+          (a, h) => a + shiftrightunsigned(h, j).bitwiseAND(lit(1L))) > size(hashes),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Native one-pass form of [[simhash32FromHashes]] /
+    * [[simhashBitsFromHashes]] (value-identical; see
+    * graft.expressions.SimHashBits — the HOF forms re-walk the hash
     * array once per bit). */
-  def simhash32Native(hashes: Column): Column =
+  def simhashNative(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.expressions.SimHash32(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes)))
+      graft.expressions.SimHashBits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes), bits))
+
+  def simhash32Native(hashes: Column): Column = simhashNative(hashes, 32)
 
   /** 32-bit SimHash over a token array (convenience form). */
   def simhash32(tok: Column): Column =

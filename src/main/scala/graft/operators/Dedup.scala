@@ -383,17 +383,31 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("jaccard"))
   }
 
-  /** SimHash near-duplicate pairs: candidates blocked on the top
-    * `blockBits` bits, verified by hamming distance ≤ maxHamming.
+  /** Number of bits in the banded SimHash dedup sketch: wide enough that
+    * `maxHamming + 1 = 7` disjoint 8-bit bands tile it exactly, and
+    * narrow enough that the value — and the oracle's md5-nibble fold
+    * recomputing it — stays exact in a signed 64-bit BIGINT. */
+  val SimhashWidth = 56
+
+  /** SimHash near-duplicate pairs with GUARANTEED recall: the 56-bit
+    * sketch is split into `maxHamming + 1` disjoint bit-bands; by
+    * pigeonhole, any pair at hamming ≤ maxHamming agrees exactly on at
+    * least one band, so the union of per-band equi-joins contains every
+    * true pair — the result is identical to the full quadratic
+    * `hamming(a, b) <= maxHamming` self-join (the oracle runs exactly
+    * that; the differential spec checks it on random corpora). Band
+    * count scales candidate work as Σ_bands Σ_blocks |block|², never a
+    * single fixed block set, and the join parallelism is
+    * bands × 2^bandBits keys.
+    *
     * Same rep-collapse + membership-map structure as minhash (SimHash is
     * a function of the token SET): no arrays cross any exchange. */
   def simhashNearDups(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxHamming: Int = 6,
-      blockBits: Int = 8): DataFrame = {
-    val (memberMap, repPairs, _) = simhashRepFrames(docs, textCol, idCol, maxHamming, blockBits)
+      maxHamming: Int = 6): DataFrame = {
+    val (memberMap, repPairs, _) = simhashRepFrames(docs, textCol, idCol, maxHamming)
     val crossPairs = repPairs
       .join(memberMap.select(col("rep").as("r1"), col("id").as("x")), "r1")
       .join(memberMap.select(col("rep").as("r2"), col("id").as("y")), "r2")
@@ -409,13 +423,26 @@ object Dedup {
   /** Shared simhash pipeline before member expansion:
     * (memberMap(rep, id) covering every doc, repPairs(r1, r2, hamming)
     * with r1 < r2 between distinct-token-set representatives,
-    * repNodes(rep) — one cached row per representative). */
+    * repNodes(rep) — one cached row per representative).
+    *
+    * Candidate generation is pigeonhole multi-band: each rep explodes
+    * into `maxHamming + 1` (band, bandValue) rows over disjoint bands
+    * tiling the 56-bit sketch, and candidates come from ONE equi-join on
+    * (band, bandValue). A hamming ≤ maxHamming pair differs in ≤
+    * maxHamming bands, so it matches exactly in ≥ 1 band — no recall
+    * loss, unlike prefix blocking. Pairs matching in several bands are
+    * deduplicated AFTER the cheap hamming filter, so the distinct
+    * shuffle only carries true pairs. */
   private def simhashRepFrames(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int,
-      blockBits: Int): (DataFrame, DataFrame, DataFrame) = {
+      maxHamming: Int): (DataFrame, DataFrame, DataFrame) = {
+    val nBands = maxHamming + 1
+    // ragged tiling of SimhashWidth bits: low bands get the extra bit
+    val baseW = SimhashWidth / nBands; val rem = SimhashWidth % nBands
+    val widths = Seq.tabulate(nBands)(i => if (i < rem) baseW + 1 else baseW)
+    val offsets = widths.scanLeft(0)(_ + _)
     val keyed = docs
       .select(col(idCol), col(textCol))
       .repartition(col(idCol)) // parallelize tokenization past few-split sources
@@ -424,12 +451,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val reps = keyed.groupBy(col("set_key"))
       .agg(min(col("id")).as("rep"), first(col("tok")).as("tok"))
-    // persisted: both sides of the block self-join and the membership
+    // persisted: both sides of the band self-join and the membership
     // join consume this plan; token hashes materialize behind it so md5
     // runs once per token, not once per simhash bit
     val sh = reps
-      .withColumn("hs", transform(col("tok"), (s: Column) => hash32(s)))
-      .select(col("set_key"), col("rep"), simhash32Native(col("hs")).as("simhash"))
+      .withColumn("hs", transform(col("tok"), (s: Column) => hash56(s)))
+      .select(col("set_key"), col("rep"),
+        simhashNative(col("hs"), SimhashWidth).as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager cache population, same rationale as minhashRepPairs
     // (one count materializes keyed and sh — same dependency chain)
@@ -437,16 +465,25 @@ object Dedup {
     val memberMap = keyed.select(col("set_key"), col("id"))
       .join(sh.select(col("set_key"), col("rep")), "set_key")
       .select(col("rep"), col("id"))
-    val blocked = sh.withColumn("blk",
-      floor(col("simhash") / pow(lit(2.0), lit(32 - blockBits))).cast("long"))
+    val bandCols = (0 until nBands).map { i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("bv"))
+    }
+    val blocked = sh
+      .select(col("rep"), col("simhash"), explode(array(bandCols: _*)).as("bx"))
+      .select(col("rep"), col("simhash"),
+        col("bx.band").as("band"), col("bx.bv").as("bv"))
     val a = blocked.as("a"); val b = blocked.as("b")
     // cross-representative pairs (hamming of identical sets is 0, so
     // within-cluster pairs are handled by the memberMap instead)
     val repPairs = a.join(b,
-        col("a.blk") === col("b.blk") && col("a.rep") < col("b.rep"))
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.rep") < col("b.rep"))
       .withColumn("hamming", hamming(col("a.simhash"), col("b.simhash")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a.rep").as("r1"), col("b.rep").as("r2"), col("hamming"))
+      .distinct() // a pair can match in up to nBands bands
     (memberMap, repPairs, sh.select(col("rep")))
   }
 
@@ -463,9 +500,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 6,
-      blockBits: Int = 8,
       maxIter: Int = 20): DataFrame = {
-    val (memberMap, repPairs, repNodes) = simhashRepFrames(docs, textCol, idCol, maxHamming, blockBits)
+    val (memberMap, repPairs, repNodes) = simhashRepFrames(docs, textCol, idCol, maxHamming)
     val repComp = connectedComponents(repNodes,
       repPairs.select(col("r1").as("id1"), col("r2").as("id2")), "rep", maxIter)
     memberMap.join(repComp, "rep")

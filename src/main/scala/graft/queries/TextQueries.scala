@@ -30,6 +30,13 @@ object TextQueries extends QueryPack {
     s"CAST(list_sum(list_transform(range(1,9), i -> " +
       s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
 
+  /** hash56: first 14 md5 nibbles as integer. The fold stays in BIGINT —
+    * a double-arithmetic sum would round past 2^53. */
+  private def dHash56(s: String): String =
+    s"CAST(list_sum(list_transform(range(1,15), i -> " +
+      s"CAST(strpos('0123456789abcdef', md5($s)[i:i]) - 1 AS BIGINT) * " +
+      s"CAST(16^(14-i) AS BIGINT))) AS BIGINT)"
+
   /** Numeric minhash LSH pipeline fragment (mirrors Dedup.minhashNearDups
     * hash family): shingle hash32s → H families (a_j·h+b_j mod p) →
     * r-row band buckets → candidate pairs → exact-jaccard verify. */
@@ -66,25 +73,28 @@ object TextQueries extends QueryPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** SimHash near-dup pairs (mirrors Dedup.simhashNearDups), no final
-    * ORDER BY — shared by the dedup_simhash oracle and the dedup_cc
-    * recursive closure. */
+  /** SimHash near-dup pairs — the FULL QUADRATIC ground truth, no
+    * blocking. The engine's pigeonhole multi-band candidates
+    * (Dedup.simhashNearDups) are provably recall-complete, so its output
+    * must equal this exactly — the oracle no longer mirrors the blocking
+    * scheme, it checks recall itself. 56-bit sketch; every fold stays in
+    * BIGINT (integer `//` division, CAST 2^j — double arithmetic would
+    * round past 2^53). No final ORDER BY — shared by the dedup_simhash
+    * oracle and the dedup_cc recursive closure. */
   private val dSimhashPairs: String =
     s"""WITH t AS (
-       |  SELECT doc_id, list_transform($dTok, s -> ${dHash32("s")}) AS hs
+       |  SELECT doc_id, list_transform($dTok, s -> ${dHash56("s")}) AS hs
        |  FROM documents
        |), sh AS (
-       |  SELECT doc_id, CAST(list_sum(list_transform(range(0,32), j ->
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0,56), j ->
        |    CASE WHEN 2 * list_sum(list_transform(hs, h ->
-       |           CAST(floor(h / 2^j) AS BIGINT) % 2)) > len(hs)
-       |         THEN 2^j ELSE 0 END)) AS BIGINT) AS simhash
+       |           (h // CAST(2^j AS BIGINT)) % 2)) > len(hs)
+       |         THEN CAST(2^j AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
        |  FROM t
-       |), b AS (
-       |  SELECT doc_id, simhash, CAST(floor(simhash / 2^24) AS BIGINT) AS blk FROM sh
        |)
        |SELECT a.doc_id AS id1, c.doc_id AS id2,
        |       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
-       |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+       |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 6""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,10 +117,12 @@ object TextQueries extends QueryPack {
         .orderBy($"id1", $"id2")
     }),
 
-    // SimHash(32-bit) near-dups: top-8-bit blocking + hamming ≤ 6.
+    // SimHash(56-bit) near-dups: 7 disjoint 8-bit pigeonhole bands give
+    // guaranteed recall at hamming ≤ 6 — the oracle is the full
+    // quadratic self-join, NOT a mirror of the blocking.
     "dedup_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 6, blockBits = 8)
+      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 6)
         .orderBy($"id1", $"id2")
     }),
 
@@ -203,14 +215,16 @@ object TextQueries extends QueryPack {
 
     // Document fingerprinting: winnowed rolling-hash selection over char
     // 5-grams (window 4) — any shared substring of length ≥ 8 between
-    // two docs guarantees a shared fingerprint.
+    // two docs guarantees a shared fingerprint. Registered in exploded
+    // (doc_id, fp) form — scalar columns the driver can hash, and the
+    // per-fingerprint join shape plagiarism detection actually uses.
+    // The array form stays available via TextFunctions.winnowFingerprints.
     "doc_fingerprint" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .select($"doc_id",
-          array_sort(winnowFingerprints($"text", 5, 4)).as("fps"))
-        .withColumn("n_fp", size($"fps").cast("long"))
-        .orderBy($"doc_id")
+        .repartition($"doc_id") // spread the md5 work past the single input split
+        .select($"doc_id", explode(winnowFingerprints($"text", 5, 4)).as("fp"))
+        .orderBy($"doc_id", $"fp")
     }),
 
     // Corpus term frequency top-20 (explode → count → top-k).
@@ -334,15 +348,15 @@ object TextQueries extends QueryPack {
          |), f AS (
          |  SELECT doc_id,
          |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
-         |         ELSE list_sort(list_distinct(
+         |         ELSE list_distinct(
          |           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
-         |             i -> list_min(hs[i:i+3]))))
+         |             i -> list_min(hs[i:i+3])))
          |    END AS fps
          |  FROM t
          |)
-         |SELECT doc_id, fps, CAST(len(fps) AS BIGINT) AS n_fp
+         |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
          |FROM f
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id, fp""".stripMargin,
 
     "token_topk" ->
       s"""SELECT token, count(*) AS n

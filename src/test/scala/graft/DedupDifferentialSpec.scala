@@ -106,27 +106,37 @@ class DedupDifferentialSpec extends SparkSpec {
     }
   }
 
-  /** Driver-side mirror of the simhash definition. */
-  private def naiveSimhash(docs: Seq[(Long, String)], maxHamming: Int,
-      blockBits: Int): Set[(Long, Long, Long)] = {
+  private def hash56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).take(7)
+      .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+  }
+
+  private def simhash56(text: String): Long = {
     def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
-    val byDoc = docs.map { case (id, text) =>
-      val hs = norm(text).split(" ", -1).toSeq.distinct.map(hash32)
-      val sim = (0 until 32).map { j =>
-        if (2 * hs.count(h => ((h >> j) & 1) == 1) > hs.size) 1L << j else 0L
-      }.sum
-      (id, sim, sim >> (32 - blockBits))
-    }
+    val hs = norm(text).split(" ", -1).toSeq.distinct.map(hash56)
+    (0 until 56).map { j =>
+      if (2 * hs.count(h => ((h >> j) & 1) == 1) > hs.size) 1L << j else 0L
+    }.sum
+  }
+
+  /** Driver-side GROUND TRUTH: full quadratic hamming join, NO blocking.
+    * The pipeline's pigeonhole multi-band candidates must equal this
+    * exactly — this is the recall guarantee under test, not a mirror of
+    * the engine's blocking scheme. */
+  private def naiveSimhash(docs: Seq[(Long, String)],
+      maxHamming: Int): Set[(Long, Long, Long)] = {
+    val byDoc = docs.map { case (id, text) => (id, simhash56(text)) }
     (for {
-      (id1, s1, b1) <- byDoc
-      (id2, s2, b2) <- byDoc
-      if id1 < id2 && b1 == b2
+      (id1, s1) <- byDoc
+      (id2, s2) <- byDoc
+      if id1 < id2
       h = java.lang.Long.bitCount(s1 ^ s2).toLong
       if h <= maxHamming
     } yield (id1, id2, h)).toSet
   }
 
-  test("simhash pipeline ≡ naive per-doc algorithm on random small corpora") {
+  test("simhash pipeline ≡ unblocked quadratic ground truth on random corpora") {
     val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
     val docGen = for {
       n <- Gen.choose(0, 8)
@@ -138,13 +148,42 @@ class DedupDifferentialSpec extends SparkSpec {
     } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
 
     samples(corpusGen, 6).foreach { corpus =>
-      val expected = naiveSimhash(corpus, maxHamming = 6, blockBits = 8)
-      val got = Dedup.simhashNearDups(corpus.toDF("doc_id", "text"),
-          maxHamming = 6, blockBits = 8)
+      val expected = naiveSimhash(corpus, maxHamming = 6)
+      val got = Dedup.simhashNearDups(corpus.toDF("doc_id", "text"), maxHamming = 6)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       spark.catalog.clearCache()
       assert(got === expected, s"corpus=$corpus")
     }
+  }
+
+  test("simhash finds pairs whose differing bits are ALL in the top byte " +
+      "(prefix blocking provably missed these)") {
+    // Search deterministic single-token-substitution corpora for a pair
+    // whose simhashes differ ONLY inside the top 8 bits (band 6 of 7).
+    // Top-8-bit prefix blocking can never emit such a pair as a
+    // candidate; pigeonhole banding must find it via one of the 6
+    // agreeing low bands.
+    val vocab = (0 until 40).map(i => s"w$i")
+    val found = (for {
+      base <- 0 until 40
+      swap <- 0 until 40
+      textA = (0 until 10).map(k => vocab((base + k) % 40)).mkString(" ")
+      textB = (0 until 10).map(k =>
+        if (k == 3) vocab(swap) else vocab((base + k) % 40)).mkString(" ")
+      if textA != textB
+      diff = simhash56(textA) ^ simhash56(textB)
+      if diff != 0 && (diff >> 48) != 0 && (diff & ((1L << 48) - 1)) == 0 &&
+        java.lang.Long.bitCount(diff) <= 6
+    } yield (textA, textB)).headOption
+    assert(found.isDefined,
+      "search space produced no top-byte-only near pair; widen the search")
+    val (ta, tb) = found.get
+    val corpus = Seq((1L, ta), (2L, tb), (3L, "unrelated filler words entirely"))
+    val got = Dedup.simhashNearDups(corpus.toDF("doc_id", "text"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got.contains((1L, 2L)),
+      s"missed the engineered top-byte pair: a='$ta' b='$tb'")
   }
 
   test("keep and connectedComponents ≡ naive forms on random corpora") {
@@ -168,7 +207,7 @@ class DedupDifferentialSpec extends SparkSpec {
       spark.catalog.clearCache()
       assert(gotKeep === expectedKeep, s"keep corpus=$corpus")
       // naive CC over simhash pairs: iterate min-label to fixpoint
-      val edges = naiveSimhash(corpus, 6, 8).map(p => (p._1, p._2))
+      val edges = naiveSimhash(corpus, 6).map(p => (p._1, p._2))
       var label = ids.map(i => i -> i).toMap
       var changed = true
       while (changed) {

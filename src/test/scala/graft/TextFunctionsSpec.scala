@@ -120,10 +120,42 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("hash56 native ≡ hash56Hof (conv spec), 56-bit range") {
+    val texts = Seq("", "a", "the quick brown fox", "päivää", "苹果").map(Tuple1(_))
+    texts.toDF("s")
+      .select(hash56($"s").as("a"), hash56Hof($"s").as("b")).collect()
+      .foreach { r =>
+        assert(r.getLong(0) === r.getLong(1))
+        assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 56))
+      }
+  }
+
+  test("simhashNative(·, 56) ≡ simhashBitsFromHashes HOF spec incl. empty") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 50).map(_ =>
+      Tuple1(Seq.fill(rnd.nextInt(40))(rnd.nextLong(1L << 56)))) :+ Tuple1(Seq.empty[Long])
+    rows.toDF("hs")
+      .select(simhashNative($"hs", 56).as("a"),
+        simhashBitsFromHashes($"hs", 56).as("b"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("bpeTokens splits letter/digit/punct runs with space prefixes") {
     val got = Seq("Hello world42, ok!").toDF("text")
       .select(bpeTokens($"text").as("t")).head().getSeq[String](0)
     assert(got === Seq("Hello", " world", "42", ",", " ok", "!"))
+  }
+
+  test("winnowFingerprints native ≡ HOF spec (order and values)") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcde "
+    val texts = (0 until 30).map(_ =>
+      Tuple1((0 until rnd.nextInt(60)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)) ++
+      Seq(Tuple1(""), Tuple1("abc"), Tuple1("abcd"), Tuple1("abcdefgh"), Tuple1("aaaaaaaaaa"))
+    texts.toDF("s")
+      .select(winnowFingerprints($"s", 5, 4).as("a"),
+        winnowFingerprintsHof($"s", 5, 4).as("b"))
+      .collect().foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
   test("winnowing: docs sharing a substring ≥ k+w-1 share a fingerprint") {
