@@ -126,15 +126,32 @@ object Ann {
     transform(centroidLit(cents), s =>
       struct(l2sq(emb, s.getField("_2")).as("dist"), s.getField("_1").as("cell")))
 
+  /** Broadcast-backed (dist, cell) probe column: the centroid table
+    * ships to executors ONCE as torrent-broadcast blocks and the
+    * expression holds only the `Broadcast` handle — unlike
+    * [[centroidLit]], whose literal value rides inside the serialized
+    * plan of every task. The scale path above [[InlineCentroidMax]];
+    * value-identical to the literal fold (AnnSpec, incl. K=4096×dim=64). */
+  private[graft] def probeCellsBcastCol(emb: Column,
+      cents: Seq[(Long, Array[Float])], nprobe: Int): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val bc = sc.broadcast(graft.expressions.CentroidSet(
+      cents.map(_._1).toArray, cents.map(_._2).toArray))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.ProbeCellsBcast(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb), bc, nprobe))
+  }
+
   /** Row-local nearest-centroid cell, evaluated inside the scan
     * projection — no join, no exchange, no window. Lexicographic struct
     * comparison IS the (distance, cell)-ascending argmin. Small K uses
     * `least` over inline literal structs (tightest codegen); large K the
-    * single-literal fold (`array_min` over [[scoredCells]]) so the plan
-    * survives production cell counts — value-identical (AnnSpec). */
+    * broadcast probe kernel so the centroid table is not re-shipped per
+    * task — value-identical (AnnSpec; [[nearestCellFold]] stays as the
+    * literal-fold executable spec). */
   def nearestCell(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
     if (cents.size <= InlineCentroidMax) nearestCellInline(emb, cents)
-    else nearestCellFold(emb, cents)
+    else element_at(probeCellsBcastCol(emb, cents, 1), 1)
 
   private[graft] def nearestCellInline(emb: Column, cents: Seq[(Long, Array[Float])]): Column = {
     val scored = cents.map { case (cellId, c) =>
@@ -149,16 +166,15 @@ object Ann {
 
   /** The `nprobe` cells nearest to a query vector, ascending by
     * (distance, cell) — same hybrid as [[nearestCell]]; `array_sort` on
-    * structs is the lexicographic order. */
-  def probeCells(qvec: Column, cents: Seq[(Long, Array[Float])], nprobe: Int): Column = {
-    val scored =
-      if (cents.size <= InlineCentroidMax)
-        array(cents.map { case (cellId, c) =>
-          struct(l2sq(qvec, lit(c)).as("dist"), lit(cellId).as("cell"))
-        }: _*)
-      else scoredCells(qvec, cents)
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
-  }
+    * structs is the lexicographic order at small K, the broadcast probe
+    * kernel above [[InlineCentroidMax]]. */
+  def probeCells(qvec: Column, cents: Seq[(Long, Array[Float])], nprobe: Int): Column =
+    if (cents.size <= InlineCentroidMax) {
+      val scored = array(cents.map { case (cellId, c) =>
+        struct(l2sq(qvec, lit(c)).as("dist"), lit(cellId).as("cell"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+    } else probeCellsBcastCol(qvec, cents, nprobe)
 
   /** Vectors with their IVF cell attached — the materialization point:
     * write this out partitioned by `cell` and probing becomes partition

@@ -119,16 +119,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("K=1024, dim=64: fold path compiles, plans O(1), matches driver argmin") {
-    // 1024 deterministic centroids — far beyond any inline-literal comfort
-    val cents = Seq.tabulate(1024) { k =>
+  test("K=4096, dim=64: broadcast probe kernel compiles, plans O(1), " +
+      "matches driver argmin AND the literal-fold spec") {
+    // 4096 deterministic centroids — production cell count; nearestCell/
+    // probeCells route through the Broadcast-backed kernel here
+    val cents = Seq.tabulate(4096) { k =>
       (k.toLong, Array.tabulate(64)(d => (math.sin(k * 64 + d) * 10).toFloat))
     }
     val sample = e.limit(20)
     val got = sample.select($"vec_id",
         Ann.nearestCell($"embedding", cents).as("cell"),
-        Ann.probeCells($"embedding", cents, 4).as("probed"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toList
+        Ann.probeCells($"embedding", cents, 4).as("probed"),
+        Ann.nearestCellFold($"embedding", cents).as("foldCell"),
+        transform(slice(array_sort(Ann.scoredCells($"embedding", cents)), 1, 4),
+          s => s.getField("cell")).as("foldProbed"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2),
+        r.getLong(3), r.getSeq[Long](4))).toList
     // driver-side expected argmin with (dist, cell) tie-break
     val vecs = sample.select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
@@ -137,10 +144,13 @@ class AnnSpec extends SparkSpec {
       while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
       s
     }
-    got.foreach { case (id, cell, probed) =>
+    got.foreach { case (id, cell, probed, foldCell, foldProbed) =>
       val ranked = cents.map { case (cid, c) => (d2(vecs(id), c), cid) }.sorted
       assert(cell === ranked.head._2)
       assert(probed.toList === ranked.take(4).map(_._2))
+      // broadcast kernel ≡ literal-fold executable spec
+      assert(cell === foldCell)
+      assert(probed.toList === foldProbed.toList)
     }
   }
 }
