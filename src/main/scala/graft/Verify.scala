@@ -20,6 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // unpersisting dead localCheckpoint blocks after a pass is correct
+    // but logs a scary per-RDD warning — keep driver tails clean
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated subset for local iteration; driver leaves
     // this unset and dumps everything.
@@ -27,14 +31,18 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        // don't leak persisted frames OR dead localCheckpoint blocks
+        // don't leak persisted frames OR dead localCheckpoint blocks —
+        // scoped to RDDs this query created
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !persistedBefore.contains(id) }
+          .values.foreach(_.unpersist(false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
