@@ -78,16 +78,49 @@ object NgramHashes {
       ((d(4) & 0xffL) << 16) | ((d(5) & 0xffL) << 8) | (d(6) & 0xffL)
   }
 
+  /** Start byte offset of every code point of `s`, plus the end offset —
+    * one linear walk, so every gram afterwards is a direct (off, len)
+    * slice. `substringSQL(i, n)` per gram re-scans the bytes from the
+    * START to find position i (UTF-8 is variable-width) — O(len²) byte
+    * walking plus a UTF8String + byte[] allocation per gram; this was
+    * the measured bottleneck of the char-gram hash pass. Code-point
+    * boundaries are exactly what substringSQL counts, so slice semantics
+    * are identical. */
+  def cpOffsets(b: Array[Byte]): Array[Int] = {
+    // count first
+    var n = 0; var i = 0
+    while (i < b.length) { i += UTF8String.numBytesForFirstByte(b(i)); n += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; var c = 0
+    while (i < b.length) {
+      off(c) = i; c += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    off(n) = b.length
+    off
+  }
+
+  /** md5-prefix hash32 of a byte slice — identical to [[hash32]] on the
+    * UTF8String covering the same bytes. */
+  def hash32Bytes(b: Array[Byte], off: Int, len: Int): Long = {
+    val md = digest.get()
+    md.reset()
+    md.update(b, off, len)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Shared kernel for interpreted eval and codegen. */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val len = s.numChars()
+    val b = s.getBytes
+    val off = cpOffsets(b)
+    val len = off.length - 1 // numChars
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    var i = 1
-    while (i <= len - n + 1) {
-      // substringSQL is 1-based and code-point-aware — exact parity with
-      // the builtin substring charShingles uses
-      seen.add(hash32(s.substringSQL(i, n)))
+    var i = 0
+    while (i <= len - n) {
+      seen.add(hash32Bytes(b, off(i), off(i + n) - off(i)))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -54,15 +54,18 @@ object WinnowFingerprints {
 
   /** Shared kernel for interpreted eval and codegen. */
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val len = s.numChars()
+    val b = s.getBytes
+    val off = NgramHashes.cpOffsets(b)
+    val len = off.length - 1 // numChars
     if (len < k) return new GenericArrayData(Array.emptyLongArray)
     val n = len - k + 1
-    // position-ordered gram hashes (substringSQL is 1-based and
-    // code-point-aware — exact parity with the builtin charShingles)
+    // position-ordered gram hashes over direct byte slices (code-point
+    // boundaries — exact parity with the builtin substring charShingles
+    // uses; see NgramHashes.cpOffsets)
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hs(i) = NgramHashes.hash32(s.substringSQL(i + 1, k))
+      hs(i) = NgramHashes.hash32Bytes(b, off(i), off(i + k) - off(i))
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

@@ -122,14 +122,19 @@ object Dedup {
     // Scalar equi-joins on the rep id — AQE broadcasts the small side at
     // test scale, sort-merge at 100 TB; a member of cluster 1 can exceed
     // a member of cluster 2, hence the least/greatest re-canonicalization.
+    // All four joins below consume the UNPROJECTED memberMap under a
+    // dataset alias, so their exchange subtrees canonicalize identically
+    // and Spark builds the (rep, id) broadcast ONCE (ReusedExchange) —
+    // pre-join renamed projections forced four separate builds, and the
+    // serialized chain of small broadcast jobs dominated wall time at
+    // bench scale.
     val crossPairs = verified
-      .join(memberMap.select(col("rep").as("id1"), col("id").as("a")), "id1")
-      .join(memberMap.select(col("rep").as("id2"), col("id").as("b")), "id2")
-      .select(least(col("a"), col("b")).as("id1"),
-        greatest(col("a"), col("b")).as("id2"), col("jaccard"))
+      .join(memberMap.as("ma"), col("ma.rep") === col("id1"))
+      .join(memberMap.as("mb"), col("mb.rep") === col("id2"))
+      .select(least(col("ma.id"), col("mb.id")).as("id1"),
+        greatest(col("ma.id"), col("mb.id")).as("id2"), col("jaccard"))
     // within-cluster pairs: identical sets, jaccard exactly 1.0
-    val m1 = memberMap.as("x"); val m2 = memberMap.as("y")
-    val dupPairs = m1.join(m2,
+    val dupPairs = memberMap.as("x").join(memberMap.as("y"),
         col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(1.0).as("jaccard"))
     crossPairs.unionByName(dupPairs)
@@ -139,7 +144,7 @@ object Dedup {
     * i.e. everything before member-pair expansion.
     * Returns (memberMap(rep, id), verified(id1, id2, jaccard)) where
     * verified ids are reps with id1 < id2 and rep = min(member ids). */
-  private def minhashRepPairs(
+  private[graft] def minhashRepPairs(
       docs: DataFrame,
       textCol: String,
       idCol: String,
@@ -221,39 +226,46 @@ object Dedup {
     // 4: LSH candidates between representatives
     val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
       "id", bands, rowsPerBand)
-    // Two-stage verification: stage 1 joins ONLY the signatures (H longs)
-    // and applies the O(H) signature-agreement estimate — nearly every
-    // false band collision dies here, so the wide shingle sets never
-    // shuffle for them. Stage 2 joins the hashed-distinct shingle sets
-    // (cheap long compares; hash collisions deterministic and mirrored by
-    // the oracle) for the exact jaccard on the survivors only.
-    val repSig = withSig.select(col("rep"), col("minhash_sig"))
-    val repSh = withSig.select(col("rep"), col("hsd"))
+    // Two-stage verification in ONE join pair: the O(H)
+    // signature-agreement estimate runs first and gates the exact-
+    // jaccard merge (filter order preserved by the conjunction below —
+    // est is evaluated before the jaccard predicate), so est still
+    // kills false band collisions before any set merge. Both sides
+    // consume the UNPROJECTED cached withSig under a dataset alias:
+    // identical canonical subtrees → ONE broadcast/exchange build
+    // reused for both sides (separate sig-only and hsd-only projections
+    // forced four distinct broadcast jobs, a serialized chain that
+    // dominated bench wall time). At sort-merge scale the fused form
+    // shuffles (sig + hsd) per candidate instead of sig now and hsd for
+    // est-survivors later — one wide pass vs two narrow ones; with
+    // exchange reuse the rep table itself still materializes once.
     val estFloor = math.max(0.0, threshold - 0.15)
-    val survivors = cand
-      .join(repSig.select(col("rep").as("id1"), col("minhash_sig").as("sig1")), "id1")
-      .join(repSig.select(col("rep").as("id2"), col("minhash_sig").as("sig2")), "id2")
-      .withColumn("est",
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.expressions.SignatureAgreement(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sig1")),
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sig2"))))
-          .cast("double") / numHashes)
-      .filter(col("est") >= estFloor)
-      .select(col("id1"), col("id2"))
-    val verified = survivors
-      .join(repSh.select(col("rep").as("id1"), col("hsd").as("sh1")), "id1")
-      .join(repSh.select(col("rep").as("id2"), col("hsd").as("sh2")), "id2")
-      // native merge-intersection kernel over the pre-sorted sets;
-      // value-identical to the array_intersect form (JaccardLongs
-      // scaladoc + JaccardSortedLongs equivalence in DedupSpec)
-      .withColumn("jaccard",
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.expressions.JaccardSortedLongs(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh1")),
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sh2")))))
+    val est =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.SignatureAgreement(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wa.minhash_sig")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wb.minhash_sig"))))
+        .cast("double") / numHashes
+    // native merge-intersection kernel over the pre-sorted sets;
+    // value-identical to the array_intersect form (JaccardLongs
+    // scaladoc + JaccardSortedLongs equivalence in DedupSpec)
+    val jac =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.JaccardSortedLongs(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wa.hsd")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wb.hsd"))))
+    // The est gate lives INSIDE a when(): a bare
+    // filter(est).filter(jac) pair gets collapsed into the join
+    // condition with the conjuncts reordered — observed plans evaluated
+    // the O(|set|) merge on every raw candidate and the O(H) estimate
+    // after it. A conditional cannot be split or reordered, so est
+    // always short-circuits the merge.
+    val verified = cand
+      .join(withSig.as("wa"), col("wa.rep") === col("id1"))
+      .join(withSig.as("wb"), col("wb.rep") === col("id2"))
+      .select(col("id1"), col("id2"),
+        when(est >= estFloor, jac).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
     (memberMap, verified)
   }
 
@@ -333,34 +345,67 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIter: Int = 20): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     // pairs with id1 < id2 are unique by the generators' contract, so
-    // the two union branches cannot collide — no distinct needed
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // the two directions cannot collide — no distinct needed. Both
+    // directions come from ONE explode pass: a union of two selects
+    // would evaluate the (unpersisted, often join-heavy) pairs subtree
+    // twice when this persist materializes.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val beforeLabels0 = sc.getPersistentRDDs.keySet
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
+    // DELTA ITERATION: labels are monotone (only ever decrease), so a
+    // node's neighbor-minimum can change only through neighbors whose
+    // label changed LAST round — every label value is offered to its
+    // neighborhood exactly once, the round after it appears. Round 1
+    // propagates from every node; later rounds join the edge list
+    // against the shrinking change frontier only, so a dense duplicate
+    // cluster (which converges immediately) stops paying its edge
+    // volume after the first round.
+    var changed = labels
+    var roundIds = sc.getPersistentRDDs.keySet -- beforeLabels0
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .join(changed.select(col("id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
       val stepped = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l2"))
+      val before = sc.getPersistentRDDs.keySet
       val next = stepped
         .join(labels.select(col("id").as("l2"), col("label").as("jmp")), Seq("l2"), "left")
         .select(col("id"), col("old"),
           least(col("l2"), coalesce(col("jmp"), col("l2"))).as("label"))
         .localCheckpoint(true)
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+      changed = next.filter(col("label") =!= col("old")).select(col("id"), col("label"))
+      converged = changed.isEmpty
       labels = next.select(col("id"), col("label"))
+      // the previous round's checkpoint blocks are dead once `next` is
+      // materialized — free them NOW instead of letting them pile up
+      // over the loop (long-lived sessions calling this directly would
+      // otherwise accumulate one dead block set per round). The final
+      // round's blocks stay live — the returned frame reads them.
+      val fresh = sc.getPersistentRDDs.keySet -- before
+      (roundIds -- fresh).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      roundIds = fresh
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"PROF cc-round=$i converged=$converged t=${System.nanoTime()}")
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"maxIter=$maxIter rounds — labels are an upper bound on the " +
+        s"component minima, not the fixpoint; raise maxIter")
     edges.unpersist()
     labels.select(col("id").as(idCol), col("label").as("component"))
   }
@@ -408,13 +453,14 @@ object Dedup {
       idCol: String = "doc_id",
       maxHamming: Int = 6): DataFrame = {
     val (memberMap, repPairs, _) = simhashRepFrames(docs, textCol, idCol, maxHamming)
+    // unprojected aliased memberMap on every join → one exchange build,
+    // three reuses (see minhashNearDups step 5)
     val crossPairs = repPairs
-      .join(memberMap.select(col("rep").as("r1"), col("id").as("x")), "r1")
-      .join(memberMap.select(col("rep").as("r2"), col("id").as("y")), "r2")
-      .select(least(col("x"), col("y")).as("id1"),
-        greatest(col("x"), col("y")).as("id2"), col("hamming"))
-    val m1 = memberMap.as("x"); val m2 = memberMap.as("y")
-    val dupPairs = m1.join(m2,
+      .join(memberMap.as("ma"), col("ma.rep") === col("r1"))
+      .join(memberMap.as("mb"), col("mb.rep") === col("r2"))
+      .select(least(col("ma.id"), col("mb.id")).as("id1"),
+        greatest(col("ma.id"), col("mb.id")).as("id2"), col("hamming"))
+    val dupPairs = memberMap.as("x").join(memberMap.as("y"),
         col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"), lit(0L).as("hamming"))
     crossPairs.unionByName(dupPairs)
@@ -433,7 +479,7 @@ object Dedup {
     * loss, unlike prefix blocking. Pairs matching in several bands are
     * deduplicated AFTER the cheap hamming filter, so the distinct
     * shuffle only carries true pairs. */
-  private def simhashRepFrames(
+  private[graft] def simhashRepFrames(
       docs: DataFrame,
       textCol: String,
       idCol: String,

@@ -22,6 +22,27 @@ object ProfileCC {
     val cc = time("cc-total")(Dedup.simhashComponents(docs).count())
     println(s"PROF cc-rows=$cc")
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // phase breakdown (JIT-warm)
+    locally {
+      val t0 = System.nanoTime()
+      val (memberMap, repPairs, repNodes) =
+        Dedup.simhashRepFrames(docs, "text", "doc_id", 6)
+      println(f"PROF phase-repframes(sh.count): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      val np = repPairs.count()
+      println(f"PROF phase-reppairs: ${(System.nanoTime() - t1) / 1e9}%.2f s (pairs=$np)")
+      val t2 = System.nanoTime()
+      val repComp = Dedup.connectedComponents(repNodes,
+        repPairs.select(col("r1").as("id1"), col("r2").as("id2")), "rep")
+      val nc = repComp.count()
+      println(f"PROF phase-ccloop: ${(System.nanoTime() - t2) / 1e9}%.2f s (rows=$nc)")
+      val t3 = System.nanoTime()
+      val n = memberMap.join(repComp, "rep").count()
+      println(f"PROF phase-expand: ${(System.nanoTime() - t3) / 1e9}%.2f s (rows=$n)")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val cc2 = time("cc-total2")(Dedup.simhashComponents(docs).count())
     println(s"PROF cc2-rows=$cc2")
     spark.stop()
