@@ -106,8 +106,13 @@ object TextFunctions {
   /** BPE-ish tokenizer pattern: space-prefixed letter runs, digit runs,
     * punctuation runs, whitespace runs — the GPT-2-style pre-tokenizer
     * shape without lookarounds, restricted to constructs Java regex and
-    * RE2 (DuckDB) evaluate identically so the oracle can replicate it. */
-  val bpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    * RE2 (DuckDB) evaluate identically so the oracle can replicate it.
+    * Whitespace is the EXPLICIT class [ \t\n\f\r], not \s: Java's \s
+    * includes vertical tab U+000B while RE2's does not, so \s would
+    * silently diverge on a document containing a VT. The oracle SQL
+    * interpolates this constant — one definition, both engines. */
+  val bpePattern: String =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+"
 
   /** BPE-ish tokens of the RAW text (pre-tokenizer pieces). */
   def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(bpePattern), lit(0))

@@ -344,7 +344,7 @@ object Dedup {
       nodes: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     // pairs with id1 < id2 are unique by the generators' contract, so
     // the two directions cannot collide — no distinct needed. Both
@@ -546,7 +546,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 6,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val (memberMap, repPairs, repNodes) = simhashRepFrames(docs, textCol, idCol, maxHamming)
     val repComp = connectedComponents(repNodes,
       repPairs.select(col("r1").as("id1"), col("r2").as("id2")), "rep", maxIter)

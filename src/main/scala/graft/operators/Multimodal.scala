@@ -43,11 +43,17 @@ object Multimodal {
 
   /** "Feature extraction": a fixed-width float vector from the payload —
     * the deterministic stand-in for an embedding model. Output shape is
-    * the real contract: ARRAY<FLOAT> of `dim`, non-null. */
+    * the real contract: ARRAY<FLOAT> of `dim`, non-null. Feature j is an
+    * md5-prefix hash of (bytes ‖ ":j") scaled to [0, 1) — md5 rather
+    * than xxhash so an oracle engine can recompute the exact vector and
+    * value-check pipelines built on top (see the multimodal_ann query).
+    */
   def featurizeStub(media: DataFrame, dim: Int = 8): DataFrame =
     media.withColumn("features",
-      transform(sequence(lit(1), lit(dim)),
-        i => (pmod(xxhash64(col("bytes"), i), lit(1000L)).cast("double") / 1000d).cast("float")))
+      transform(sequence(lit(1), lit(dim)), i =>
+        ((conv(substring(md5(concat(col("bytes"),
+            encode(concat(lit(":"), i.cast("string")), "UTF-8"))), 1, 8), 16, 10)
+          .cast("long") % 1000).cast("double") / 1000d).cast("float")))
 
   /** Frame sampling for video rows: one output row per sampled frame
     * index (every `everyMs` of duration). Non-video rows pass through

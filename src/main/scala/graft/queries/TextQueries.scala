@@ -335,7 +335,7 @@ object TextQueries extends QueryPack {
       s"""SELECT doc_id,
          |  CAST(len(string_split($dNorm, ' ')) AS BIGINT) AS n_ws,
          |  CAST(len(regexp_extract_all(text,
-         |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe
+         |    '$bpePattern')) AS BIGINT) AS n_bpe
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 

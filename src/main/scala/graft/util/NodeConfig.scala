@@ -89,7 +89,21 @@ object ConfigLoader {
           i += 1
           val sb = new StringBuilder
           while (i < s.length && s(i) != '"') {
-            if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
+            if (s(i) == '\\' && i + 1 < s.length) {
+              // decode the standard textproto escapes; anything else is
+              // a parse error rather than a silently mangled value
+              s(i + 1) match {
+                case 'n'  => sb.append('\n')
+                case 't'  => sb.append('\t')
+                case 'r'  => sb.append('\r')
+                case '\\' => sb.append('\\')
+                case '"'  => sb.append('"')
+                case '\'' => sb.append('\'')
+                case other => throw new IllegalArgumentException(
+                  s"Unable to parse node config: unsupported escape '\\$other' at offset $i")
+              }
+              i += 2
+            }
             else { sb.append(s(i)); i += 1 }
           }
           if (i >= s.length) throw new IllegalArgumentException(

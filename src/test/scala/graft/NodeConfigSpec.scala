@@ -58,6 +58,14 @@ class NodeConfigSpec extends AnyFunSuite {
     assert(cfg.nodeId === "")
   }
 
+  test("quoted-string escapes decode (\\n, \\t, \\\\, \\\") and unknown escapes raise") {
+    val cfg = ConfigLoader.fromString(
+      "node_id: \"a\\nb\\tc\\\\d\\\"e\"")
+    assert(cfg.nodeId === "a\nb\tc\\d\"e")
+    intercept[IllegalArgumentException](
+      ConfigLoader.fromString("node_id: \"bad\\x escape\""))
+  }
+
   test("missing file and malformed content raise") {
     intercept[IllegalArgumentException](ConfigLoader.fromFile("/nonexistent/x.textproto"))
     intercept[IllegalArgumentException](ConfigLoader.fromString("cache {"))

@@ -42,6 +42,18 @@ object ProfileScale {
       time(s"cc-x$k")(
         graft.operators.Dedup.simhashComponents(docs).count())
     }
+    // ADVERSARIAL CC: a single path graph (worst case for label
+    // propagation — diameter = node count). Pointer jumping doubles the
+    // spread distance per round, so rounds should grow ~log2(n), not n;
+    // GRAFT_CC_DEBUG=1 prints the round count to verify.
+    Seq(1000, 10000, 100000).foreach { chain =>
+      val nodes = spark.range(0, chain).select($"id".as("doc_id"))
+      val pairs = spark.range(0, chain - 1)
+        .select($"id".as("id1"), ($"id" + 1).as("id2"))
+      time(s"cc-chain-$chain")(
+        graft.operators.Dedup.connectedComponents(nodes, pairs)
+          .filter($"component" === 0L).count())
+    }
     spark.stop()
   }
 }
