@@ -17,6 +17,9 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS): read as long, graft.sources.Tables
       // converts to micros NTZ
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 64 MB broadcast threshold (production-typical; the 10 MB default
+      // pushed borderline rep-signature frames into sort-merge joins)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -381,11 +381,15 @@ object Dedup {
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l2"))
       val before = sc.getPersistentRDDs.keySet
+      // LAZY checkpoint: the convergence probe right below is the first
+      // action on `next`, so it materializes the checkpoint blocks in
+      // the same job — an eager checkpoint would spend one extra
+      // scheduling round trip per round just to populate them.
       val next = stepped
         .join(labels.select(col("id").as("l2"), col("label").as("jmp")), Seq("l2"), "left")
         .select(col("id"), col("old"),
           least(col("l2"), coalesce(col("jmp"), col("l2"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).select(col("id"), col("label"))
       converged = changed.isEmpty
       labels = next.select(col("id"), col("label"))
