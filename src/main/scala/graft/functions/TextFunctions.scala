@@ -97,6 +97,14 @@ object TextFunctions {
     * oracle-visible (a rep collapse keyed on it is semantics-preserving
     * regardless of the key function). */
   def setFingerprint(arr: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SetFingerprint(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr)))
+
+  /** Builtin-composed spec form of [[setFingerprint]]. The aggregate()
+    * HOFs are CodegenFallback — interpreted per element AND they split
+    * the enclosing whole-stage-codegen span; spec/test use only. */
+  def setFingerprintHof(arr: Column): Column =
     struct(
       aggregate(arr, lit(0L), (acc, s) => acc.bitwiseXOR(xxhash64(s))).as("f1"),
       aggregate(arr, lit(0L),

@@ -140,6 +140,20 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("setFingerprint native ≡ HOF spec for long and string arrays") {
+    val rnd = new scala.util.Random(31)
+    val longRows = (0 until 30).map(_ =>
+      Tuple1(Seq.fill(rnd.nextInt(30))(rnd.nextLong()))) :+ Tuple1(Seq.empty[Long])
+    longRows.toDF("a")
+      .select(setFingerprint($"a").as("x"), setFingerprintHof($"a").as("y"))
+      .collect().foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
+    val strRows = (0 until 30).map(_ =>
+      Tuple1(Seq.fill(rnd.nextInt(10))(rnd.nextString(6)))) :+ Tuple1(Seq.empty[String])
+    strRows.toDF("a")
+      .select(setFingerprint($"a").as("x"), setFingerprintHof($"a").as("y"))
+      .collect().foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
+  }
+
   test("bpeTokens splits letter/digit/punct runs with space prefixes") {
     val got = Seq("Hello world42, ok!").toDF("text")
       .select(bpeTokens($"text").as("t")).head().getSeq[String](0)
