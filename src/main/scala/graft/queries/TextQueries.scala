@@ -236,8 +236,42 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"token")
         .limit(20)
+    }),
+
+    // Vocabulary scrubbing (the PII-redaction shape on this corpus):
+    // count and replace a sensitive-term list, report length deltas.
+    // \b is an ASCII word boundary in BOTH Java regex and RE2.
+    "text_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val pat = TextQueries.scrubPattern
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long").as("n_hits"),
+          length($"text").cast("long").as("len_raw"),
+          length(regexp_replace($"text", pat, "<TERM>")).cast("long").as("len_scrubbed"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality-filter keep decision: token count window, type-token
+    // ratio, and tiny-stopword density — the survivors of a
+    // training-data quality gate, with their metrics.
+    "quality_keep" -> ((s, dir) => {
+      import s.implicits._
+      val tok = tokens($"text")
+      val ntok = size(tok).cast("long")
+      val ndis = size(array_distinct(tok)).cast("long")
+      val nstop = size(filter(tok, t => t === "the" || t === "a")).cast("long")
+      Tables.documents(s, dir)
+        .select($"doc_id", ntok.as("n_tok"), ndis.as("n_distinct"),
+          round(ndis.cast("double") / ntok, 6).as("ttr"),
+          round(nstop.cast("double") / ntok, 6).as("stop_ratio"))
+        .filter($"n_tok".between(20, 400) && $"ttr" >= 0.3 && $"stop_ratio" <= 0.2)
+        .orderBy($"doc_id")
     })
   )
+
+  /** Sensitive-term scrub pattern — shared verbatim with the oracle. */
+  val scrubPattern: String = "\\b(customer|value|spark)\\b"
 
   def oracle: Map[String, String] = Map(
 
@@ -363,6 +397,34 @@ object TextQueries extends QueryPack {
          |FROM (SELECT unnest(string_split($dNorm, ' ')) AS token FROM documents)
          |GROUP BY token
          |ORDER BY n DESC, token
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$scrubPattern')) AS BIGINT) AS n_hits,
+         |  CAST(length(text) AS BIGINT) AS len_raw,
+         |  CAST(length(regexp_replace(text, '$scrubPattern', '<TERM>', 'g')) AS BIGINT)
+         |    AS len_scrubbed
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_keep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS tok FROM documents
+         |), m AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(tok, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, n_tok, n_distinct,
+         |    round(n_distinct * 1.0 / n_tok, 6) AS ttr,
+         |    round(n_stop * 1.0 / n_tok, 6) AS stop_ratio
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tok, n_distinct, ttr, stop_ratio
+         |FROM r
+         |WHERE n_tok BETWEEN 20 AND 400 AND ttr >= 0.3 AND stop_ratio <= 0.2
+         |ORDER BY doc_id""".stripMargin
   )
 }
