@@ -414,6 +414,45 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("component"))
   }
 
+  /** Plagiarism-candidate pairs by shared winnowing fingerprints: docs
+    * sharing ≥ `minShared` RARE fingerprints (document frequency ≤
+    * `maxDf`). The df filter is the scale decision, not a shortcut:
+    * template/boilerplate substrings produce stop-fingerprints shared
+    * by thousands of documents (394 of 500 docs share one fp on the
+    * test corpus), and pair expansion inside such a group is quadratic
+    * — capping df caps every group's expansion at C(maxDf, 2) while
+    * keeping exactly the discriminative fingerprints a match system
+    * ranks on. Candidates come from ONE equi-join on the fingerprint
+    * value (both sides the same aliased frame → shared shuffle), then a
+    * count aggregation per pair.
+    *
+    * Returns (id1, id2, n_shared) with id1 < id2,
+    * n_shared ≥ minShared. */
+  def fingerprintPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 5,
+      w: Int = 4,
+      maxDf: Int = 20,
+      minShared: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"), col(textCol))
+      .repartition(col("id")) // spread the hash work past few input splits
+      .select(col("id"), explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // df-count + pair join consumers
+    val rare = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val fpr = fp.join(rare, "fp")
+    fpr.as("a").join(fpr.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** All-pairs word-shingle jaccard within a blocking key (exact n-gram
     * Jaccard dedup; the blocked-quadratic baseline LSH approximates). */
   def jaccardPairsBlocked(

@@ -238,6 +238,16 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // Plagiarism candidates: pairs sharing ≥ 3 RARE winnowing
+    // fingerprints (df ≤ 20 — boilerplate fps are stop-fingerprints;
+    // see Dedup.fingerprintPairs for why the cap is the scale design).
+    "fp_overlap" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.fingerprintPairs(Tables.documents(s, dir),
+          k = 5, w = 4, maxDf = 20, minShared = 3)
+        .orderBy($"id1", $"id2")
+    }),
+
     // Vocabulary scrubbing (the PII-redaction shape on this corpus):
     // count and replace a sensitive-term list, report length deltas.
     // \b is an ASCII word boundary in BOTH Java regex and RE2.
@@ -398,6 +408,31 @@ object TextQueries extends QueryPack {
          |GROUP BY token
          |ORDER BY n DESC, token
          |LIMIT 20""".stripMargin,
+
+    "fp_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(1, greatest(len(text) - 4, 0) + 1), i -> text[i:i+4]),
+         |    s -> ${dHash32("s")}) AS hs
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_distinct(
+         |           list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+         |             i -> list_min(hs[i:i+3])))
+         |    END) AS fp
+         |  FROM t
+         |), d AS (
+         |  SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20
+         |), fr AS (
+         |  SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     "text_scrub" ->
       s"""SELECT doc_id,

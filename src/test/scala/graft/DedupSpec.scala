@@ -49,6 +49,22 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("fingerprintPairs: rare shared substrings pair up, boilerplate is filtered") {
+    val boiler = "common boilerplate run shared by everyone here"
+    val corpus = Seq(
+      (1L, s"alpha UNIQUE-SHARED-SEGMENT-OF-TEXT omega $boiler"),
+      (2L, s"beta UNIQUE-SHARED-SEGMENT-OF-TEXT gamma $boiler"),
+      (3L, s"three $boiler"), (4L, s"four $boiler"), (5L, s"five $boiler"),
+      (6L, s"six $boiler"), (7L, s"seven $boiler")
+    ).toDF("doc_id", "text")
+    // df cap 2: only fingerprints private to ≤2 docs count — the
+    // boilerplate (df 7) contributes nothing
+    val got = Dedup.fingerprintPairs(corpus, maxDf = 2, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got === Set((1L, 2L)))
+  }
+
   test("embedding near-dups finds only close pairs within block") {
     val vecs = Seq(
       (1L, 0, Seq(0f, 0f)), (2L, 0, Seq(0.1f, 0f)),
