@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpec {
     val gen = p.linesIterator.filter(_.contains("Generate")).mkString
     assert(!gen.contains("bytes"), "explode input should drop media bytes")
   }
+
+  test("candidate-pair generators plan as equi joins — no nested loop, no cartesian") {
+    Seq("dedup_simhash", "fp_overlap", "dedup_cc").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans a quadratic join:\n$p")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
+  test("doc_fingerprint scan reads only doc_id and text") {
+    val p = plan("doc_fingerprint")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "winnow query should prune all metadata columns")
+  }
+
+  test("multimodal_ann: cell assignment is row-local, query side broadcast") {
+    val p = plan("multimodal_ann")
+    // no exchange may feed the probe join's vector side beyond the
+    // broadcast of the tiny query set; the kernel names appear inline
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
