@@ -358,8 +358,9 @@ object Dedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val beforeLabels0 = sc.getPersistentRDDs.keySet
+    // lazy like the round checkpoints: round 1 materializes it
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // DELTA ITERATION: labels are monotone (only ever decrease), so a
     // node's neighbor-minimum can change only through neighbors whose
     // label changed LAST round — every label value is offered to its

@@ -186,6 +186,43 @@ class DedupDifferentialSpec extends SparkSpec {
       s"missed the engineered top-byte pair: a='$ta' b='$tb'")
   }
 
+  /** Driver-side mirror of winnowing (hash32 of char k-grams in
+    * position order, sliding-window minima, distinct). */
+  private def naiveWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    if (text.length < k) return Set.empty
+    val hs = (0 to text.length - k).map(i => hash32(text.substring(i, i + k)))
+    val windows = math.max(hs.length - w + 1, 1)
+    (0 until windows).map(i => hs.slice(i, i + w).min).toSet
+  }
+
+  test("fingerprintPairs ≡ naive winnow + df-cap + pair count on random corpora") {
+    val alpha = "abcd "
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 40)
+        cs <- Gen.listOfN(len, Gen.oneOf(alpha.toSeq))
+      } yield cs.mkString)
+    } yield texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+    samples(gen, 6).foreach { corpus =>
+      val k = 5; val w = 4; val maxDf = 3; val minShared = 2
+      val fps = corpus.map { case (id, t) => id -> naiveWinnow(t, k, w) }.toMap
+      val df = fps.values.flatten.groupBy(identity).map { case (fp, o) => fp -> o.size }
+      val rare = df.collect { case (fp, c) if c <= maxDf => fp }.toSet
+      val expected = (for {
+        (id1, f1) <- fps; (id2, f2) <- fps
+        if id1 < id2
+        shared = (f1 & f2 & rare).size
+        if shared >= minShared
+      } yield (id1, id2, shared.toLong)).toSet
+      val got = Dedup.fingerprintPairs(corpus.toDF("doc_id", "text"),
+          k = k, w = w, maxDf = maxDf, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.clearCache()
+      assert(got === expected, s"corpus=$corpus")
+    }
+  }
+
   test("keep and connectedComponents ≡ naive forms on random corpora") {
     val vocab = Seq("alpha", "beta", "gamma", "delta")
     val docGen = for {
