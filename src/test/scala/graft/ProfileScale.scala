@@ -41,6 +41,8 @@ object ProfileScale {
         graft.operators.Dedup.minhashKeep(docs, threshold = 0.8).count())
       time(s"cc-x$k")(
         graft.operators.Dedup.simhashComponents(docs).count())
+      time(s"fp-x$k")(
+        graft.operators.Dedup.fingerprintPairs(docs).count())
     }
     // ADVERSARIAL CC: a single path graph (worst case for label
     // propagation — diameter = node count). Pointer jumping doubles the
