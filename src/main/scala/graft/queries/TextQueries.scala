@@ -238,6 +238,25 @@ object TextQueries extends QueryPack {
         .limit(20)
     }),
 
+    // The END-TO-END cleaning pipeline a training-data user runs:
+    // near-dup survivor decision (exact dups are jaccard-1.0 pairs, so
+    // minhashKeep subsumes exact dedup) composed with the quality gate
+    // — one call, one plan, three operators fused by Catalyst.
+    "pipeline_clean" -> ((s, dir) => {
+      import s.implicits._
+      val tok = tokens($"text")
+      val ntok = size(tok).cast("long")
+      val ndis = size(array_distinct(tok)).cast("long")
+      val nstop = size(filter(tok, t => t === "the" || t === "a")).cast("long")
+      Dedup.minhashKeep(Tables.documents(s, dir),
+          shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
+        .select($"doc_id", ntok.as("n_tok"), ndis.as("n_distinct"),
+          round(ndis.cast("double") / ntok, 6).as("ttr"),
+          round(nstop.cast("double") / ntok, 6).as("stop_ratio"))
+        .filter($"n_tok".between(20, 400) && $"ttr" >= 0.3 && $"stop_ratio" <= 0.2)
+        .orderBy($"doc_id")
+    }),
+
     // Plagiarism candidates: pairs sharing ≥ 3 RARE winnowing
     // fingerprints (df ≤ 20 — boilerplate fps are stop-fingerprints;
     // see Dedup.fingerprintPairs for why the cap is the scale design).
@@ -441,6 +460,28 @@ object TextQueries extends QueryPack {
          |  CAST(length(regexp_replace(text, '$scrubPattern', '<TERM>', 'g')) AS BIGINT)
          |    AS len_scrubbed
          |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS tok FROM documents
+         |  WHERE doc_id NOT IN (
+         |    SELECT id2 FROM (${dMinhashPipeline(dTok, 12, 4, 0.8)})
+         |  )
+         |), m AS (
+         |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(tok, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, n_tok, n_distinct,
+         |    round(n_distinct * 1.0 / n_tok, 6) AS ttr,
+         |    round(n_stop * 1.0 / n_tok, 6) AS stop_ratio
+         |  FROM m
+         |)
+         |SELECT doc_id, n_tok, n_distinct, ttr, stop_ratio
+         |FROM r
+         |WHERE n_tok BETWEEN 20 AND 400 AND ttr >= 0.3 AND stop_ratio <= 0.2
          |ORDER BY doc_id""".stripMargin,
 
     "quality_keep" ->
