@@ -17,8 +17,9 @@ import graft.functions.VectorFunctions._
   *    materializes; the exact jaccard verification runs only on
   *    candidates. Band/row counts trade recall vs candidate volume:
   *    P(candidate) = 1 - (1 - j^r)^b.
-  *  - SimHash: one 32-bit sketch per doc; near-dup = small hamming
-  *    distance, candidates blocked on the high bits.
+  *  - SimHash: one 56-bit sketch per doc; near-dup = small hamming
+  *    distance, candidates from maxHamming+1 disjoint pigeonhole bands
+  *    (guaranteed recall — equal to the full quadratic join).
   *  - Embedding near-dup: exact within blocks (here: label; generally:
   *    any coarse quantization/IVF cell) — the blocked-exact baseline the
   *    Ann LSH path approximates.
