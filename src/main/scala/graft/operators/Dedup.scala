@@ -59,12 +59,20 @@ object Dedup {
 
   /** LSH candidate pairs from a signature column: `bands` bands of
     * `rowsPerBand` signature elements; pair = same digest in any band.
-    * Output: (id1, id2) with id1 < id2, distinct. */
+    * Output: (id1, id2) with id1 < id2, distinct.
+    *
+    * `dedupe = false` returns the RAW join output (a pair repeats once
+    * per matching band, ≤ `bands`×) and skips the distinct shuffle —
+    * the right cost model when a cheap downstream filter (the est gate)
+    * kills nearly every candidate, so deduplicating the few survivors
+    * later is far cheaper than shuffling millions of candidate pairs
+    * first. See minhashRepPairs. */
   def lshCandidates(
       withSig: DataFrame,
       idCol: String,
       bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int,
+      dedupe: Boolean = true): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(":", (0 until rowsPerBand).map(r =>
@@ -76,10 +84,11 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-        && col("a.id") < col("b.id"))
+    val raw = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    if (dedupe) raw.distinct() else raw
   }
 
   /** MinHash+LSH near-duplicate pairs with exact jaccard verification on
@@ -116,9 +125,10 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.8,
       shingler: Column => Column = null,
-      hashedShingler: Column => Column = null): DataFrame = {
+      hashedShingler: Column => Column = null,
+      earlyCandidateDistinct: Boolean = true): DataFrame = {
     val (memberMap, verified) = minhashRepPairs(docs, textCol, idCol, shingleN,
-      numHashes, bands, threshold, shingler, hashedShingler)
+      numHashes, bands, threshold, shingler, hashedShingler, earlyCandidateDistinct)
     // 5: expand rep pairs to member pairs (same sets → same jaccard).
     // Scalar equi-joins on the rep id — AQE broadcasts the small side at
     // test scale, sort-merge at 100 TB; a member of cluster 1 can exceed
@@ -154,7 +164,8 @@ object Dedup {
       bands: Int,
       threshold: Double,
       shingler: Column => Column,
-      hashedShingler: Column => Column = null): (DataFrame, DataFrame) = {
+      hashedShingler: Column => Column = null,
+      earlyCandidateDistinct: Boolean = true): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     // The pipeline works on HASHED shingles end to end — the shingle
     // strings never leave the scan projection. `hashedShingler` (e.g.
@@ -225,8 +236,15 @@ object Dedup {
       .join(withSig.select(col("set_key"), col("rep")), "set_key")
       .select(col("rep"), col("id"))
     // 4: LSH candidates between representatives
+    // earlyCandidateDistinct is a pure cost-model switch (the output
+    // pair set is identical): distinct-first when verification is the
+    // expensive side (word unigrams: most candidates verify, dup factor
+    // small); distinct-last when the est gate is highly selective
+    // (char-4-grams at sf0.1: 4.5 M distinct candidates, 238 survivors
+    // — shuffling millions of pairs to dedupe them before killing them
+    // was the dominant cost).
     val cand = lshCandidates(withSig.select(col("rep").as("id"), col("minhash_sig")),
-      "id", bands, rowsPerBand)
+      "id", bands, rowsPerBand, dedupe = earlyCandidateDistinct)
     // Two-stage verification in ONE join pair: the O(H)
     // signature-agreement estimate runs first and gates the exact-
     // jaccard merge (filter order preserved by the conjunction below —
@@ -267,7 +285,7 @@ object Dedup {
       .select(col("id1"), col("id2"),
         when(est >= estFloor, jac).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (memberMap, verified)
+    (memberMap, if (earlyCandidateDistinct) verified else verified.distinct())
   }
 
   /** The survivor set of minhash near-dedup WITHOUT materializing the

@@ -135,7 +135,10 @@ object TextQueries extends QueryPack {
       import s.implicits._
       Dedup.minhashNearDups(Tables.documents(s, dir),
           numHashes = 48, bands = 16, threshold = 0.55,
-          hashedShingler = c => ngramHashes(c, 4))
+          hashedShingler = c => ngramHashes(c, 4),
+          // est-selective profile: 4.5 M distinct candidates, ~250
+          // survivors at sf0.1 — dedupe survivors, not candidates
+          earlyCandidateDistinct = false)
         .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
         .orderBy($"id1", $"id2")
     }),

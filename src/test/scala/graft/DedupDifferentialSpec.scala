@@ -103,6 +103,14 @@ class DedupDifferentialSpec extends SparkSpec {
       got.foreach { case (k, j) =>
         assert(math.abs(j - expected(k)) < 1e-9, s"jaccard mismatch at $k corpus=$corpus")
       }
+      // distinct placement is a pure cost-model switch — identical rows
+      val late = Dedup.minhashNearDups(
+          corpus.toDF("doc_id", "text"), threshold = 0.55, numHashes = 48, bands = 16,
+          hashedShingler = c => ngramHashes(c, 4), earlyCandidateDistinct = false)
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+      spark.catalog.clearCache()
+      assert(late === got, s"earlyCandidateDistinct divergence corpus=$corpus")
     }
   }
 
