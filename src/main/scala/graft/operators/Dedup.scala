@@ -351,11 +351,15 @@ object Dedup {
     * jobs. Labels only ever decrease and always name a node of the same
     * component, so the fixpoint (stable under both steps) is exactly the
     * component-minimum labeling. Rounds are bounded by `maxIter`; each
-    * round's labels are localCheckpointed so lineage stays flat (the
-    * iterative-algorithm pattern — at petabyte scale swap for reliable
-    * checkpoints). The convergence probe rides on the checkpointed frame
-    * (a cached-scan count, not an extra join job). Early-exits as soon
-    * as a round changes nothing.
+    * round's labels are checkpointed so lineage stays flat (the
+    * iterative-algorithm pattern). Checkpoints are LOCAL (block-manager
+    * blocks, lost with an executor) by default; set the session conf
+    * `graft.cc.reliableCheckpoint=true` plus `sc.setCheckpointDir` for
+    * RELIABLE checkpoints — at petabyte scale an executor loss mid-loop
+    * must not force a full restart, and the truncated lineage cannot
+    * recompute local blocks. The convergence probe rides on the
+    * checkpointed frame (a cached-scan count, not an extra join job).
+    * Early-exits as soon as a round changes nothing.
     *
     * Returns (idCol, component) for EVERY node (singletons map to
     * themselves). */
@@ -364,7 +368,26 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       maxIter: Int = 50): DataFrame = {
-    val sc = nodes.sparkSession.sparkContext
+    val spark = nodes.sparkSession
+    val reliable = spark.conf.getOption("graft.cc.reliableCheckpoint")
+      .exists(_.toBoolean)
+    // LAZY checkpoints throughout: the convergence probe below is the
+    // first action on each round's frame, so it materializes the
+    // checkpoint in the same job — an eager checkpoint would spend one
+    // extra scheduling round trip per round just to populate it.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+    // The exact RDD a checkpointed Dataset wraps (its plan is a
+    // LogicalRDD leaf) — unpersisting THIS id frees the round's blocks
+    // without touching anything else persisted on the SparkContext.
+    // (The previous global getPersistentRDDs id-set diff destructively
+    // unpersisted RDDs that OTHER concurrent jobs checkpointed inside a
+    // round window — local-checkpoint blocks are the only copy.)
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     // pairs with id1 < id2 are unique by the generators' contract, so
     // the two directions cannot collide — no distinct needed. Both
     // directions come from ONE explode pass: a union of two selects
@@ -376,10 +399,8 @@ object Dedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val beforeLabels0 = sc.getPersistentRDDs.keySet
     // lazy like the round checkpoints: round 1 materializes it
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(false)
+    var labels = ckpt(nodes.select(col(idCol).as("id"), col(idCol).as("label")))
     // DELTA ITERATION: labels are monotone (only ever decrease), so a
     // node's neighbor-minimum can change only through neighbors whose
     // label changed LAST round — every label value is offered to its
@@ -389,7 +410,7 @@ object Dedup {
     // cluster (which converges immediately) stops paying its edge
     // volume after the first round.
     var changed = labels
-    var roundIds = sc.getPersistentRDDs.keySet -- beforeLabels0
+    var prevRdd = ckptRdd(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -400,16 +421,10 @@ object Dedup {
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l2"))
-      val before = sc.getPersistentRDDs.keySet
-      // LAZY checkpoint: the convergence probe right below is the first
-      // action on `next`, so it materializes the checkpoint blocks in
-      // the same job — an eager checkpoint would spend one extra
-      // scheduling round trip per round just to populate them.
-      val next = stepped
+      val next = ckpt(stepped
         .join(labels.select(col("id").as("l2"), col("label").as("jmp")), Seq("l2"), "left")
         .select(col("id"), col("old"),
-          least(col("l2"), coalesce(col("jmp"), col("l2"))).as("label"))
-        .localCheckpoint(false)
+          least(col("l2"), coalesce(col("jmp"), col("l2"))).as("label")))
       changed = next.filter(col("label") =!= col("old")).select(col("id"), col("label"))
       converged = changed.isEmpty
       labels = next.select(col("id"), col("label"))
@@ -418,10 +433,10 @@ object Dedup {
       // over the loop (long-lived sessions calling this directly would
       // otherwise accumulate one dead block set per round). The final
       // round's blocks stay live — the returned frame reads them.
-      val fresh = sc.getPersistentRDDs.keySet -- before
-      (roundIds -- fresh).foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      roundIds = fresh
+      // Reliable checkpoints live as files, not blocks: leave them to
+      // the ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints).
+      if (!reliable) prevRdd.foreach(_.unpersist(false))
+      prevRdd = ckptRdd(next)
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"PROF cc-round=$i converged=$converged t=${System.nanoTime()}")

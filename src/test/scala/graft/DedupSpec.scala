@@ -108,6 +108,48 @@ class DedupSpec extends SparkSpec {
     assert(roots === Set(1L, 4L, 5L))
   }
 
+  test("connectedComponents with reliable checkpoints (graft.cc.reliableCheckpoint)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    dir.deleteOnExit()
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    spark.conf.set("graft.cc.reliableCheckpoint", "true")
+    try {
+      val nodes = (1L to 7L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+      val got = Dedup.connectedComponents(nodes, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L))
+      // the rounds actually went through the reliable path: checkpoint
+      // files exist under the configured dir
+      def deepFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(deepFiles) else Seq(f)
+      assert(deepFiles(dir).nonEmpty)
+    } finally spark.conf.unset("graft.cc.reliableCheckpoint")
+  }
+
+  test("connectedComponents frees only its own round blocks") {
+    val sc = spark.sparkContext
+    // an unrelated checkpointed frame alive across the whole call — the
+    // round cleanup must not touch it (the r4 ADVICE scenario: a global
+    // persistent-RDD id diff unpersisted concurrent jobs' only copy)
+    val bystander = Seq((1L, "x"), (2L, "y")).toDF("id", "v").localCheckpoint(true)
+    val bystanderRows = bystander.collect().toSet
+    val before = sc.getPersistentRDDs.keySet
+    val nodes = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    Dedup.connectedComponents(nodes, pairs).count()
+    // every intermediate round was freed: at most the final round's
+    // labels (1 RDD) survives beyond what existed before
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked round checkpoints: $leaked")
+    // the bystander's blocks are intact (unpersisting a localCheckpoint
+    // destroys the only copy — a re-collect would throw)
+    assert(bystander.collect().toSet === bystanderRows)
+    sc.getPersistentRDDs.filter { case (id, _) => !before.contains(id) }
+      .values.foreach(_.unpersist(false))
+  }
+
   test("simhashComponents ≡ generic CC over the expanded pair set (testdata)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaReps = Dedup.simhashComponents(docs).collect()
