@@ -393,14 +393,38 @@ object Dedup {
     // directions come from ONE explode pass: a union of two selects
     // would evaluate the (unpersisted, often join-heavy) pairs subtree
     // twice when this persist materializes.
-    val edges = pairs
+    val edgesRaw = pairs
       .select(explode(array(
         struct(col("id1").as("a"), col("id2").as("b")),
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgesRaw.count() // materialize the cache once, size the regime
+    // SMALL-GRAPH REGIME: below ~10M edges a round's wall time is
+    // scheduling round trips, not data — AQE re-plans and submits every
+    // shuffle stage as its own job, serializing several driver round
+    // trips per round for frames of a few thousand rows. Running the
+    // loop in a cloned session (same SparkContext, so caches and
+    // checkpoints are shared; independent runtime conf, so nothing leaks
+    // to concurrent queries) with AQE off and few shuffle partitions
+    // collapses each round to one pipelined job. At real edge volumes
+    // AQE earns its round trips and the caller's confs apply unchanged.
+    val smallGraph = nEdges <= spark.conf.getOption("graft.cc.smallGraphEdges")
+      .map(_.toLong).getOrElse(10L * 1000 * 1000)
+    val (loopSession, edges) =
+      if (!smallGraph) (spark, edgesRaw)
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+        if (reliable) s.conf.set("graft.cc.reliableCheckpoint", "true")
+        (s, org.apache.spark.sql.graftbridge.ColumnBridge.withSession(s, edgesRaw))
+      }
+    val loopNodes =
+      org.apache.spark.sql.graftbridge.ColumnBridge.withSession(loopSession, nodes)
     // lazy like the round checkpoints: round 1 materializes it
-    var labels = ckpt(nodes.select(col(idCol).as("id"), col(idCol).as("label")))
+    var labels = ckpt(loopNodes.select(col(idCol).as("id"), col(idCol).as("label")))
     // DELTA ITERATION: labels are monotone (only ever decrease), so a
     // node's neighbor-minimum can change only through neighbors whose
     // label changed LAST round — every label value is offered to its
@@ -414,19 +438,35 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val nbrMin = edges
-        .join(changed.select(col("id").as("b"), col("label").as("nl")), "b")
-        .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
+      // Round 1 specializes BOTH joins away: labels are the identity, so
+      // the frontier join is just the edge list (min neighbor id) and the
+      // pointer jump is a no-op (label(label(id)) = id) — the first round
+      // is one groupBy + one left join instead of three joins.
+      val nbrMin =
+        (if (i == 0) edges.select(col("a"), col("b").as("nl"))
+         else edges.join(
+           changed.select(col("id").as("b"), col("label").as("nl")), "b"))
+          .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
       val stepped = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("l2"))
-      val next = ckpt(stepped
-        .join(labels.select(col("id").as("l2"), col("label").as("jmp")), Seq("l2"), "left")
-        .select(col("id"), col("old"),
-          least(col("l2"), coalesce(col("jmp"), col("l2"))).as("label")))
+      val tCk0 = if (sys.env.contains("GRAFT_CC_DEBUG")) System.nanoTime() else 0L
+      val next = ckpt(
+        if (i == 0) stepped.select(col("id"), col("old"), col("l2").as("label"))
+        else stepped
+          .join(labels.select(col("id").as("l2"), col("label").as("jmp")), Seq("l2"), "left")
+          .select(col("id"), col("old"),
+            least(col("l2"), coalesce(col("jmp"), col("l2"))).as("label")))
+      val tCk1 = if (sys.env.contains("GRAFT_CC_DEBUG")) System.nanoTime() else 0L
       changed = next.filter(col("label") =!= col("old")).select(col("id"), col("label"))
-      converged = changed.isEmpty
+      // count(), not isEmpty: a full count materializes EVERY checkpoint
+      // partition inside this one job — take(1) would run a partial job
+      // and leave the checkpoint fill to a second scheduling round trip.
+      converged = changed.count() == 0
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"PROF cc-split round=${i + 1} ckpt-plan=${(tCk1 - tCk0) / 1e9}%.3f " +
+          f"probe=${(System.nanoTime() - tCk1) / 1e9}%.3f")
       labels = next.select(col("id"), col("label"))
       // the previous round's checkpoint blocks are dead once `next` is
       // materialized — free them NOW instead of letting them pile up
@@ -445,8 +485,11 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents: NOT converged after " +
         s"maxIter=$maxIter rounds — labels are an upper bound on the " +
         s"component minima, not the fixpoint; raise maxIter")
-    edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("component"))
+    edgesRaw.unpersist()
+    // hand the result back rooted on the CALLER's session — downstream
+    // plans must run under the caller's confs, not the loop clone's
+    org.apache.spark.sql.graftbridge.ColumnBridge.withSession(spark,
+      labels.select(col("id").as(idCol), col("label").as("component")))
   }
 
   /** Plagiarism-candidate pairs by shared winnowing fingerprints: docs

@@ -46,6 +46,39 @@ object ProfileCC {
     }
     val cc2 = time("cc-total2")(Dedup.simhashComponents(docs).count())
     println(s"PROF cc2-rows=$cc2")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // job-level attribution for the loop passes
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    val t0g = System.nanoTime()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(js.jobId, System.nanoTime() - t0g)
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = Option(starts.get(je.jobId)).getOrElse(0L)
+        jobLog.add((je.jobId, s, System.nanoTime() - t0g - s))
+      }
+    })
+    // A/B the small-graph loop regime in one JVM (noise-paired): the
+    // rep frames are rebuilt per pass so every pass pays the same
+    // pipeline; only the loop regime flips.
+    for (round <- 1 to 1; small <- Seq(true, false)) {
+      spark.conf.set("graft.cc.smallGraphEdges", if (small) "10000000" else "0")
+      val (memberMap, repPairs, repNodes) =
+        Dedup.simhashRepFrames(docs, "text", "doc_id", 6)
+      repPairs.count()
+      val t0 = System.nanoTime()
+      jobLog.clear()
+      Dedup.connectedComponents(repNodes,
+        repPairs.select(col("r1").as("id1"), col("r2").as("id2")), "rep").count()
+      println(f"PROF ab-loop small=$small round=$round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      jobLog.forEach { case (id, s, d) =>
+        println(f"PROF   job=$id start=${s / 1e9}%.2f dur=${d / 1e9}%.3f") }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.conf.unset("graft.cc.smallGraphEdges")
     spark.stop()
   }
 }
