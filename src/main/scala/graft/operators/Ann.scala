@@ -126,6 +126,21 @@ object Ann {
     transform(centroidLit(cents), s =>
       struct(l2sq(emb, s.getField("_2")).as("dist"), s.getField("_1").as("cell")))
 
+  /** Ship a centroid table to executors once as torrent-broadcast
+    * blocks. The returned handle can back any number of
+    * [[nearestCell]]/[[probeCells]] columns (pass it as `shared`);
+    * long-lived services should build ONE handle per centroid table and
+    * `.destroy()` it when the index version is retired. Columns built
+    * without an explicit handle broadcast lazily per call and are
+    * reclaimed by the ContextCleaner once the plan that references the
+    * handle is garbage-collected (`spark.cleaner.referenceTracking`,
+    * default on). */
+  def broadcastCentroids(cents: Seq[(Long, Array[Float])])
+      : org.apache.spark.broadcast.Broadcast[graft.expressions.CentroidSet] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+      graft.expressions.CentroidSet(
+        cents.map(_._1).toArray, cents.map(_._2).toArray))
+
   /** Broadcast-backed (dist, cell) probe column: the centroid table
     * ships to executors ONCE as torrent-broadcast blocks and the
     * expression holds only the `Broadcast` handle — unlike
@@ -133,14 +148,11 @@ object Ann {
     * plan of every task. The scale path above [[InlineCentroidMax]];
     * value-identical to the literal fold (AnnSpec, incl. K=4096×dim=64). */
   private[graft] def probeCellsBcastCol(emb: Column,
-      cents: Seq[(Long, Array[Float])], nprobe: Int): Column = {
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val bc = sc.broadcast(graft.expressions.CentroidSet(
-      cents.map(_._1).toArray, cents.map(_._2).toArray))
+      bc: org.apache.spark.broadcast.Broadcast[graft.expressions.CentroidSet],
+      nprobe: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.ProbeCellsBcast(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb), bc, nprobe))
-  }
 
   /** Row-local nearest-centroid cell, evaluated inside the scan
     * projection — no join, no exchange, no window. Lexicographic struct
@@ -148,10 +160,18 @@ object Ann {
     * `least` over inline literal structs (tightest codegen); large K the
     * broadcast probe kernel so the centroid table is not re-shipped per
     * task — value-identical (AnnSpec; [[nearestCellFold]] stays as the
-    * literal-fold executable spec). */
-  def nearestCell(emb: Column, cents: Seq[(Long, Array[Float])]): Column =
+    * literal-fold executable spec). Pass `shared` (from
+    * [[broadcastCentroids]]) to reuse one broadcast across several
+    * columns/calls instead of shipping a fresh one.
+    * `try_element_at`, not `element_at`: a dimension-less corpus (no
+    * matching centroid) probes an empty array, which must yield null —
+    * the literal-fold behavior — under ANSI mode too, not throw. */
+  def nearestCell(emb: Column, cents: Seq[(Long, Array[Float])],
+      shared: Option[org.apache.spark.broadcast.Broadcast[
+        graft.expressions.CentroidSet]] = None): Column =
     if (cents.size <= InlineCentroidMax) nearestCellInline(emb, cents)
-    else element_at(probeCellsBcastCol(emb, cents, 1), 1)
+    else try_element_at(
+      probeCellsBcastCol(emb, shared.getOrElse(broadcastCentroids(cents)), 1), lit(1))
 
   private[graft] def nearestCellInline(emb: Column, cents: Seq[(Long, Array[Float])]): Column = {
     val scored = cents.map { case (cellId, c) =>
@@ -168,13 +188,15 @@ object Ann {
     * (distance, cell) — same hybrid as [[nearestCell]]; `array_sort` on
     * structs is the lexicographic order at small K, the broadcast probe
     * kernel above [[InlineCentroidMax]]. */
-  def probeCells(qvec: Column, cents: Seq[(Long, Array[Float])], nprobe: Int): Column =
+  def probeCells(qvec: Column, cents: Seq[(Long, Array[Float])], nprobe: Int,
+      shared: Option[org.apache.spark.broadcast.Broadcast[
+        graft.expressions.CentroidSet]] = None): Column =
     if (cents.size <= InlineCentroidMax) {
       val scored = array(cents.map { case (cellId, c) =>
         struct(l2sq(qvec, lit(c)).as("dist"), lit(cellId).as("cell"))
       }: _*)
       transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
-    } else probeCellsBcastCol(qvec, cents, nprobe)
+    } else probeCellsBcastCol(qvec, shared.getOrElse(broadcastCentroids(cents)), nprobe)
 
   /** Vectors with their IVF cell attached — the materialization point:
     * write this out partitioned by `cell` and probing becomes partition
@@ -206,10 +228,15 @@ object Ann {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(centroids)
-    val withCell = vectors.withColumn("cell", nearestCell(col(embCol), cents))
+    // ONE broadcast backs both the assignment and the probe columns —
+    // per-column broadcasts would ship the same table twice per call
+    // and accumulate executor memory over a long session
+    val shared = if (cents.size <= InlineCentroidMax) None
+      else Some(broadcastCentroids(cents))
+    val withCell = vectors.withColumn("cell", nearestCell(col(embCol), cents, shared))
     val probed = queries
       .select(col("query_id"), col("qvec"),
-        explode(probeCells(col("qvec"), cents, nprobe)).as("cell"))
+        explode(probeCells(col("qvec"), cents, nprobe, shared)).as("cell"))
     val scored = withCell.join(broadcast(probed), "cell")
       .select(col("query_id"),
         l2sq(col(embCol), col("qvec")).as("distance"),

@@ -361,6 +361,15 @@ object Dedup {
     * checkpointed frame (a cached-scan count, not an extra join job).
     * Early-exits as soon as a round changes nothing.
     *
+    * PRECONDITION: every id appearing in `pairs` must also appear in
+    * `nodes` (pairs ⊆ nodes — all in-repo pair generators guarantee it:
+    * their pairs are between ids drawn from the node frame). The round-1
+    * join specialization takes neighbor minima straight from the edge
+    * list, so a dangling edge endpoint would become a component label
+    * that names no node; with the precondition, labels always name a
+    * node of the same component. Callers with untrusted edges should
+    * semi-join `pairs` against `nodes` first.
+    *
     * Returns (idCol, component) for EVERY node (singletons map to
     * themselves). */
   def connectedComponents(
@@ -373,10 +382,18 @@ object Dedup {
       .exists(_.toBoolean)
     // LAZY checkpoints throughout: the convergence probe below is the
     // first action on each round's frame, so it materializes the
-    // checkpoint in the same job — an eager checkpoint would spend one
-    // extra scheduling round trip per round just to populate it.
+    // LOCAL checkpoint in the same job — an eager checkpoint would spend
+    // one extra scheduling round trip per round just to populate it.
+    // The RELIABLE path additionally persists the round's RDD: the
+    // checkpoint FILE write runs as a separate job after the first
+    // action, and without cached blocks that job would recompute the
+    // round's joins from scratch (~2× compute per round).
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+      if (reliable) {
+        val ck = df.checkpoint(false)
+        ckptRdd(ck).foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+        ck
+      } else df.localCheckpoint(false)
     // The exact RDD a checkpointed Dataset wraps (its plan is a
     // LogicalRDD leaf) — unpersisting THIS id frees the round's blocks
     // without touching anything else persisted on the SparkContext.
@@ -388,6 +405,24 @@ object Dedup {
         case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
         case _ => None
       }
+    // Free a finished round: cache blocks always; for reliable mode also
+    // the round's checkpoint FILES — the ContextCleaner only removes
+    // them when cleanCheckpoints=true (default false) AND the RDD is
+    // GC'd, so a long-lived session would otherwise accumulate one
+    // checkpoint dir per round per call until context shutdown. The
+    // FINAL round is never cleaned here — the returned frame reads it.
+    def freeRound(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+      rdd.unpersist(false)
+      if (reliable) rdd.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[graft] connectedComponents: could not " +
+            s"delete round checkpoint $p: ${e.getMessage}")
+        }
+      }
+    }
     // pairs with id1 < id2 are unique by the generators' contract, so
     // the two directions cannot collide — no distinct needed. Both
     // directions come from ONE explode pass: a union of two selects
@@ -404,21 +439,23 @@ object Dedup {
     // scheduling round trips, not data — AQE re-plans and submits every
     // shuffle stage as its own job, serializing several driver round
     // trips per round for frames of a few thousand rows. Running the
-    // loop in a cloned session (same SparkContext, so caches and
-    // checkpoints are shared; independent runtime conf, so nothing leaks
-    // to concurrent queries) with AQE off and few shuffle partitions
-    // collapses each round to one pipelined job. At real edge volumes
-    // AQE earns its round trips and the caller's confs apply unchanged.
+    // loop in a CLONED session (same SparkContext, so caches and
+    // checkpoints are shared; session state and runtime confs COPIED, so
+    // ANSI/timezone/case-sensitivity behave like the caller and nothing
+    // leaks back to concurrent queries) with AQE off and few shuffle
+    // partitions collapses each round to one pipelined job. At real
+    // edge volumes AQE earns its round trips and the caller's session
+    // is used unchanged.
     val smallGraph = nEdges <= spark.conf.getOption("graft.cc.smallGraphEdges")
-      .map(_.toLong).getOrElse(10L * 1000 * 1000)
+      .flatMap(_.toLongOption).getOrElse(10L * 1000 * 1000)
     val (loopSession, edges) =
       if (!smallGraph) (spark, edgesRaw)
       else {
-        val s = spark.newSession()
+        val s = org.apache.spark.sql.graftbridge.ColumnBridge.cloneSession(spark)
         s.conf.set("spark.sql.adaptive.enabled", "false")
-        s.conf.set("spark.sql.shuffle.partitions",
-          math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
-        if (reliable) s.conf.set("graft.cc.reliableCheckpoint", "true")
+        val callerParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+          .flatMap(_.toIntOption).getOrElse(8)
+        s.conf.set("spark.sql.shuffle.partitions", math.min(8, callerParts).toString)
         (s, org.apache.spark.sql.graftbridge.ColumnBridge.withSession(s, edgesRaw))
       }
     val loopNodes =
@@ -468,14 +505,13 @@ object Dedup {
         println(f"PROF cc-split round=${i + 1} ckpt-plan=${(tCk1 - tCk0) / 1e9}%.3f " +
           f"probe=${(System.nanoTime() - tCk1) / 1e9}%.3f")
       labels = next.select(col("id"), col("label"))
-      // the previous round's checkpoint blocks are dead once `next` is
-      // materialized — free them NOW instead of letting them pile up
-      // over the loop (long-lived sessions calling this directly would
-      // otherwise accumulate one dead block set per round). The final
-      // round's blocks stay live — the returned frame reads them.
-      // Reliable checkpoints live as files, not blocks: leave them to
-      // the ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints).
-      if (!reliable) prevRdd.foreach(_.unpersist(false))
+      // the previous round's checkpoint blocks AND (reliable mode)
+      // checkpoint files are dead once `next` is materialized — free
+      // them NOW instead of letting them pile up over the loop
+      // (long-lived sessions calling this directly would otherwise
+      // accumulate one dead block set / checkpoint dir per round). The
+      // final round stays live — the returned frame reads it.
+      prevRdd.foreach(freeRound)
       prevRdd = ckptRdd(next)
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -9,12 +9,15 @@ import graft.sources.Tables
   * synthesized DETERMINISTICALLY from `documents` (bytes = UTF-8 text,
   * kind from doc_id mod 3, duration from n_chars), then run through the
   * REAL Spark-side machinery — the per-partition batched decode
-  * (mapPartitions, the integration shape for an actual codec) and the
-  * frame-sampling explode — and aggregated on the SQL-expressible stub
-  * surface (byte lengths, frame counts/timestamps) so DuckDB can verify
-  * values end to end. The crc/xxhash-derived stub dims stay Spark-side
-  * (unit-tested in MultimodalSpec); they are not part of the oracle
-  * contract. */
+  * (mapPartitions, the integration shape for an actual codec), the
+  * frame-sampling explode, and the md5-derived featurize stub feeding a
+  * full IVF search — so DuckDB can verify values end to end:
+  * `multimodal_stats` checks the SQL-expressible stub surface (byte
+  * lengths, frame counts/timestamps) and `multimodal_ann` replays the
+  * featurize→centroid→probe→top-k chain exactly. Only the
+  * decode-metadata stub dims that a real codec would replace (width /
+  * sample-rate style fields) stay Spark-side, unit-tested in
+  * MultimodalSpec. */
 object MultimodalQueries extends QueryPack {
 
   private def media(s: SparkSession, dir: String): DataFrame = {

@@ -68,6 +68,13 @@ object ConfigLoader {
   }
 
   // ---- minimal textproto-subset reader ----
+  //
+  // String escapes: exactly the subset the reference's configs use —
+  // \n \t \r \\ \" \' . The full textproto grammar also allows \a \b \f
+  // \v, octal (\NNN), hex (\xNN) and unicode (\uNNNN) escapes; those
+  // are REJECTED with a parse error (fail loudly, never silently mangle
+  // a value). Extend the match in Tokenizer.next() if a config needs
+  // them.
 
   private final class Tokenizer(s: String) {
     private var i = 0

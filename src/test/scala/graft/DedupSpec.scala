@@ -110,22 +110,39 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents with reliable checkpoints (graft.cc.reliableCheckpoint)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
-    dir.deleteOnExit()
     spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
     spark.conf.set("graft.cc.reliableCheckpoint", "true")
     try {
       val nodes = (1L to 7L).toDF("doc_id")
       val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
-      val got = Dedup.connectedComponents(nodes, pairs).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cc = Dedup.connectedComponents(nodes, pairs)
+      val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
         5L -> 5L, 6L -> 5L, 7L -> 7L))
-      // the rounds actually went through the reliable path: checkpoint
-      // files exist under the configured dir
+      // the rounds actually went through the reliable path: the FINAL
+      // round's checkpoint files exist under the configured dir...
       def deepFiles(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(deepFiles) else Seq(f)
       assert(deepFiles(dir).nonEmpty)
-    } finally spark.conf.unset("graft.cc.reliableCheckpoint")
+      // ...and finished rounds' files were deleted as the loop advanced
+      // (one rdd-N dir would otherwise pile up per round): the graph
+      // needs ≥ 2 rounds (chain 1-2-3) plus the initial labels frame,
+      // so without cleanup ≥ 3 rdd dirs would remain.
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        f.listFiles().toSeq.flatMap(c =>
+          if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+      assert(rddDirs(dir).size === 1,
+        s"stale round checkpoint dirs: ${rddDirs(dir)}")
+      // the returned frame stays readable after round cleanup
+      assert(cc.count() === 7)
+    } finally {
+      spark.conf.unset("graft.cc.reliableCheckpoint")
+      def rmRf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmRf)
+        f.delete()
+      }
+      rmRf(dir)
+    }
   }
 
   test("connectedComponents frees only its own round blocks") {
