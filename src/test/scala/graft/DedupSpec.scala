@@ -89,10 +89,39 @@ class DedupSpec extends SparkSpec {
     val nodes = (1L to 7L).toDF("doc_id")
     // chain 1-2-3 (no 1-3 edge), clique 5-6; 4 and 7 isolated
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
+    // default regime (driver union-find at this size)
     val got = Dedup.connectedComponents(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(got === expected)
+    // distributed loop regime forced
+    spark.conf.set("graft.cc.driverUnionFindEdges", "0")
+    try {
+      val loop = Dedup.connectedComponents(nodes, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loop === expected)
+    } finally spark.conf.unset("graft.cc.driverUnionFindEdges")
+  }
+
+  test("driver union-find ≡ distributed loop on a random pair graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val edges = Seq.fill(500) {
+      val a = rnd.nextInt(n).toLong + 1; val b = rnd.nextInt(n).toLong + 1
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val pairs = edges.toDF("id1", "id2")
+    val viaDriver = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.cc.driverUnionFindEdges", "0")
+    val viaLoop = try Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally spark.conf.unset("graft.cc.driverUnionFindEdges")
+    assert(viaDriver === viaLoop)
+    // sanity: labels are component minima (fixpoint under both steps)
+    assert(viaDriver.forall { case (id, c) => c <= id })
   }
 
   test("on transitively-closed pair sets, CC roots ≡ keepList survivors") {
@@ -112,6 +141,8 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
     spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
     spark.conf.set("graft.cc.reliableCheckpoint", "true")
+    // reliable checkpointing only exists on the distributed loop path
+    spark.conf.set("graft.cc.driverUnionFindEdges", "0")
     try {
       val nodes = (1L to 7L).toDF("doc_id")
       val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
@@ -137,6 +168,7 @@ class DedupSpec extends SparkSpec {
       assert(cc.count() === 7)
     } finally {
       spark.conf.unset("graft.cc.reliableCheckpoint")
+      spark.conf.unset("graft.cc.driverUnionFindEdges")
       def rmRf(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rmRf)
         f.delete()
@@ -155,7 +187,10 @@ class DedupSpec extends SparkSpec {
     val before = sc.getPersistentRDDs.keySet
     val nodes = (1L to 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
-    Dedup.connectedComponents(nodes, pairs).count()
+    // the round-block cleanup under test lives on the distributed loop
+    spark.conf.set("graft.cc.driverUnionFindEdges", "0")
+    try Dedup.connectedComponents(nodes, pairs).count()
+    finally spark.conf.unset("graft.cc.driverUnionFindEdges")
     // every intermediate round was freed: at most the final round's
     // labels (1 RDD) survives beyond what existed before
     val leaked = sc.getPersistentRDDs.keySet -- before

@@ -60,11 +60,22 @@ object ProfileCC {
         jobLog.add((je.jobId, s, System.nanoTime() - t0g - s))
       }
     })
-    // A/B the small-graph loop regime in one JVM (noise-paired): the
-    // rep frames are rebuilt per pass so every pass pays the same
-    // pipeline; only the loop regime flips.
-    for (round <- 1 to 1; small <- Seq(true, false)) {
-      spark.conf.set("graft.cc.smallGraphEdges", if (small) "10000000" else "0")
+    // A/B/C the closure regimes in one JVM (noise-paired): the rep
+    // frames are rebuilt per pass so every pass pays the same pipeline;
+    // only the regime flips. driver = union-find collect; clone-loop =
+    // distributed loop in the AQE-off cloned session; plain-loop =
+    // distributed loop under caller confs.
+    for (round <- 1 to 2; regime <- Seq("driver", "clone-loop", "plain-loop")) {
+      regime match {
+        case "driver" =>
+          spark.conf.set("graft.cc.driverUnionFindEdges", "4000000")
+        case "clone-loop" =>
+          spark.conf.set("graft.cc.driverUnionFindEdges", "0")
+          spark.conf.set("graft.cc.smallGraphEdges", "10000000")
+        case "plain-loop" =>
+          spark.conf.set("graft.cc.driverUnionFindEdges", "0")
+          spark.conf.set("graft.cc.smallGraphEdges", "0")
+      }
       val (memberMap, repPairs, repNodes) =
         Dedup.simhashRepFrames(docs, "text", "doc_id", 6)
       repPairs.count()
@@ -72,13 +83,14 @@ object ProfileCC {
       jobLog.clear()
       Dedup.connectedComponents(repNodes,
         repPairs.select(col("r1").as("id1"), col("r2").as("id2")), "rep").count()
-      println(f"PROF ab-loop small=$small round=$round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"PROF ab-loop regime=$regime round=$round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       jobLog.forEach { case (id, s, d) =>
         println(f"PROF   job=$id start=${s / 1e9}%.2f dur=${d / 1e9}%.3f") }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.conf.unset("graft.cc.smallGraphEdges")
+    spark.conf.unset("graft.cc.driverUnionFindEdges")
     spark.stop()
   }
 }

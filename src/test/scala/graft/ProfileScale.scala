@@ -47,7 +47,10 @@ object ProfileScale {
     // ADVERSARIAL CC: a single path graph (worst case for label
     // propagation — diameter = node count). Pointer jumping doubles the
     // spread distance per round, so rounds should grow ~log2(n), not n;
-    // GRAFT_CC_DEBUG=1 prints the round count to verify.
+    // GRAFT_CC_DEBUG=1 prints the round count to verify. Forces the
+    // distributed loop — the chains fit the driver union-find regime,
+    // but the loop is what this case is evidence for.
+    spark.conf.set("graft.cc.driverUnionFindEdges", "0")
     Seq(1000, 10000, 100000).foreach { chain =>
       val nodes = spark.range(0, chain).select($"id".as("doc_id"))
       val pairs = spark.range(0, chain - 1)
@@ -56,6 +59,7 @@ object ProfileScale {
         graft.operators.Dedup.connectedComponents(nodes, pairs)
           .filter($"component" === 0L).count())
     }
+    spark.conf.unset("graft.cc.driverUnionFindEdges")
     spark.stop()
   }
 }
