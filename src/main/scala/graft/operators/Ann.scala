@@ -69,6 +69,21 @@ object Ann {
     vectors.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cell"), col(embCol).as("centroid"))
 
+  /** Deterministic centroid seeds SPREAD uniformly over the corpus: the
+    * `k` vectors ranked first by md5 of their id — a reproducible
+    * pseudo-random sample (the standard IVF seeding; FAISS samples
+    * training points the same way, just non-deterministically). Unlike
+    * [[seedCentroids]], insensitive to id locality: lowest-k ids are
+    * typically one ingest batch / one region of the embedding space,
+    * and centroids clustered in one region leave the rest of the corpus
+    * piling into a few giant cells (observed: 18 k-vector blocks at
+    * targetBlock 64 on a 10× replicated corpus). md5 is portable, so an
+    * oracle can reproduce the exact seed set. */
+  def spreadCentroids(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+      .select(col(idCol).as("cell"), col(embCol).as("centroid"))
+
   /** One Lloyd refinement step: mean of assigned vectors per cell.
     * Computed as per-(cell, dimension) averages over the exploded
     * components — the per-group state is one running mean, and the only

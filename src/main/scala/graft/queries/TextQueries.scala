@@ -152,10 +152,15 @@ object TextQueries extends QueryPack {
       Dedup.simhashComponents(Tables.documents(s, dir)).orderBy($"doc_id")
     }),
 
-    // Embedding near-dup pairs (exact within label blocks).
+    // Embedding near-dup pairs, exact within IVF cells: the cell count
+    // scales with N (⌈N/64⌉), so block population stays ≈64 and total
+    // pair work is linear in the corpus — the scale-safe blocking the
+    // old fixed-cardinality label key was not. The oracle replicates
+    // the identical seed-centroid assignment.
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
-      Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("label"), maxL2Sq = 1.45)
+      Dedup.embeddingNearDupsIvf(Tables.embeddings(s, dir),
+          targetBlock = 64, maxL2Sq = 1.45)
         .select($"id1", $"id2", round($"distance", 4).as("distance"))
         .orderBy($"id1", $"id2")
     }),
@@ -346,13 +351,32 @@ object TextQueries extends QueryPack {
       "list_distinct(list_transform(range(1, len(text) - 2), i -> text[i:i+3]))",
       48, 16, 0.55),
 
-    "dedup_embedding" ->
-      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |       round(${VectorQueries.duckL2sq("a.embedding", "b.embedding")}, 4) AS distance
-         |FROM embeddings a
-         |JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${VectorQueries.duckL2sq("a.embedding", "b.embedding")} < 1.45
-         |ORDER BY id1, id2""".stripMargin,
+    // mirrors Dedup.embeddingNearDupsIvf: K = ceil(N/64) spread seed
+    // centroids (first K by md5(vec_id) — portable uniform sample),
+    // row-local argmin assignment with (distance, cell) tie-break,
+    // exact L2 pairs within a cell
+    "dedup_embedding" -> {
+      val l2 = VectorQueries.duckL2sq _
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cell, embedding AS centroid FROM (
+         |    SELECT vec_id, embedding, row_number()
+         |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM embeddings
+         |  ) WHERE rn <= (SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) FROM embeddings)
+         |), assigned AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT e.vec_id, c.cell, e.embedding,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2("e.embedding", "c.centroid")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |  ) WHERE rn = 1
+         |)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       round(${l2("a.embedding", "b.embedding")}, 4) AS distance
+         |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE ${l2("a.embedding", "b.embedding")} < 1.45
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "text_stats" ->
       s"""WITH t AS (

@@ -44,6 +44,38 @@ object ProfileScale {
       time(s"fp-x$k")(
         graft.operators.Dedup.fingerprintPairs(docs).count())
     }
+    // EMBEDDING IVF-CELL BLOCKING: replicate the embeddings table k×
+    // (ids offset, vectors shifted by a per-replica constant so
+    // replicas occupy disjoint regions — corpus grows, local density
+    // constant). The claim under test: cell count ⌈N/64⌉ scales with N,
+    // so the MAX block population stays ≈ targetBlock regardless of
+    // corpus size — the within-block pair join never goes quadratic
+    // (the old label blocking put N/10 vectors in every block).
+    locally {
+      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .select($"vec_id", $"embedding")
+      val en = embBase.count()
+      def repEmb(k: Int) = (0 until k).map { i =>
+        embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform($"embedding", x => x + lit(i * 10.0f)).as("embedding"))
+      }.reduce(_ unionByName _)
+      Seq(1, 3, 10).foreach { k =>
+        val vecs = repEmb(k)
+        val nn = en * k
+        val cells = math.max(1L, (nn + 63) / 64).toInt
+        val cents = graft.operators.Ann.collectCentroids(
+          graft.operators.Ann.spreadCentroids(vecs, cells))
+        val pop = vecs
+          .select(graft.operators.Ann.nearestCell($"embedding", cents).as("cell"))
+          .groupBy($"cell").agg(count(lit(1)).as("pop"))
+          .agg(max($"pop").as("mx"), avg($"pop").as("av")).head()
+        println(s"PROF emb-ivf-x$k: N=$nn cells=$cells " +
+          s"maxBlock=${pop.getLong(0)} avgBlock=${pop.getDouble(1)}")
+        time(s"emb-ivf-x$k")(
+          graft.operators.Dedup.embeddingNearDupsIvf(vecs, targetBlock = 64)
+            .count())
+      }
+    }
     // ADVERSARIAL CC: a single path graph (worst case for label
     // propagation — diameter = node count). Pointer jumping doubles the
     // spread distance per round, so rounds should grow ~log2(n), not n;
