@@ -139,6 +139,44 @@ object Knn {
       .orderBy(col("distance"), col(idCol))
   }
 
+  /** Explicit duplicate-id resolution over k-NN output — the extension
+    * the reference lacks: its shard merge concatenates per-shard hit
+    * lists without deduplication (`src/index/shard_manager.cc:129-145`),
+    * so an id present in several shards (a re-sharded upsert, an
+    * overlapping backfill) appears once per shard. The core operators
+    * here preserve that quirk (SURVEY §7 risk 4 — parity first); this
+    * wrapper is the opt-in fix: keep each id's BEST hit (lowest
+    * distance; `rank` tie-break keeps the merge-deterministic winner)
+    * and re-rank the survivors densely per query.
+    *
+    * Scale shape: one window over (query, id) — the input is k-NN
+    * OUTPUT, `queries × shards × k` rows, never the vector table, so
+    * the partition sort is trivially small. Works on [[topK]] output
+    * too (no query column): pass `queryIdCol = None`. */
+  def dedupById(
+      results: DataFrame,
+      idCol: String = "vec_id",
+      distCol: String = "distance",
+      queryIdCol: Option[String] = Some("query_id")): DataFrame = {
+    val queryParts = queryIdCol.map(col).toSeq
+    val hasRank = results.columns.contains("rank")
+    val pickCols = if (hasRank) Seq(col(distCol), col("rank")) else Seq(col(distCol))
+    val pick = Window.partitionBy(queryParts :+ col(idCol): _*)
+      .orderBy(pickCols :+ col(idCol): _*)
+    val deduped = results
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    if (!hasRank) deduped
+    else {
+      // survivors' ranks have holes where duplicates were dropped —
+      // re-rank densely in the original merge order
+      val rerank = Window.partitionBy(queryParts: _*)
+        .orderBy(col(distCol), col(idCol))
+      deduped.withColumn("rank", row_number().over(rerank).cast("long"))
+    }
+  }
+
   /** Filtered search: restrict the candidate set by an arbitrary
     * predicate before the scan. The filter is pushed into the parquet
     * scan by Catalyst (the reference has no equivalent — closest is its

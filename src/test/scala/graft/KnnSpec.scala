@@ -53,6 +53,40 @@ class KnnSpec extends SparkSpec {
     assert(got.count(_.getLong(0) == 1L) === 2)
   }
 
+  test("dedupById collapses duplicate ids to the best hit; core op keeps the quirk") {
+    // id 1 lives in two "shards" at different distances
+    val dup = vecDf(Seq(1L -> Seq(0f, 0f), 1L -> Seq(0.1f, 0f),
+      2L -> Seq(1f, 0f), 3L -> Seq(5f, 5f)))
+    val raw = Knn.topK(dup, Seq(0f, 0f), 4)
+    assert(raw.collect().count(_.getLong(0) == 1L) === 2) // quirk preserved
+    val deduped = Knn.dedupById(raw, queryIdCol = None).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(deduped.size === 3)       // one row per id
+    assert(deduped(1L) === 0.0)      // the BEST duplicate survives
+  }
+
+  test("dedupById on batch output: one row per (query, id), dense re-rank") {
+    val dup = vecDf(Seq(1L -> Seq(0f, 0f), 1L -> Seq(0.1f, 0f),
+      2L -> Seq(1f, 0f), 3L -> Seq(0f, 1f)))
+    val q = vecDf(Seq(10L -> Seq(0f, 0f), 11L -> Seq(1f, 0f)))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val got = Knn.dedupById(Knn.batchTopK(dup, q, 4)).collect()
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val ids = rows.map(_.getLong(1))
+      assert(ids.distinct.length === ids.length) // no duplicate ids
+      // re-rank is dense 1..n in distance order
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to rows.length).toSeq)
+      val d = byRank.map(_.getDouble(2))
+      assert(d.sameElements(d.sorted))
+    }
+    assert(byQuery(10L).length === 3)
+    // query 10 keeps id 1's closer copy (distance 0)
+    assert(byQuery(10L).minBy(_.getLong(3)).getLong(1) === 1L)
+    assert(byQuery(10L).minBy(_.getLong(3)).getDouble(2) === 0.0)
+  }
+
   test("batchTopK returns k rows per query with rank 1..k") {
     val q = vecDf(Seq(10L -> Seq(0f, 0f), 11L -> Seq(2f, 2f)))
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))

@@ -51,16 +51,58 @@ class SearchServiceSpec extends SparkSpec {
     assert(svc.cacheSize === 2)
   }
 
-  test("mutation invalidates the cache and reads see the new state") {
+  test("STRONG read after mutation never sees a stale cache entry") {
     val svc = freshService
     svc.search(Seq(0f, 0f), 3)
     assert(svc.cacheSize === 1)
     // upsert a new nearest neighbor at the origin
     svc.upsert(Seq((9L, "s0", Seq(0f, 0.1f))).toDF("id", "shard_id", "embedding"))
-    assert(svc.cacheSize === 0) // full flush, reference parity
+    // snapshot-keyed cache: the old entry remains but is keyed to the
+    // pre-mutation version — the STRONG read resolves to the new commit
+    // index, misses, and recomputes (read-your-writes)
     val (hits, cached) = svc.search(Seq(0f, 0f), 2)
     assert(!cached)
-    assert(hits.map(_.id) === Seq(1L, 9L)) // read-your-writes
+    assert(hits.map(_.id) === Seq(1L, 9L))
+  }
+
+  test("EVENTUAL read after mutation may serve the warm previous version") {
+    import graft.operators.MutationLog.{Eventual, Strong}
+    val svc = freshService
+    val (before, _) = svc.search(Seq(0f, 0f), 2) // materializes version 0
+    assert(before.map(_.id) === Seq(1L, 2L))
+    svc.upsert(Seq((9L, "s0", Seq(0f, 0.1f))).toDF("id", "shard_id", "embedding"))
+    // version 1 exists but is not yet materialized by any read: an
+    // EVENTUAL read resolves to the warm version 0 — and hits version
+    // 0's own cache entry (stale by design, the level's contract)
+    val (stale, fromCache) = svc.search(Seq(0f, 0f), 2, Eventual)
+    assert(fromCache)
+    assert(stale.map(_.id) === Seq(1L, 2L))
+    // a STRONG read materializes version 1...
+    val (fresh, _) = svc.search(Seq(0f, 0f), 2, Strong)
+    assert(fresh.map(_.id) === Seq(1L, 9L))
+    // ...after which EVENTUAL serves the freshest materialized version
+    val (now, nowCached) = svc.search(Seq(0f, 0f), 2, Eventual)
+    assert(nowCached)
+    assert(now.map(_.id) === Seq(1L, 9L))
+  }
+
+  test("BOUNDED_STALENESS caps the lag; versions leaving retention flush their entries") {
+    import graft.operators.MutationLog.BoundedStaleness
+    val svc = freshService
+    svc.search(Seq(0f, 0f), 2) // materialize version 0
+    assert(svc.cacheSize === 1)
+    // four mutations push commitIndex to 4; retention (maxSnapshots=4)
+    // drops version 0 → its cache entries are flushed as unreachable
+    (1 to 4).foreach { i =>
+      svc.upsert(Seq((100L + i, "s0", Seq(5f + i, 5f))).toDF("id", "shard_id", "embedding"))
+    }
+    assert(svc.cacheSize === 0)
+    // nothing recent is materialized: bounded read falls back to the
+    // commit index (maxLag 1 admits only versions 3..4)
+    val (hits, cached) = svc.search(Seq(0f, 0f), 2, BoundedStaleness(1))
+    assert(!cached)
+    assert(hits.map(_.id) === Seq(1L, 2L)) // 1,2 still nearest the origin
+    assert(svc.currentCommitIndex === 4L)
   }
 
   test("delete removes from results after invalidation") {
