@@ -94,8 +94,11 @@ object Ann {
     * performance experiments, not oracle-checked queries. */
   def refine(vectors: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val assigned = assign(vectors, centroids, idCol, embCol)
-      .join(vectors, idCol)
+    // withCells, NOT assign + self-join: the cell is row-local (argmin
+    // over the centroid literal/broadcast inside the scan projection),
+    // so the embedding never leaves the row — a join back on id would
+    // shuffle the full vector corpus once per Lloyd step for nothing.
+    val assigned = withCells(vectors, centroids, embCol)
     assigned
       .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))

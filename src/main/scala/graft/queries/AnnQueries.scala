@@ -49,6 +49,25 @@ object AnnQueries extends QueryPack {
         .groupBy($"cell")
         .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
         .orderBy($"cell")
+    }),
+
+    // Lloyd-refined IVF build: TWO refine steps (assign → per-(cell,pos)
+    // mean), dumped component-wise. Cross-engine float determinism: the
+    // step-1 centroid is QUANTIZED — round(m, 6) then the float cast
+    // `collectCentroids` applies anyway — so both engines hand the
+    // step-2 assignment bit-identical centroids (double mean order
+    // sensitivity ~1e-13 ≪ the 1e-6 grid), and l2sq/duckL2sq are exact
+    // left-fold mirrors from there. Final means round to 4 decimals per
+    // the SURVEY §7 risk-2 convention.
+    "ann_refined" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val r1 = Ann.refine(e, Ann.seedCentroids(e, 8))
+        .select($"cell", transform($"centroid", m => round(m, 6)).as("centroid"))
+      Ann.refine(e, r1)
+        .select($"cell", posexplode($"centroid"))
+        .select($"cell", ($"pos" + 1).as("pos"), round($"col", 4).as("comp"))
+        .orderBy($"cell", $"pos")
     })
   )
 
@@ -121,6 +140,37 @@ object AnnQueries extends QueryPack {
       s"""SELECT cell, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM ($duckAssigned)
          |GROUP BY cell
-         |ORDER BY cell""".stripMargin
+         |ORDER BY cell""".stripMargin,
+
+    // Replays Ann.refine twice: seed assignment → per-(cell,pos) double
+    // means → quantize (round 6, cast REAL — the collectCentroids float
+    // cast) → reassign with the exact left-fold L2 → means again →
+    // round 4. See the Spark-side comment for why the quantization makes
+    // the second assignment deterministic across engines.
+    "ann_refined" ->
+      s"""WITH a1 AS (
+         |  $duckAssigned
+         |), pos AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS pos
+         |), m1 AS (
+         |  SELECT a.cell, p.pos, avg(CAST(e.embedding[p.pos] AS DOUBLE)) AS m
+         |  FROM a1 a JOIN embeddings e USING (vec_id) CROSS JOIN pos p
+         |  GROUP BY a.cell, p.pos
+         |), r1 AS (
+         |  SELECT cell, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS centroid
+         |  FROM m1 GROUP BY cell
+         |), a2 AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckL2sq("e.embedding", "c.centroid")}, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN r1 c
+         |  ) WHERE rn = 1
+         |), m2 AS (
+         |  SELECT a.cell, p.pos, avg(CAST(e.embedding[p.pos] AS DOUBLE)) AS m
+         |  FROM a2 a JOIN embeddings e USING (vec_id) CROSS JOIN pos p
+         |  GROUP BY a.cell, p.pos
+         |)
+         |SELECT cell, pos, round(m, 4) AS comp
+         |FROM m2 ORDER BY cell, pos""".stripMargin
   )
 }

@@ -25,8 +25,16 @@ object EventStreams {
     * `watermarkDelay` are dropped (state is bounded — required for an
     * unbounded 100 TB/day stream). */
   def hourlyRollup(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    hourlyRollupOnWatermarked(events.withWatermark("ts", watermarkDelay))
+
+  /** [[hourlyRollup]] minus the watermark definition — for composing
+    * AFTER an upstream stateful operator (e.g. [[dedupStream]]) that
+    * already set the event-time watermark: with chained stateful
+    * operators Spark disallows redefining it downstream. On batch
+    * frames identical to [[hourlyRollup]] (withWatermark is a no-op
+    * there). */
+  def hourlyRollupOnWatermarked(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("revenue"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("revenue"))
@@ -63,6 +71,18 @@ object EventStreams {
       .withColumn("content_hash", graft.functions.TextFunctions.contentHash(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Batch form of [[dedupStream]] — Spark restricts
+    * `dropDuplicatesWithinWatermark` to streaming frames, so this is
+    * the one transform here whose batch equivalent needs a different
+    * call (plain dropDuplicates; no horizon, since a bounded input IS
+    * one horizon). Result parity with the streamed form is asserted in
+    * IntegrationSpec, up to WHICH duplicate survives (batch picks
+    * arbitrarily, the stream keeps first arrival). */
+  def dedupBatch(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", graft.functions.TextFunctions.contentHash(col(textCol)))
+      .dropDuplicates("content_hash")
 
   /** A mutation-log record for streaming compaction. */
   case class LogRecord(logIndex: Long, op: String, id: Long,

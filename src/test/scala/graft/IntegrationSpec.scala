@@ -65,4 +65,62 @@ class IntegrationSpec extends SparkSpec {
       assert(n2 > n1)
     } finally q.stop()
   }
+
+  // EventStreams' contract is that the SAME plan incrementalizes: this
+  // runs the composed two-stateful-operator pipeline (dedupStream →
+  // hourlyRollup) over the real events fixture, fed as ts-ordered
+  // micro-batches, and asserts the streamed result equals the identical
+  // plan executed as one batch.
+  //
+  // Determinism: the dedup key is HOUR-SCOPED (event_type : user bucket
+  // : hour-truncated ts), so whichever duplicate survives — batch picks
+  // arbitrarily, the stream keeps first-arrival — it lands in the same
+  // (hour, event_type) window and the window COUNTS are
+  // survivor-invariant. `revenue` is not (it depends on which row
+  // survives), so the parity contract is (hour, event_type, n) only.
+  test("streaming dedupStream→hourlyRollup over events fixture matches the batch plan") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    implicit val sqlCtx = spark.sqlContext
+
+    def keyed(df: DataFrame): DataFrame =
+      df.withColumn("text", concat_ws(":",
+        $"event_type", $"user_id" % 2, date_trunc("hour", $"ts").cast("string")))
+    def pipeline(df: DataFrame): DataFrame = // streaming form
+      EventStreams.hourlyRollupOnWatermarked(
+          EventStreams.dedupStream(keyed(df), "ts", "text", "2 hours"))
+        .select($"hour", $"event_type", $"n")
+    def pipelineBatch(df: DataFrame): DataFrame =
+      EventStreams.hourlyRollupOnWatermarked(EventStreams.dedupBatch(keyed(df)))
+        .select($"hour", $"event_type", $"n")
+
+    val rows = Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"user_id", $"value").as[Ev]
+      .collect().sortBy(_.ts.getTime) // in-order arrival: no late drops
+    val mem = MemoryStream[Ev]
+    val out = s"graft_parity_out_${System.nanoTime()}"
+    val q = pipeline(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName(out).start()
+    try {
+      rows.grouped(300).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable() // one micro-batch per chunk
+      }
+      // sentinel far past the fixture: advances the watermark so every
+      // real window finalizes (its own window never does → not emitted)
+      mem.addData(Ev(new java.sql.Timestamp(
+        rows.last.ts.getTime + 8 * 3600_000L), "sentinel", -1L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table(out).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batched = pipelineBatch(rows.toSeq.toDF()).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batched)
+      // the dedup is not vacuous: duplicates were actually dropped
+      val kept = streamed.toSeq.map(_._3).sum
+      assert(kept < rows.length, s"dedup dropped nothing (kept=$kept)")
+      assert(kept > 0)
+    } finally q.stop()
+  }
 }

@@ -111,4 +111,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ann_refined: Lloyd steps are join-free (row-local assignment)") {
+    val p = plan("ann_refined")
+    // each refine step = row-local argmin + two aggregations; the only
+    // joins a naive form would add (assign → join back on id) must not
+    // exist — at 100 TB that join re-shuffles the vector corpus per step
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
