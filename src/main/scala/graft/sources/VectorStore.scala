@@ -28,6 +28,34 @@ object VectorStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed snapshot — the CO-LOCATION layout. The corpus is
+    * pre-shuffled into `nBuckets` by `keys` at write time and the bucket
+    * metadata recorded in the session catalog (`saveAsTable`, the Spark
+    * mechanism for bucketed tables), so every later join or aggregation
+    * keyed on `keys` consumes the bucket distribution and SKIPS ITS
+    * EXCHANGE; `sortBy` additionally satisfies the merge-join sort from
+    * file order. At 100 TB this converts the per-query shuffle of a
+    * many-times-joined table — the document corpus under the dedup pair
+    * verifies, the state snapshot under replay's (shard_id, id) window —
+    * into a one-time write cost, and an equality filter on the leading
+    * key prunes to 1/nBuckets of the files (SelectedBucketsCount). Both
+    * claims are plan-asserted in BucketingSpec. Size `nBuckets` so one
+    * bucket ≈ one executor-core task at the target scale (the bucket
+    * count, unlike shuffle partitions, is fixed at write time). */
+  def writeBucketed(state: DataFrame, table: String, nBuckets: Int,
+      keys: Seq[String]): Unit =
+    state.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Read a bucketed snapshot with its bucket metadata live (a plain
+    * `read.parquet` of the files would lose the distribution and
+    * reintroduce the exchanges). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** O-8 Warm: materialize into executor memory. The reference probes
     * every non-empty shard with a zero-vector k=1 (and ignores the ids
     * argument, `src/index/shard_manager.cc:105-119`); the Spark-native
