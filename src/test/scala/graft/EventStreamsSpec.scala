@@ -156,4 +156,55 @@ class EventStreamsSpec extends SparkSpec {
       .agg(sum("n")).head().getLong(0)
     assert(viaStreamOp === ev.count())
   }
+
+  /** Events fixture as ts-ordered Ev rows (in-order arrival → no late
+    * drops → stream and batch see identical effective input). */
+  private def fixtureRows: Array[Ev] =
+    graft.sources.Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"user_id", $"value").as[Ev]
+      .collect().sortBy(_.ts.getTime)
+
+  /** Drive `plan` over the fixture stream in micro-batches, flush real
+    * windows/sessions with a far-future sentinel, return the emitted
+    * rows projected by `proj`. Only integer-valued columns belong in
+    * `proj` — double sums depend on accumulation order and are not an
+    * exact cross-plan contract. */
+  private def streamFixture(plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      (proj: org.apache.spark.sql.Row => Product): Set[Product] = {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = fixtureRows
+    val mem = MemoryStream[Ev]
+    val out = s"graft_fixture_stream_${System.nanoTime()}"
+    val q = plan(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName(out).start()
+    try {
+      rows.grouped(300).foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      mem.addData(Ev(new Timestamp(rows.last.ts.getTime + 8 * 3600_000L), "sentinel", -1L, 0.0))
+      q.processAllAvailable()
+      spark.table(out).collect().map(proj).toSet
+    } finally q.stop()
+  }
+
+  test("slidingRate on the fixture stream matches the batch plan") {
+    val streamed = streamFixture(EventStreams.slidingRate(_))(r =>
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+    val batched = EventStreams.slidingRate(fixtureRows.toSeq.toDF()).collect().map(r =>
+      (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed === batched)
+    assert(streamed.size > 100) // sliding windows over 30 days × 5 types
+  }
+
+  test("userSessions on the fixture stream matches the batch plan") {
+    val streamed = streamFixture(EventStreams.userSessions(_))(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    val batched = EventStreams.userSessions(fixtureRows.toSeq.toDF())
+      .collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed === batched)
+    assert(streamed.nonEmpty)
+    // gap-based sessionization is non-trivial on this fixture: some user
+    // has more than one session and some session has more than one event
+    assert(streamed.groupBy(_.productElement(0)).exists(_._2.size > 1))
+    assert(streamed.exists(_.productElement(3).asInstanceOf[Long] > 1L))
+  }
 }
