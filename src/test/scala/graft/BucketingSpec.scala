@@ -74,6 +74,32 @@ class BucketingSpec extends SparkSpec {
     } }
   }
 
+  test("MutationLog.replay over a log bucketed by the state key is shuffle-free") {
+    val t = s"bk_log_${System.nanoTime()}"
+    withTables(t) { atScale {
+      val log = graft.queries.LogQueries.syntheticLog(spark, sf)
+      VectorStore.writeBucketed(log, t, 8, Seq("shard_id", "id"))
+      // replay's window partitions by (shard_id, id) — exactly the bucket
+      // key, so the bucket distribution feeds it directly: the one
+      // shuffle replay normally costs (the whole log, every replay)
+      // disappears. At 100 TB this is the difference between re-shuffling
+      // the full mutation history per snapshot build and only sorting
+      // within already-co-located splits.
+      val replayed = graft.operators.MutationLog.replay(
+        VectorStore.readBucketed(spark, t))
+      val p = replayed.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      // and the result is identical to replaying the unbucketed frame
+      val viaBuckets = replayed.select($"shard_id", $"id", $"log_index")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = graft.operators.MutationLog.replay(log)
+        .select($"shard_id", $"id", $"log_index")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaBuckets === direct)
+      assert(viaBuckets.nonEmpty)
+    } }
+  }
+
   test("plain parquet read of the same files would reintroduce the exchange") {
     val t1 = s"bk_meta_${System.nanoTime()}"
     val t2 = s"bk_meta2_${System.nanoTime()}"
