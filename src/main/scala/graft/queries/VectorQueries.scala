@@ -54,6 +54,26 @@ object VectorQueries extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Explicit duplicate-id resolution (SURVEY §7 risk 4): the corpus is
+    // the embeddings table PLUS a re-sharded copy of every 10th vector,
+    // so those ids genuinely appear twice — the reference's shard merge
+    // would return them once per shard (`shard_manager.cc:129-145`, the
+    // quirk the core ops preserve). dedupById keeps each id's best hit
+    // and re-ranks densely; the oracle replays raw-top-k → min-per-id →
+    // re-rank.
+    "knn_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.select($"vec_id", $"embedding")
+        .unionByName(e.filter($"vec_id" % 10 === 0).select($"vec_id", $"embedding"))
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      Knn.dedupById(Knn.batchTopK(corpus, q, k = 10))
+        .select($"query_id", $"vec_id",
+          round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Filtered search: predicate narrows the scan BEFORE distance work
     // (pushed to parquet; the reference can only route whole shards).
     "knn_filtered" -> ((s, dir) => {
@@ -166,6 +186,37 @@ object VectorQueries extends QueryPack {
          |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
          |  )
          |) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Raw top-10 over the duplicated corpus, then min-per-id and a dense
+    // re-rank — the exact dedupById fold. Identical (distance, vec_id)
+    // duplicate pairs make the intra-pair row_number arbitrary in both
+    // engines, but the surviving (query, id, distance) set is the same
+    // whichever copy the cutoff keeps, so the result is deterministic.
+    "knn_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+         |), raw AS (
+         |  SELECT query_id, vec_id, distance,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY distance, vec_id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |           ${duckL2sq("c.embedding", "q.embedding")} AS distance
+         |    FROM corpus c
+         |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |  )
+         |), survivors AS (
+         |  SELECT query_id, vec_id, min(distance) AS distance
+         |  FROM raw WHERE rn <= 10
+         |  GROUP BY query_id, vec_id
+         |)
+         |SELECT query_id, vec_id, round(distance, 4) AS distance,
+         |       row_number() OVER (PARTITION BY query_id
+         |                          ORDER BY distance, vec_id) AS rank
+         |FROM survivors
          |ORDER BY query_id, rank""".stripMargin,
 
     "knn_filtered" ->
