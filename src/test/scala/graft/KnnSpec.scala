@@ -114,6 +114,39 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: dedupById ≡ naive min-per-id + dense re-rank") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { _ =>
+      // duplicate-rich corpus: ~half the ids appear 2-3 times with
+      // DIFFERENT embeddings (re-sharded upserts drifted apart)
+      val vecs = (0L until 60L).flatMap { i =>
+        val copies = 1 + rnd.nextInt(if (i % 2 == 0) 3 else 1)
+        (0 until copies).map(_ => (i, Seq.fill(4)(rnd.nextFloat() - 0.5f)))
+      }
+      val df = vecDf(vecs)
+      val q = vecDf((100L until 103L).map(i => (i, Seq.fill(4)(rnd.nextFloat() - 0.5f))))
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val k = 15
+      val raw = Knn.batchTopK(df, q, k)
+      val got = Knn.dedupById(raw).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      // naive mirror over the RAW top-k rows: min distance per (query,
+      // id), then dense rank by (distance, id) within each query
+      val rawRows = raw.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = rawRows.groupBy(x => (x._1, x._2)).map { case ((qid, id), rs) =>
+        (qid, id, rs.map(_._3).min)
+      }.toSeq.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).zipWithIndex.map {
+          case ((qid, id, d), i) => (qid, id, d, (i + 1).toLong)
+        }
+      }.toSet
+      assert(got === expected)
+      // non-vacuous: the raw output really contained duplicate ids
+      assert(rawRows.groupBy(x => (x._1, x._2)).exists(_._2.length > 1))
+    }
+  }
+
   test("batchTopK plan has partial aggregation, no single-partition window exchange") {
     val q = vecDf(Seq(10L -> Seq(0f, 0f))).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     val plan = Knn.batchTopK(fixture, q, 2).queryExecution.executedPlan.toString
