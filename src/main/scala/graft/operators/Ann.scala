@@ -47,8 +47,19 @@ object Ann {
   /** Sign-LSH bucket id of an embedding: bit p set iff dot(w_p, x) ≥ 0.
     * Cosine-similar vectors agree on most signs → same/nearby buckets.
     * This is the hash-bucket scale path for cosine ANN (the IVF below is
-    * the partition-pruning path); both trade recall for scan fraction. */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    * the partition-pruning path); both trade recall for scan fraction.
+    * Backed by the native one-pass kernel — the fold form below stays as
+    * the executable spec (value parity in AnnSpec; at 128 production
+    * planes the fold is 8k literal expression nodes per task). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.SignLshBucket(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb),
+        planes.map(_.toArray).toArray))
+
+  /** Literal-fold form of [[lshBucket]] — the executable spec the native
+    * kernel is tested against (and the shape the DuckDB oracle replays). */
+  private[graft] def lshBucketFold(emb: Column, planes: Seq[Seq[Double]]): Column = {
     val dim = planes.head.size
     planes.zipWithIndex.map { case (w, p) =>
       val dotP = (1 to dim).map(d =>

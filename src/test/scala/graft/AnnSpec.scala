@@ -80,6 +80,44 @@ class AnnSpec extends SparkSpec {
     assert((buckets(1L) ^ buckets(3L)) === 255L)
   }
 
+  test("lsh: native kernel ≡ literal-fold spec (random vectors, edge cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 150L).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1))) :+
+      (900L, Seq.fill(64)(0f))                     // all-zero: every dot = +0 → all bits
+    val df = rows.toDF("vec_id", "embedding")
+    for (planes <- Seq(8, 16, 62)) {
+      val hp = Ann.hyperplanes(planes, 64)
+      val got = df.select($"vec_id",
+          Ann.lshBucket($"embedding", hp).as("k"),
+          Ann.lshBucketFold($"embedding", hp).as("s"))
+        .collect()
+      got.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"planes=$planes vec=${r.getLong(0)}"))
+    }
+    // kernel-only edges: an array shorter than the plane dimension is a
+    // bucket-0 row (the fold spec throws under ANSI, tolerates under
+    // non-ANSI — the kernel picks the lenient behavior either way)
+    val short = Seq((901L, Seq.empty[Float]), (902L, Seq.fill(3)(1f)))
+      .toDF("vec_id", "embedding")
+      .select(Ann.lshBucket($"embedding", Ann.hyperplanes(8, 64)).as("k"))
+      .collect().map(_.getLong(0))
+    assert(short.toSeq === Seq(0L, 0L))
+    // interpreted eval parity (codegen off) on the same frame
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val hp = Ann.hyperplanes(8, 64)
+      val interp = df.select($"vec_id", Ann.lshBucket($"embedding", hp).as("k"),
+          Ann.lshBucketFold($"embedding", hp).as("s")).collect()
+      interp.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("refine produces K centroids of the right dimension") {
     val refined = Ann.refine(e, centroids)
     assert(refined.count() === 8)
