@@ -112,6 +112,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no query in the whole suite plans a CartesianProduct") {
+    // the kNN/theta cross joins are query-side BROADCAST nested loops by
+    // construction — a CartesianProduct anywhere means a broadcast hint
+    // was lost and both sides would shuffle-pair at scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("ann_refined: Lloyd steps are join-free (row-local assignment)") {
     val p = plan("ann_refined")
     // each refine step = row-local argmin + two aggregations; the only
