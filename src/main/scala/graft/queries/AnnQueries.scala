@@ -57,8 +57,13 @@ object AnnQueries extends QueryPack {
     // `collectCentroids` applies anyway — so both engines hand the
     // step-2 assignment bit-identical centroids (double mean order
     // sensitivity ~1e-13 ≪ the 1e-6 grid), and l2sq/duckL2sq are exact
-    // left-fold mirrors from there. Final means round to 4 decimals per
-    // the SURVEY §7 risk-2 convention.
+    // left-fold mirrors from there. The FINAL means get the SAME
+    // round-6 → float quantization before the 4-dp presentation round
+    // (r6 lesson: raw doubles rounded once are one summation-order flip
+    // from a hash mismatch), plus `+ 0.0` to normalize negative zero —
+    // the ACTUAL r6 failure: a −5e-6-ish mean rounds to −0.0 in DuckDB
+    // but +0.0 through Spark's BigDecimal round, and the driver hashes
+    // the sign while pandas equality does not (BASELINE.md protocol).
     "ann_refined" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
@@ -66,7 +71,9 @@ object AnnQueries extends QueryPack {
         .select($"cell", transform($"centroid", m => round(m, 6)).as("centroid"))
       Ann.refine(e, r1)
         .select($"cell", posexplode($"centroid"))
-        .select($"cell", ($"pos" + 1).as("pos"), round($"col", 4).as("comp"))
+        .select($"cell", ($"pos" + 1).as("pos"),
+          (round(round($"col", 6).cast("float").cast("double"), 4) + lit(0.0))
+            .as("comp"))
         .orderBy($"cell", $"pos")
     })
   )
@@ -145,8 +152,9 @@ object AnnQueries extends QueryPack {
     // Replays Ann.refine twice: seed assignment → per-(cell,pos) double
     // means → quantize (round 6, cast REAL — the collectCentroids float
     // cast) → reassign with the exact left-fold L2 → means again →
-    // round 4. See the Spark-side comment for why the quantization makes
-    // the second assignment deterministic across engines.
+    // the same round-6/REAL quantization → round 4 → `+ 0.0` to erase
+    // DuckDB's −0.0 (Spark's BigDecimal round is sign-less at zero; the
+    // driver hash compares the sign). See the Spark-side comment.
     "ann_refined" ->
       s"""WITH a1 AS (
          |  $duckAssigned
@@ -170,7 +178,8 @@ object AnnQueries extends QueryPack {
          |  FROM a2 a JOIN embeddings e USING (vec_id) CROSS JOIN pos p
          |  GROUP BY a.cell, p.pos
          |)
-         |SELECT cell, pos, round(m, 4) AS comp
+         |SELECT cell, pos,
+         |  round(CAST(CAST(round(m, 6) AS REAL) AS DOUBLE), 4) + 0.0 AS comp
          |FROM m2 ORDER BY cell, pos""".stripMargin
   )
 }

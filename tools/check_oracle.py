@@ -1,15 +1,25 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [<verifyOutDir2>]
 
 Reads each <verifyOutDir>/<name>/ parquet dump (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB against views
 named after the testdata tables, and compares: row count, column
-names/dtypes, and a hash of all values (columns sorted by name, rows
-sorted by all columns). Exit 1 on any mismatch.
+names/dtypes, and a VALUE HASH (columns sorted by name, rows sorted by
+all columns, every cell rendered with repr so float bits matter — the
+same comparison shape the driver's hash_match uses). Exit 1 on any
+mismatch.
+
+DETERMINISM GATE (round-6 lesson): a query whose output depends on
+Spark's partition/summation order can pass a local compare and fail the
+driver's (CORRECTNESS_r06: ann_refined). Pass a SECOND verify dir,
+produced by a run at a DIFFERENT parallelism (e.g. SPARK_GRAFT_CPUS=32
+vs 4), and every query is additionally checked dump-vs-dump for an
+IDENTICAL value hash. A local correctness claim is only driver-safe when
+both gates pass — see BASELINE.md "Verification protocol".
 """
-import sys, os, json, glob
+import sys, os, json, glob, hashlib
 import duckdb
 import pandas as pd
 
@@ -46,8 +56,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-canonical hash of every cell value. repr() preserves full
+    float precision (repr round-trips doubles), so two frames hash equal
+    iff their sorted values are bit-equal — the driver-comparison shape,
+    strictly stricter than pandas .equals on dtype-coerced frames."""
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False, name=None):
+        h.update(repr(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    alt_dir = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -60,6 +83,18 @@ def main():
         if not files:
             print(f"FAIL {name}: no parquet output"); failures += 1; continue
         got = pd.read_parquet(os.path.join(out_dir, name))
+        if alt_dir is not None:
+            # determinism gate: same query, different-parallelism run
+            alt_path = os.path.join(alt_dir, name)
+            if not os.path.isdir(alt_path):
+                print(f"FAIL {name}: missing from determinism dir {alt_dir}")
+                failures += 1; continue
+            alt = pd.read_parquet(alt_path)
+            hg, ha = value_hash(norm(got)), value_hash(norm(alt))
+            if hg != ha:
+                print(f"FAIL {name}: NONDETERMINISTIC across parallelism "
+                      f"({hg[:12]} vs {ha[:12]}) — would flake the driver gate")
+                failures += 1; continue
         if name not in oracle:
             print(f"WEAK {name}: no oracle sql, rows={len(got)} "
                   f"({'ok' if len(got) > 0 else 'EMPTY!'})")
@@ -78,7 +113,7 @@ def main():
             failures += 1; continue
         dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
                        for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
-        eq = g.equals(e)
+        eq = value_hash(g) == value_hash(e)
         if not eq:
             # cell-level diff report
             bad = []
