@@ -155,8 +155,10 @@ object TextQueries extends QueryPack {
     // Embedding near-dup pairs, exact within IVF cells: the cell count
     // scales with N (⌈N/64⌉), so block population stays ≈64 and total
     // pair work is linear in the corpus — the scale-safe blocking the
-    // old fixed-cardinality label key was not. The oracle replicates
-    // the identical seed-centroid assignment.
+    // old fixed-cardinality label key was not. Cells come from the
+    // TWO-LEVEL quantizer (driver-bounded coarse seeds, fine seeds
+    // computed distributedly and joined — never collected); the oracle
+    // replicates the identical two-level assignment.
     "dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       Dedup.embeddingNearDupsIvf(Tables.embeddings(s, dir),
@@ -355,25 +357,45 @@ object TextQueries extends QueryPack {
     // centroids (first K by md5(vec_id) — portable uniform sample),
     // row-local argmin assignment with (distance, cell) tie-break,
     // exact L2 pairs within a cell
+    // Two-level quantizer replay (Dedup.embeddingNearDupsIvf): coarse
+    // Kc = ⌈√⌈N/64⌉⌉ md5-spread seeds → row-local coarse argmin → per-
+    // coarse-cell fine seeds (first ⌈cellN/64⌉ by md5(id)) → fine
+    // argmin joined on the coarse cell → exact pairs within fine blocks.
     "dedup_embedding" -> {
       val l2 = VectorQueries.duckL2sq _
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cell, embedding AS centroid FROM (
+      s"""WITH cseeds AS (
+         |  SELECT vec_id AS ccell, embedding AS centroid FROM (
          |    SELECT vec_id, embedding, row_number()
          |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |    FROM embeddings
-         |  ) WHERE rn <= (SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) FROM embeddings)
-         |), assigned AS (
-         |  SELECT vec_id, cell, embedding FROM (
-         |    SELECT e.vec_id, c.cell, e.embedding,
+         |  ) WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS BIGINT)
+         |                 FROM embeddings)
+         |), coarse AS (
+         |  SELECT vec_id, ccell, embedding FROM (
+         |    SELECT e.vec_id, c.ccell, e.embedding,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2("e.embedding", "c.centroid")}, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN cents c
+         |        ORDER BY ${l2("e.embedding", "c.centroid")}, c.ccell) AS rn
+         |    FROM embeddings e CROSS JOIN cseeds c
+         |  ) WHERE rn = 1
+         |), fseeds AS (
+         |  SELECT ccell, vec_id AS fid, embedding AS centroid FROM (
+         |    SELECT ccell, vec_id, embedding,
+         |      row_number() OVER (PARTITION BY ccell
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+         |      count(*) OVER (PARTITION BY ccell) AS cn
+         |    FROM coarse
+         |  ) WHERE rk <= ceil(cn / 64.0)
+         |), assigned AS (
+         |  SELECT vec_id, blk, embedding FROM (
+         |    SELECT v.vec_id, f.fid AS blk, v.embedding,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2("v.embedding", "f.centroid")}, f.fid) AS rn
+         |    FROM coarse v JOIN fseeds f USING (ccell)
          |  ) WHERE rn = 1
          |)
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
          |       round(${l2("a.embedding", "b.embedding")}, 4) AS distance
-         |FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id < b.vec_id
          |WHERE ${l2("a.embedding", "b.embedding")} < 1.45
          |ORDER BY id1, id2""".stripMargin
     },

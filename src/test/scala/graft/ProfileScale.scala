@@ -59,18 +59,28 @@ object ProfileScale {
         embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
           transform($"embedding", x => x + lit(i * 10.0f)).as("embedding"))
       }.reduce(_ unionByName _)
+      // Two-level build (r7): the claim under test is now TWO-sided —
+      // (a) max fine-block population stays ≈ targetBlock while N×10,
+      // and (b) DRIVER TRAFFIC (collected coarse seeds) stays bounded:
+      // Kc = min(cap, ⌈√⌈N/64⌉⌉) — with the cap pinned at the ×1 Kc,
+      // driver rows are CONSTANT across the 10× scale-up while blocks
+      // stay bounded (the old single-level build collected ⌈N/64⌉ =
+      // O(N) rows). Run uncapped too for the √-growth default.
+      val capAtX1 = math.ceil(math.sqrt(
+        math.max(1L, (en + 63) / 64).toDouble)).toInt
       Seq(1, 3, 10).foreach { k =>
         val vecs = repEmb(k)
         val nn = en * k
-        val cells = math.max(1L, (nn + 63) / 64).toInt
-        val cents = graft.operators.Ann.collectCentroids(
-          graft.operators.Ann.spreadCentroids(vecs, cells))
-        val pop = vecs
-          .select(graft.operators.Ann.nearestCell($"embedding", cents).as("cell"))
-          .groupBy($"cell").agg(count(lit(1)).as("pop"))
-          .agg(max($"pop").as("mx"), avg($"pop").as("av")).head()
-        println(s"PROF emb-ivf-x$k: N=$nn cells=$cells " +
-          s"maxBlock=${pop.getLong(0)} avgBlock=${pop.getDouble(1)}")
+        Seq(("uncapped", 65536), ("capped", capAtX1)).foreach {
+          case (label, cap) =>
+            val (kc, assigned) = graft.operators.Dedup.ivfTwoLevelBlocks(
+              vecs, targetBlock = 64, coarseKMax = cap)
+            val pop = assigned
+              .groupBy($"blk").agg(count(lit(1)).as("pop"))
+              .agg(max($"pop").as("mx"), avg($"pop").as("av")).head()
+            println(s"PROF emb-ivf-x$k[$label]: N=$nn driverRows=$kc " +
+              s"maxBlock=${pop.getLong(0)} avgBlock=${pop.getDouble(1)}")
+        }
         time(s"emb-ivf-x$k")(
           graft.operators.Dedup.embeddingNearDupsIvf(vecs, targetBlock = 64)
             .count())
