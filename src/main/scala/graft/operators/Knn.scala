@@ -64,7 +64,8 @@ object Knn {
     * scored rows of one query into one task — a full-corpus sort on a
     * single core at 100 TB). For very large query batches (beyond
     * broadcast threshold) the same plan degrades gracefully to a
-    * shuffled join on no keys — callers should chunk.
+    * shuffled join on no keys — use [[batchTopKChunked]], which does
+    * the chunking so every sub-batch stays broadcast-sized.
     */
   def batchTopK(
       vectors: DataFrame,
@@ -93,6 +94,46 @@ object Knn {
         col("col.id").as(idCol),
         col("col.distance").as("distance"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** [[batchTopK]] for query batches of ARBITRARY width: splits the
+    * batch into broadcast-sized chunks and unions the per-chunk plans,
+    * so the vectors table NEVER shuffles no matter how wide the batch —
+    * closing the scaladoc'd degradation above (a beyond-threshold batch
+    * would silently plan a shuffled join on no keys). The reference's
+    * `BatchSearch` amortizes arbitrary widths the same way — per-shard
+    * sub-batches through a fixed-size scan
+    * (`src/index/shard_manager.cc:61-78`).
+    *
+    * Chunk assignment is `pmod(xxhash64(query_id), chunks)` — computed
+    * row-locally on the query side (no global sort/window over the
+    * batch, which would funnel the whole batch through one task), and
+    * each chunk's filter pushes into the query-side scan. Each chunk
+    * costs one pass over the vectors; `maxChunk` trades passes against
+    * broadcast size (default 65,536 queries ≈ 17 MB of 64-float
+    * vectors — inside the production 64 MB threshold). Hash chunking
+    * balances to ±O(√chunkSize) for distinct ids; exact output equality
+    * with the unchunked form is property-tested at a forced tiny
+    * `maxChunk`. */
+  def batchTopKChunked(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      maxChunk: Int = 65536,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    require(maxChunk > 0, "maxChunk must be positive")
+    val total = queries.count()
+    val chunks = math.max(1L, (total + maxChunk - 1) / maxChunk.toLong).toInt
+    if (chunks == 1)
+      return batchTopK(vectors, queries, k, idCol, embCol, queryIdCol, queryVecCol)
+    (0 until chunks).map { i =>
+      val part = queries.filter(
+        pmod(xxhash64(col(queryIdCol)), lit(chunks)) === lit(i))
+      batchTopK(vectors, part, k, idCol, embCol, queryIdCol, queryVecCol)
+    }.reduce(_ unionByName _)
   }
 
   /** Window-function form of [[batchTopK]] — the executable spec the

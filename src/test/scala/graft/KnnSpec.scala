@@ -147,6 +147,38 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("batchTopKChunked ≡ batchTopK at a forced tiny chunk size") {
+    val rnd = new scala.util.Random(11)
+    val df = vecDf((0L until 100L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))))
+    val q = vecDf((1000L until 1011L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f))))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    for (maxChunk <- Seq(1, 3, 100)) { // 11 chunks, 4 chunks, 1 (degenerate)
+      val chunked = Knn.batchTopKChunked(df, q, 5, maxChunk = maxChunk)
+        .orderBy($"query_id", $"rank").collect().toSeq
+      val direct = Knn.batchTopK(df, q, 5)
+        .orderBy($"query_id", $"rank").collect().toSeq
+      assert(chunked === direct, s"maxChunk=$maxChunk")
+    }
+  }
+
+  test("batchTopKChunked plan: every chunk joins broadcast — vectors never shuffle") {
+    val rnd = new scala.util.Random(13)
+    val df = vecDf((0L until 50L).map(i => (i, Seq.fill(4)(rnd.nextFloat()))))
+    val q = vecDf((100L until 110L).map(i => (i, Seq.fill(4)(rnd.nextFloat()))))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val plan = Knn.batchTopKChunked(df, q, 3, maxChunk = 3)
+      .queryExecution.executedPlan.toString
+    // per-chunk cross joins must all be query-side broadcast; a lost
+    // hint beyond the threshold is exactly the degradation this
+    // operator exists to prevent
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length === 4, plan)
+    // the only hash exchanges are the post-partial-aggregation merges
+    // over ≤ queries×k rows, never the vector scan side
+    assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)
+  }
+
   test("batchTopK plan has partial aggregation, no single-partition window exchange") {
     val q = vecDf(Seq(10L -> Seq(0f, 0f))).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     val plan = Knn.batchTopK(fixture, q, 2).queryExecution.executedPlan.toString
