@@ -43,8 +43,14 @@ final class SearchService(
     maxSnapshots: Int = 4) {
 
   import MutationLog.{Consistency, Strong}
+  import SearchService.BatchQuery
 
   private val memo = new QueryMemo[Seq[ScoredPoint]](cacheMaxEntries, cacheTtlMillis)
+  // Raft-role flag: the reference gates STRONG reads on leadership
+  // (`src/rpc/search_service_impl.cc:10-12,28-31`); the batch engine has
+  // no control plane (O-10/O-11 out of scope), so the ROLE is a flag and
+  // the ROUTING semantics are what's preserved (and tested).
+  @volatile private var leader: Boolean = true
   // retained versions: commit index → state plan (current always present)
   private val snapshots = scala.collection.mutable.TreeMap[Long, DataFrame](0L -> initial)
   // versions a read has materialized (what relaxed reads may serve);
@@ -73,6 +79,78 @@ final class SearchService(
         memo.insert(query, k, hits, snap)
         (hits, false)
     }
+  }
+
+  /** Role transitions (no control plane here — tests/operators drive
+    * them; the reference's Raft does, `src/raft/raft_state.cc`). */
+  def setLeader(isLeader: Boolean): Unit = { leader = isLeader }
+  def isLeader: Boolean = leader
+
+  /** Single-read routing parity: a STRONG read on a follower is
+    * rejected (`Search`, `src/rpc/search_service_impl.cc:28-31` —
+    * FAILED_PRECONDITION + leader hint; the hint is the message here).
+    * Relaxed reads serve locally. [[search]] stays the leader-local
+    * form. */
+  def searchRouted(query: Seq[Float], k: Int,
+      level: Consistency = Strong): Either[String, (Seq[ScoredPoint], Boolean)] =
+    if (!leader && level == Strong) Left(SearchService.NotLeader)
+    else Right(search(query, k, level))
+
+  /** Batch read with the reference's ALL-OR-NOTHING consistency gate
+    * (`BatchSearch`, `src/rpc/search_service_impl.cc:53-62`): on a
+    * follower, if ANY member demands STRONG the ENTIRE batch is
+    * rejected — members that would individually be serveable get
+    * nothing (the reference clears the response list). On the leader
+    * every level serves.
+    *
+    * Execution is Spark-first, not the reference's per-request OpenMP
+    * loop (`src/index/shard_manager.cc:61-78`): after per-member cache
+    * lookups, the misses are grouped by (resolved snapshot, k) and each
+    * group runs as ONE [[Knn.batchTopKChunked]] pass over that snapshot
+    * — the batch is data, and arbitrary widths stay broadcast-sized.
+    * Returns per-member (hits, servedFromCache) in request order. */
+  def batchSearch(requests: Seq[BatchQuery])
+      : Either[String, Seq[(Seq[ScoredPoint], Boolean)]] = {
+    if (!leader && requests.exists(_.level == Strong))
+      return Left(SearchService.NotLeader)
+    // one lock: the whole batch resolves against a consistent view of
+    // the retention/materialization state
+    val resolved = synchronized {
+      val avail = materialized.toSeq.filter(snapshots.contains)
+      requests.map { r =>
+        val s = MutationLog.snapshotIndex(commitIndex, avail, r.level)
+        (r, s)
+      }
+    }
+    val cached: Seq[Option[Seq[ScoredPoint]]] = resolved.map { case (r, s) =>
+      if (r.k <= 0) Some(Nil) else memo.lookup(r.query, r.k, s)
+    }
+    val missIdx = resolved.indices.filter(i =>
+      cached(i).isEmpty && resolved(i)._1.k > 0)
+    val computed = scala.collection.mutable.Map[Int, Seq[ScoredPoint]]()
+    missIdx.groupBy(i => (resolved(i)._2, resolved(i)._1.k)).foreach {
+      case ((snap, k), idxs) =>
+        val state = synchronized(snapshots(snap))
+        val sp = state.sparkSession
+        import sp.implicits._
+        val qdf = idxs.map(i => (i.toLong, resolved(i)._1.query)).toDF("query_id", "qvec")
+        val byQuery = Knn.batchTopKChunked(state, qdf, k, idCol = idCol, embCol = embCol)
+          .orderBy("query_id", "rank").collect()
+          .map(r => (r.getLong(0).toInt, ScoredPoint(r.getLong(1), r.getDouble(2), "")))
+          .groupBy(_._1).map { case (i, rows) => (i, rows.map(_._2).toSeq) }
+        idxs.foreach { i =>
+          val hits = byQuery.getOrElse(i, Nil)
+          computed(i) = hits
+          memo.insert(resolved(i)._1.query, k, hits, snap)
+        }
+        synchronized { materialized += snap }
+    }
+    Right(resolved.indices.map { i =>
+      cached(i) match {
+        case Some(hits) => (hits, resolved(i)._1.k > 0)
+        case None => (computed(i), false)
+      }
+    })
   }
 
   /** Upsert batch (delete-then-insert per key); advances the commit
@@ -114,6 +192,14 @@ final class SearchService(
 }
 
 object SearchService {
+  /** One member of a [[SearchService.batchSearch]] batch; STRONG default
+    * mirrors the proto's zero value (`proto/search.proto:8-12`). */
+  final case class BatchQuery(query: Seq[Float], k: Int,
+      level: MutationLog.Consistency = MutationLog.Strong)
+
+  /** The reference's rejection message, `src/rpc/search_service_impl.cc:59`. */
+  val NotLeader = "Leader routing required for strong consistency"
+
   /** O-13: build from a typed node config (file-based, default-on-absent
     * — see [[graft.util.ConfigLoader]]). The reference wires
     * `NodeRuntimeConfig.cache` into its query cache the same way

@@ -105,6 +105,58 @@ class SearchServiceSpec extends SparkSpec {
     assert(svc.currentCommitIndex === 4L)
   }
 
+  test("batchSearch serves mixed-level batches on the leader, one scan per (snapshot, k)") {
+    import graft.operators.MutationLog.{Eventual, Strong}
+    import SearchService.BatchQuery
+    val svc = freshService
+    val got = svc.batchSearch(Seq(
+      BatchQuery(Seq(0f, 0f), 2, Strong),
+      BatchQuery(Seq(2f, 2f), 1, Eventual),
+      BatchQuery(Seq(0f, 0f), 0, Strong))) // k=0 gate inside a batch
+    val results = got.toOption.get
+    assert(results.length === 3)
+    assert(results(0)._1.map(_.id) === Seq(1L, 2L) && !results(0)._2)
+    assert(results(1)._1.map(_.id) === Seq(3L) && !results(1)._2)
+    assert(results(2)._1.isEmpty && !results(2)._2) // k=0: empty, uncached
+    // batch members landed in the cache: re-batch is all cache hits
+    val again = svc.batchSearch(Seq(
+      BatchQuery(Seq(0f, 0f), 2, Strong),
+      BatchQuery(Seq(2f, 2f), 1, Eventual))).toOption.get
+    assert(again.forall(_._2))
+    assert(again.map(_._1) === results.take(2).map(_._1))
+    // and single-search sees the same entries (shared memo, same keying)
+    val (single, fromCache) = svc.search(Seq(0f, 0f), 2)
+    assert(fromCache && single.map(_.id) === Seq(1L, 2L))
+  }
+
+  test("follower rejects the WHOLE batch if any member demands STRONG (all-or-nothing)") {
+    import graft.operators.MutationLog.{Eventual, Strong}
+    import SearchService.BatchQuery
+    val svc = freshService
+    svc.search(Seq(0f, 0f), 2) // materialize v0 so relaxed reads could serve
+    svc.setLeader(false)
+    // one STRONG member poisons the batch — the EVENTUAL member that
+    // would individually serve gets nothing (reference clears responses,
+    // src/rpc/search_service_impl.cc:53-62)
+    val rejected = svc.batchSearch(Seq(
+      BatchQuery(Seq(2f, 2f), 1, Eventual),
+      BatchQuery(Seq(0f, 0f), 2, Strong)))
+    assert(rejected === Left(SearchService.NotLeader))
+    // no partial service: the rejected batch cached nothing new
+    assert(svc.cacheSize === 1)
+    // an all-relaxed batch on the same follower serves fine
+    val served = svc.batchSearch(Seq(
+      BatchQuery(Seq(2f, 2f), 1, Eventual))).toOption.get
+    assert(served.head._1.map(_.id) === Seq(3L))
+    // single-read routing parity: STRONG rejected, relaxed served
+    assert(svc.searchRouted(Seq(0f, 0f), 2, Strong) === Left(SearchService.NotLeader))
+    assert(svc.searchRouted(Seq(0f, 0f), 2, Eventual).isRight)
+    // back on the leader the same batch serves
+    svc.setLeader(true)
+    assert(svc.batchSearch(Seq(
+      BatchQuery(Seq(0f, 0f), 2, Strong))).isRight)
+  }
+
   test("delete removes from results after invalidation") {
     val svc = freshService
     svc.delete(Seq((1L, "s0")).toDF("id", "shard_id"))
