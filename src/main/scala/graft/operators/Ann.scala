@@ -54,8 +54,7 @@ object Ann {
   def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.SignLshBucket(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb),
-        planes.map(_.toArray).toArray))
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb), planes))
 
   /** Literal-fold form of [[lshBucket]] — the executable spec the native
     * kernel is tested against (and the shape the DuckDB oracle replays). */

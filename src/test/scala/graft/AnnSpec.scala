@@ -85,7 +85,9 @@ class AnnSpec extends SparkSpec {
     val rnd = new scala.util.Random(31)
     val rows = (0L until 150L).map(i =>
       (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1))) :+
-      (900L, Seq.fill(64)(0f))                     // all-zero: every dot = +0 → all bits
+      (900L, Seq.fill(64)(0f)) :+                  // all-zero: every dot = +0 → all bits
+      (903L, Seq.fill(64)(Float.NaN)) :+           // NaN dots: Spark's >= says bit SET
+      (904L, null.asInstanceOf[Seq[Float]])        // null array: fold yields 0L, not null
     val df = rows.toDF("vec_id", "embedding")
     for (planes <- Seq(8, 16, 62)) {
       val hp = Ann.hyperplanes(planes, 64)
@@ -93,8 +95,26 @@ class AnnSpec extends SparkSpec {
           Ann.lshBucket($"embedding", hp).as("k"),
           Ann.lshBucketFold($"embedding", hp).as("s"))
         .collect()
-      got.foreach(r => assert(r.getLong(1) === r.getLong(2),
-        s"planes=$planes vec=${r.getLong(0)}"))
+      got.foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2),
+          s"planes=$planes vec=${r.getLong(0)} nulled a bucket")
+        assert(r.getLong(1) === r.getLong(2),
+          s"planes=$planes vec=${r.getLong(0)}")
+      }
+      val byId = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId(903L) === (1L << planes) - 1) // NaN ≥ 0 in SQL: all bits
+      assert(byId(904L) === 0L)                 // null array: bucket 0
+    }
+    // structural equality (ADVICE r6): two kernels over equal matrices
+    // canonicalize equal, so CSE/canonicalization dedups repeated columns
+    locally {
+      val hp = Ann.hyperplanes(8, 64)
+      val child = org.apache.spark.sql.graftbridge.ColumnBridge.expression($"embedding")
+      val k1 = graft.expressions.SignLshBucket(child, hp)
+      // a deep-copied matrix: distinct Seq instances, equal contents
+      val k2 = graft.expressions.SignLshBucket(child, hp.map(_.map(identity)))
+      assert(k1 === k2)
+      assert(k1.semanticEquals(k2))
     }
     // kernel-only edges: an array shorter than the plane dimension is a
     // bucket-0 row (the fold spec throws under ANSI, tolerates under

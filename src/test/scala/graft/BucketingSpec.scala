@@ -103,20 +103,23 @@ class BucketingSpec extends SparkSpec {
   test("plain parquet read of the same files would reintroduce the exchange") {
     val t1 = s"bk_meta_${System.nanoTime()}"
     val t2 = s"bk_meta2_${System.nanoTime()}"
-    withTables(t1, t2) {
+    withTables(t1, t2) { atScale {
       val e = Tables.embeddings(spark, sf).select($"vec_id".as("id"), $"embedding")
       VectorStore.writeBucketed(e, t1, 8, Seq("id"))
       VectorStore.writeBucketed(
         e.select($"id", lit(1L).as("generation")), t2, 8, Seq("id"))
       // same data, read WITHOUT bucket metadata: the join must shuffle —
-      // proves the catalog metadata (not file layout luck) is load-bearing
+      // proves the catalog metadata (not file layout luck) is load-bearing.
+      // atScale + the hashpartitioning assert matter (ADVICE r6): outside
+      // atScale a broadcast-sized fixture plans a BroadcastExchange and a
+      // bare "Exchange" contains() passes vacuously.
       val loc = spark.sql(s"DESCRIBE EXTENDED $t1").filter($"col_name" === "Location")
         .select($"data_type").head().getString(0)
       val loc2 = spark.sql(s"DESCRIBE EXTENDED $t2").filter($"col_name" === "Location")
         .select($"data_type").head().getString(0)
       val joined = spark.read.parquet(loc).join(spark.read.parquet(loc2), "id")
       val p = joined.queryExecution.executedPlan.toString
-      assert(p.contains("Exchange"), p)
-    }
+      assert(p.contains("Exchange hashpartitioning"), p)
+    } }
   }
 }
