@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, Hash56, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignatureAgreement, SimHashBits, WinnowFingerprints}
+import graft.expressions.{DotProduct, Hash56, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignLshBucket, SignatureAgreement, SimHashBits, WinnowFingerprints}
 
 /** SQL surface for the native vector expressions.
   *
@@ -61,7 +61,13 @@ object GraftExtensions {
     ("winnow_fps",
       info("winnow_fps", "winnow_fps(text, k, w) - distinct winnowed minima of char k-gram hash32s over windows of w"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
-        foldableInt(exprs(1), "winnow_fps(k)"), foldableInt(exprs(2), "winnow_fps(w)"))))
+        foldableInt(exprs(1), "winnow_fps(k)"), foldableInt(exprs(2), "winnow_fps(w)"))),
+    ("sign_lsh",
+      info("sign_lsh", "sign_lsh(emb, planes, dim) - sign-LSH bucket of a float array against the deterministic md5-derived hyperplane matrix (Ann.hyperplanes)"),
+      (exprs: Seq[Expression]) => SignLshBucket(exprs(0),
+        graft.operators.Ann.hyperplanes(
+          foldableInt(exprs(1), "sign_lsh(planes)"),
+          foldableInt(exprs(2), "sign_lsh(dim)")))))
 
   private def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")

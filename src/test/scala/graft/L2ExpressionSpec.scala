@@ -74,6 +74,20 @@ class L2ExpressionSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.5)
   }
 
+  test("SQL registration: sign_lsh matches the Scala lshBucket column") {
+    GraftExtensions.register(spark)
+    e.createOrReplaceTempView("emb_lsh")
+    val viaSql = spark.sql(
+      "SELECT vec_id, sign_lsh(embedding, 8, 64) AS b FROM emb_lsh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScala = e.select($"vec_id",
+        graft.operators.Ann.lshBucket($"embedding",
+          graft.operators.Ann.hyperplanes(8, 64)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaScala)
+    assert(viaSql.values.toSet.size > 1) // non-vacuous: buckets differ
+  }
+
   test("JaccardLongs ≡ array_intersect form on random long sets") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 200).map { _ =>
