@@ -54,6 +54,21 @@ object VectorQueries extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // The beyond-broadcast batch path, oracle-checked: maxChunk=3 forces
+    // the 8-query batch through 3 hash-split chunks (each its own
+    // broadcast join + BottomK pass over the vectors) — semantically
+    // invisible, so the oracle is the same plain batch SQL.
+    "knn_batch_chunked" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      Knn.batchTopKChunked(e, q, k = 5, maxChunk = 3)
+        .select($"query_id", $"vec_id",
+          round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Explicit duplicate-id resolution (SURVEY §7 risk 4): the corpus is
     // the embeddings table PLUS a re-sharded copy of every 10th vector,
     // so those ids genuinely appear twice — the reference's shard merge
@@ -175,6 +190,21 @@ object VectorQueries extends QueryPack {
          |LIMIT 10""".stripMargin,
 
     "knn_batch" ->
+      s"""SELECT * FROM (
+         |  SELECT query_id, vec_id, round(distance, 4) AS distance,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY distance, vec_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |           ${duckL2sq("e.embedding", "q.embedding")} AS distance
+         |    FROM embeddings e
+         |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |  )
+         |) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // chunking must be invisible: identical result set to knn_batch
+    "knn_batch_chunked" ->
       s"""SELECT * FROM (
          |  SELECT query_id, vec_id, round(distance, 4) AS distance,
          |         row_number() OVER (PARTITION BY query_id
