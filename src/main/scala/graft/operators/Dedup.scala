@@ -865,15 +865,42 @@ object Dedup {
       ivfTwoLevelBlocks(vectors, targetBlock, idCol, embCol, coarseKMax)._2,
       maxL2Sq)
 
+  /** Multi-probe variant of [[embeddingNearDupsIvf]]: each vector joins
+    * its `nprobe` NEAREST fine cells (not just the winner), so a pair
+    * straddling a Voronoi boundary is still found whenever the two
+    * vectors share ANY probed cell — the recall knob on single-probe
+    * blocking, at ~nprobe× candidate volume (the same recall/scan-
+    * fraction trade `Ann.search`'s nprobe makes on the query path, and
+    * the reference makes by fanning a query across all shards,
+    * `src/index/shard_manager.cc:46-51`). Pairs sharing several probed
+    * cells are deduplicated by the exact-distance groupBy, which also
+    * keeps the aggregation partial (map-side combine on the (id1, id2)
+    * key — never a distinct over the expanded candidate stream). */
+  def embeddingNearDupsIvfMultiProbe(
+      vectors: DataFrame,
+      targetBlock: Int = 64,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxL2Sq: Double = 1.45,
+      coarseKMax: Int = 65536): DataFrame =
+    pairsWithinBlocks(
+      ivfTwoLevelBlocks(vectors, targetBlock, idCol, embCol, coarseKMax, nprobe)._2,
+      maxL2Sq)
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("distance")).as("distance")) // probe-overlap dedup
+
   /** The two-level block assignment behind [[embeddingNearDupsIvf]],
     * exposed for scale profiling: returns (coarseK — the ONLY row count
-    * that crosses the driver — and the (id, blk, e) frame). */
+    * that crosses the driver — and the (id, blk, e) frame; `nprobe` > 1
+    * emits one row per probed fine cell). */
   private[graft] def ivfTwoLevelBlocks(
       vectors: DataFrame,
       targetBlock: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      coarseKMax: Int = 65536): (Int, DataFrame) = {
+      coarseKMax: Int = 65536,
+      nprobe: Int = 1): (Int, DataFrame) = {
     require(targetBlock > 0, "targetBlock must be positive")
     require(coarseKMax > 0, "coarseKMax must be positive")
     import org.apache.spark.sql.expressions.Window
@@ -895,14 +922,30 @@ object Dedup {
       .withColumn("cn", count(lit(1)).over(byCell))
       .filter(col("rk") <= ceil(col("cn") / lit(targetBlock.toDouble)))
       .select(col("ccell"), col("id").as("fid"), col("e").as("centroid"))
-    val assigned = base.join(fineSeeds, "ccell")
-      .groupBy(col("id"))
-      .agg(
-        min(struct(l2sq(col("e"), col("centroid")).as("d"),
-          col("fid").as("c"))).as("best"),
-        // e is functionally dependent on the group key — any row's copy
-        first(col("e")).as("e"))
-      .select(col("id"), col("best").getField("c").as("blk"), col("e"))
+    require(nprobe > 0, "nprobe must be positive")
+    val joined = base.join(fineSeeds, "ccell")
+    val assigned = if (nprobe == 1) {
+      // single probe: a partial-aggregated min(struct) argmin — map-side
+      // combine reduces the expanded join to one row per id per task,
+      // strictly cheaper than a window at scale
+      joined
+        .groupBy(col("id"))
+        .agg(
+          min(struct(l2sq(col("e"), col("centroid")).as("d"),
+            col("fid").as("c"))).as("best"),
+          // e is functionally dependent on the group key — any row's copy
+          first(col("e")).as("e"))
+        .select(col("id"), col("best").getField("c").as("blk"), col("e"))
+    } else {
+      // multi-probe: the nprobe nearest fine cells per vector, ranked by
+      // the same (distance, fid) order the argmin uses
+      val byVec = Window.partitionBy(col("id"))
+        .orderBy(l2sq(col("e"), col("centroid")), col("fid"))
+      joined
+        .withColumn("pr", row_number().over(byVec))
+        .filter(col("pr") <= nprobe)
+        .select(col("id"), col("fid").as("blk"), col("e"))
+    }
     (coarseK, assigned)
   }
 }

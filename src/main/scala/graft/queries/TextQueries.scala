@@ -167,6 +167,18 @@ object TextQueries extends QueryPack {
         .orderBy($"id1", $"id2")
     }),
 
+    // The recall knob on the blocking above: each vector probes its 2
+    // nearest fine cells, so boundary-straddling pairs are found when
+    // the two vectors share EITHER probed cell (a strict superset of
+    // the single-probe pairs — asserted in DedupSpec).
+    "dedup_embedding_mp" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.embeddingNearDupsIvfMultiProbe(Tables.embeddings(s, dir),
+          targetBlock = 64, nprobe = 2, maxL2Sq = 1.45)
+        .select($"id1", $"id2", round($"distance", 4).as("distance"))
+        .orderBy($"id1", $"id2")
+    }),
+
     // The dedup decision: docs surviving word-set near-dedup (lowest id
     // of each duplicate chain wins; everything on an id2 side drops).
     "dedup_keep" -> ((s, dir) => {
@@ -312,6 +324,46 @@ object TextQueries extends QueryPack {
   /** Sensitive-term scrub pattern — shared verbatim with the oracle. */
   val scrubPattern: String = "\\b(customer|value|spark)\\b"
 
+  private def dl2(a: String, b: String): String = VectorQueries.duckL2sq(a, b)
+
+  /** Shared CTE prefix replaying `Dedup.ivfTwoLevelBlocks` in SQL:
+    * md5-spread coarse seeds (Kc = ⌈√⌈N/64⌉⌉) → coarse argmin →
+    * per-coarse-cell fine seeds → fine assignment keeping the `probeRn`
+    * nearest cells per vector (1 = the single-probe argmin). */
+  private def duckTwoLevelCtesProbed(probeRn: Int): String =
+    s"""cseeds AS (
+       |  SELECT vec_id AS ccell, embedding AS centroid FROM (
+       |    SELECT vec_id, embedding, row_number()
+       |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM embeddings
+       |  ) WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS BIGINT)
+       |                 FROM embeddings)
+       |), coarse AS (
+       |  SELECT vec_id, ccell, embedding FROM (
+       |    SELECT e.vec_id, c.ccell, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dl2("e.embedding", "c.centroid")}, c.ccell) AS rn
+       |    FROM embeddings e CROSS JOIN cseeds c
+       |  ) WHERE rn = 1
+       |), fseeds AS (
+       |  SELECT ccell, vec_id AS fid, embedding AS centroid FROM (
+       |    SELECT ccell, vec_id, embedding,
+       |      row_number() OVER (PARTITION BY ccell
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+       |      count(*) OVER (PARTITION BY ccell) AS cn
+       |    FROM coarse
+       |  ) WHERE rk <= ceil(cn / 64.0)
+       |), assigned AS (
+       |  SELECT vec_id, blk, embedding FROM (
+       |    SELECT v.vec_id, f.fid AS blk, v.embedding,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dl2("v.embedding", "f.centroid")}, f.fid) AS rn
+       |    FROM coarse v JOIN fseeds f USING (ccell)
+       |  ) WHERE rn <= $probeRn
+       |)""".stripMargin
+
+  private def duckTwoLevelCtes: String = duckTwoLevelCtesProbed(1)
+
   def oracle: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -361,44 +413,27 @@ object TextQueries extends QueryPack {
     // Kc = ⌈√⌈N/64⌉⌉ md5-spread seeds → row-local coarse argmin → per-
     // coarse-cell fine seeds (first ⌈cellN/64⌉ by md5(id)) → fine
     // argmin joined on the coarse cell → exact pairs within fine blocks.
-    "dedup_embedding" -> {
-      val l2 = VectorQueries.duckL2sq _
-      s"""WITH cseeds AS (
-         |  SELECT vec_id AS ccell, embedding AS centroid FROM (
-         |    SELECT vec_id, embedding, row_number()
-         |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM embeddings
-         |  ) WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS BIGINT)
-         |                 FROM embeddings)
-         |), coarse AS (
-         |  SELECT vec_id, ccell, embedding FROM (
-         |    SELECT e.vec_id, c.ccell, e.embedding,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2("e.embedding", "c.centroid")}, c.ccell) AS rn
-         |    FROM embeddings e CROSS JOIN cseeds c
-         |  ) WHERE rn = 1
-         |), fseeds AS (
-         |  SELECT ccell, vec_id AS fid, embedding AS centroid FROM (
-         |    SELECT ccell, vec_id, embedding,
-         |      row_number() OVER (PARTITION BY ccell
-         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
-         |      count(*) OVER (PARTITION BY ccell) AS cn
-         |    FROM coarse
-         |  ) WHERE rk <= ceil(cn / 64.0)
-         |), assigned AS (
-         |  SELECT vec_id, blk, embedding FROM (
-         |    SELECT v.vec_id, f.fid AS blk, v.embedding,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${l2("v.embedding", "f.centroid")}, f.fid) AS rn
-         |    FROM coarse v JOIN fseeds f USING (ccell)
-         |  ) WHERE rn = 1
-         |)
+    "dedup_embedding" ->
+      s"""WITH $duckTwoLevelCtes
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
-         |       round(${l2("a.embedding", "b.embedding")}, 4) AS distance
+         |       round(${dl2("a.embedding", "b.embedding")}, 4) AS distance
          |FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id < b.vec_id
-         |WHERE ${l2("a.embedding", "b.embedding")} < 1.45
-         |ORDER BY id1, id2""".stripMargin
-    },
+         |WHERE ${dl2("a.embedding", "b.embedding")} < 1.45
+         |ORDER BY id1, id2""".stripMargin,
+
+    // Multi-probe replay (Dedup.embeddingNearDupsIvfMultiProbe): fine
+    // assignment keeps the 2 nearest cells per vector; pairs sharing
+    // several probed cells collapse through the min-distance group.
+    "dedup_embedding_mp" ->
+      s"""WITH ${duckTwoLevelCtesProbed(2)}
+         |SELECT id1, id2, round(distance, 4) AS distance FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         min(${dl2("a.embedding", "b.embedding")}) AS distance
+         |  FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id < b.vec_id
+         |  WHERE ${dl2("a.embedding", "b.embedding")} < 1.45
+         |  GROUP BY a.vec_id, b.vec_id
+         |)
+         |ORDER BY id1, id2""".stripMargin,
 
     "text_stats" ->
       s"""WITH t AS (

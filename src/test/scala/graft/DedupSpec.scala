@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("multi-probe embedding dedup is a strict superset of single-probe (testdata)") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Dedup.embeddingNearDupsIvf(e, targetBlock = 64))
+    val multi = pairs(Dedup.embeddingNearDupsIvfMultiProbe(e, targetBlock = 64, nprobe = 2))
+    // probing MORE cells can only add shared-cell pairs, never lose one
+    assert(single.subsetOf(multi))
+    // non-vacuous: the fixture has boundary-straddling pairs recovered
+    assert(multi.size > single.size,
+      s"multi-probe found nothing new (single=${single.size})")
+    // nprobe=1 through the multi-probe path ≡ the argmin path
+    val mp1 = pairs(Dedup.embeddingNearDupsIvfMultiProbe(e, targetBlock = 64, nprobe = 1))
+    assert(mp1 === single)
+  }
+
   test("minhashKeep ≡ keepList over expanded pairs (testdata)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaPairs = Dedup.keepList(docs,
