@@ -924,27 +924,32 @@ object Dedup {
       .select(col("ccell"), col("id").as("fid"), col("e").as("centroid"))
     require(nprobe > 0, "nprobe must be positive")
     val joined = base.join(fineSeeds, "ccell")
+    // Group key is (id, e), NOT id alone: a duplicate id carrying a
+    // DIFFERENT embedding (the reference's cross-shard duplicate quirk,
+    // preserved engine-wide) keeps its own row and its own assignment;
+    // only bit-identical duplicate rows collapse (set semantics). An
+    // id-only group + first(e) would drop one copy nondeterministically.
     val assigned = if (nprobe == 1) {
       // single probe: a partial-aggregated min(struct) argmin — map-side
-      // combine reduces the expanded join to one row per id per task,
-      // strictly cheaper than a window at scale
+      // combine reduces the expanded join to one row per vector per
+      // task, strictly cheaper than a window at scale
       joined
-        .groupBy(col("id"))
-        .agg(
-          min(struct(l2sq(col("e"), col("centroid")).as("d"),
-            col("fid").as("c"))).as("best"),
-          // e is functionally dependent on the group key — any row's copy
-          first(col("e")).as("e"))
+        .groupBy(col("id"), col("e"))
+        .agg(min(struct(l2sq(col("e"), col("centroid")).as("d"),
+          col("fid").as("c"))).as("best"))
         .select(col("id"), col("best").getField("c").as("blk"), col("e"))
     } else {
-      // multi-probe: the nprobe nearest fine cells per vector, ranked by
-      // the same (distance, fid) order the argmin uses
-      val byVec = Window.partitionBy(col("id"))
-        .orderBy(l2sq(col("e"), col("centroid")), col("fid"))
+      // multi-probe: the nprobe nearest fine cells per vector via the
+      // BottomK k-bounded heap — same (distance, id) tie-break as the
+      // argmin and the oracle's rank, but partial-aggregated (a
+      // row_number window would shuffle and per-vector-sort the whole
+      // expanded candidate join)
       joined
-        .withColumn("pr", row_number().over(byVec))
-        .filter(col("pr") <= nprobe)
-        .select(col("id"), col("fid").as("blk"), col("e"))
+        .groupBy(col("id"), col("e"))
+        .agg(graft.expressions.BottomK.bottomK(
+          l2sq(col("e"), col("centroid")), col("fid"), nprobe).as("probed"))
+        .select(col("id"), col("e"), explode(col("probed")).as("hit"))
+        .select(col("id"), col("hit.id").as("blk"), col("e"))
     }
     (coarseK, assigned)
   }

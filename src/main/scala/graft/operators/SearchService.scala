@@ -75,7 +75,9 @@ final class SearchService(
           .collect()
           .map(r => ScoredPoint(r.getLong(0), r.getDouble(1), ""))
           .toSeq
-        synchronized { materialized += snap }
+        // guard: snap may have left retention while the scan ran, and a
+        // re-added evicted index is a dead entry advance() never prunes
+        synchronized { if (snapshots.contains(snap)) materialized += snap }
         memo.insert(query, k, hits, snap)
         (hits, false)
     }
@@ -114,15 +116,17 @@ final class SearchService(
     if (!leader && requests.exists(_.level == Strong))
       return Left(SearchService.NotLeader)
     // one lock: the whole batch resolves against a consistent view of
-    // the retention/materialization state
+    // the retention/materialization state — INCLUDING the state plans
+    // (re-reading snapshots(s) later would race a concurrent apply that
+    // evicts s from retention mid-batch)
     val resolved = synchronized {
       val avail = materialized.toSeq.filter(snapshots.contains)
       requests.map { r =>
         val s = MutationLog.snapshotIndex(commitIndex, avail, r.level)
-        (r, s)
+        (r, s, snapshots.get(s))
       }
     }
-    val cached: Seq[Option[Seq[ScoredPoint]]] = resolved.map { case (r, s) =>
+    val cached: Seq[Option[Seq[ScoredPoint]]] = resolved.map { case (r, s, _) =>
       if (r.k <= 0) Some(Nil) else memo.lookup(r.query, r.k, s)
     }
     val missIdx = resolved.indices.filter(i =>
@@ -130,7 +134,10 @@ final class SearchService(
     val computed = scala.collection.mutable.Map[Int, Seq[ScoredPoint]]()
     missIdx.groupBy(i => (resolved(i)._2, resolved(i)._1.k)).foreach {
       case ((snap, k), idxs) =>
-        val state = synchronized(snapshots(snap))
+        // STRONG resolves to the commit index, which is always retained
+        // at resolution time, so the plan was captured above
+        val state = resolved(idxs.head)._3.getOrElse(
+          sys.error(s"snapshot $snap not retained"))
         val sp = state.sparkSession
         import sp.implicits._
         val qdf = idxs.map(i => (i.toLong, resolved(i)._1.query)).toDF("query_id", "qvec")
@@ -143,7 +150,9 @@ final class SearchService(
           computed(i) = hits
           memo.insert(resolved(i)._1.query, k, hits, snap)
         }
-        synchronized { materialized += snap }
+        // only mark still-retained versions: re-adding an evicted index
+        // would leave a dead entry advance() never prunes again
+        synchronized { if (snapshots.contains(snap)) materialized += snap }
     }
     Right(resolved.indices.map { i =>
       cached(i) match {

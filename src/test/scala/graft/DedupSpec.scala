@@ -91,6 +91,24 @@ class DedupSpec extends SparkSpec {
     assert(mp1 === single)
   }
 
+  test("duplicate ids with different embeddings keep their own IVF assignment") {
+    // the reference's cross-shard duplicate quirk: same id, two vectors —
+    // each copy must block and pair independently (an id-keyed group
+    // would drop one copy nondeterministically)
+    val vecs = Seq(
+      (1L, Seq(0f, 0f)), (1L, Seq(5f, 5f)),
+      (2L, Seq(0.1f, 0f)), (3L, Seq(5f, 5.1f))
+    ).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // copy A of id 1 is near 2, copy B is near 3 — BOTH pairs must exist
+    val single = pairs(Dedup.embeddingNearDupsIvf(vecs, targetBlock = 64, maxL2Sq = 1.0))
+    assert(single === Set((1L, 2L), (1L, 3L)))
+    val multi = pairs(Dedup.embeddingNearDupsIvfMultiProbe(
+      vecs, targetBlock = 64, nprobe = 2, maxL2Sq = 1.0))
+    assert(multi === Set((1L, 2L), (1L, 3L)))
+  }
+
   test("minhashKeep ≡ keepList over expanded pairs (testdata)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val viaPairs = Dedup.keepList(docs,

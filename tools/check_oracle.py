@@ -58,9 +58,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     """Order-canonical hash of every cell value. repr() preserves full
-    float precision (repr round-trips doubles), so two frames hash equal
-    iff their sorted values are bit-equal — the driver-comparison shape,
-    strictly stricter than pandas .equals on dtype-coerced frames."""
+    float precision (repr round-trips doubles, and distinguishes -0.0
+    from 0.0 — the r6 driver divergence pandas equality masked). Dtype
+    parity is checked SEPARATELY and must fail first: repr renders a
+    float32 and float64 1.5 identically, so the hash alone is blind to
+    physical-type drift."""
     h = hashlib.sha256()
     for row in df.itertuples(index=False, name=None):
         h.update(repr(row).encode())
@@ -113,6 +115,12 @@ def main():
             failures += 1; continue
         dt_mismatch = [(c, str(g[c].dtype), str(e[c].dtype))
                        for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        if dt_mismatch:
+            # hard fail: repr collapses float32/float64 (both render 1.5),
+            # so the hash alone would pass a dump whose physical types the
+            # driver's schema gate rejects — dtype parity is part of the gate
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}")
+            failures += 1; continue
         eq = value_hash(g) == value_hash(e)
         if not eq:
             # cell-level diff report
@@ -126,10 +134,9 @@ def main():
                         pass
                     idx = list(g.index[mask])[:3]
                     bad.append((c, [(i, g[c][i], e[c][i]) for i in idx]))
-            print(f"FAIL {name}: value mismatch {bad[:2]} dtypes={dt_mismatch}")
+            print(f"FAIL {name}: value mismatch {bad[:2]}")
             failures += 1; continue
-        flag = f" dtypes~{dt_mismatch}" if dt_mismatch else ""
-        print(f"OK   {name}: rows={len(g)}{flag}")
+        print(f"OK   {name}: rows={len(g)}")
     print(f"\n{len(names) - failures}/{len(names)} queries match")
     sys.exit(1 if failures else 0)
 
