@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+import graft.sources.Tables
+import graft.streaming.AnnServe
+
+/** Online-serving parity: the streamed single-plan form must answer
+  * each arriving query micro-batch with exactly the batch engine's
+  * result ([[Ann.search]] — same centroids, same nprobe, same
+  * tie-break), emitted once per query. */
+class AnnServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed ANN serving ≡ Ann.search for every arriving query") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables.embeddings(spark, sf)
+    val centroids = Ann.seedCentroids(e, 8)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val served = AnnServe.annServeStream(
+      mem.toDF().toDF("query_id", "qvec"), e, centroids, k = 5, nprobe = 2)
+    val out = s"ann_serve_${System.nanoTime()}"
+    val q = served.writeStream.outputMode("update")
+      .format("memory").queryName(out).start()
+    try {
+      val qvecs = e.filter($"vec_id".isin(3L, 17L, 120L))
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      // two arrival waves — a query's answer is final in its own batch
+      mem.addData(qvecs(0))
+      q.processAllAvailable()
+      mem.addData(qvecs(1), qvecs(2))
+      q.processAllAvailable()
+      val got = spark.table(out)
+        .select($"query_id", posexplode($"topk"))
+        .select($"query_id", $"col.id".as("vec_id"), $"col.distance".as("distance"),
+          ($"pos" + 1).cast("long").as("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val queries = e.filter($"vec_id".isin(3L, 17L, 120L))
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val expect = Ann.search(e, centroids, queries, k = 5, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got === expect)
+      assert(got.nonEmpty)
+      // update mode + batch-final results: each query row emitted ONCE
+      val emits = spark.table(out).groupBy($"query_id").count().collect()
+      assert(emits.length === 3)
+      assert(emits.forall(_.getLong(1) === 1L))
+    } finally q.stop()
+  }
+}
