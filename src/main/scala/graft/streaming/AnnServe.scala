@@ -59,4 +59,29 @@ object AnnServe {
       .groupBy(col(queryIdCol))
       .agg(bottomK(col("distance"), col(idCol).cast("long"), k).as("topk"))
   }
+
+  /** Start an update-mode in-memory serving endpoint for [[annServeStream]]
+    * under the reference's MICRO-BATCHING contract
+    * (`BatchingConfig.max_batch_delay_ms`, `src/util/config.cc:44-47`,
+    * default 2 ms): requests coalesce for up to the configured delay and
+    * then execute as one batch. A processing-time trigger IS that
+    * delay-based batcher — queries arriving within one trigger interval
+    * share a single plan execution. (`preferred_batch_size` needs no
+    * data-plane wiring: a Spark batch serves ANY width in one pass, so
+    * there is no per-request loop to amortize — the config field the
+    * reference holds but also never reads, `shard_manager.cc:14-15`.)
+    * Read results from `spark.table(queryName)`; stop via the returned
+    * handle. */
+  def startServing(
+      served: DataFrame,
+      queryName: String,
+      batching: graft.util.BatchingSettings = graft.util.BatchingSettings())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    served.writeStream
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        batching.maxBatchDelayMs.toLong, java.util.concurrent.TimeUnit.MILLISECONDS))
+      .format("memory")
+      .queryName(queryName)
+      .start()
 }

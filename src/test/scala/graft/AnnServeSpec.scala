@@ -21,8 +21,14 @@ class AnnServeSpec extends SparkSpec {
     val served = AnnServe.annServeStream(
       mem.toDF().toDF("query_id", "qvec"), e, centroids, k = 5, nprobe = 2)
     val out = s"ann_serve_${System.nanoTime()}"
-    val q = served.writeStream.outputMode("update")
-      .format("memory").queryName(out).start()
+    // O-13 → serving path: the node config's batching block becomes the
+    // processing-time trigger (delay-based request coalescing)
+    val cfg = graft.util.ConfigLoader.fromString(
+      """batching {
+        |  preferred_batch_size: 4
+        |  max_batch_delay_ms: 5
+        |}""".stripMargin)
+    val q = AnnServe.startServing(served, out, cfg.batching)
     try {
       val qvecs = e.filter($"vec_id".isin(3L, 17L, 120L))
         .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
