@@ -254,8 +254,34 @@ object Ann {
       k: Int,
       nprobe: Int,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val cents = collectCentroids(centroids)
+      embCol: String = "embedding"): DataFrame =
+    scoredCandidates(vectors, queries, collectCentroids(centroids), nprobe,
+      idCol, embCol)
+      .groupBy(col("query_id"))
+      .agg(bottomK(col("distance"), col(idCol).cast("long"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as(idCol),
+        col("col.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+
+  /** The shared candidate pipeline of [[search]] and the streaming
+    * serving path ([[graft.streaming.AnnServe]]): row-local cell
+    * assignment, probe-cell explode on the (small, broadcast) query
+    * side, probed-cell equi-join, exact scoring. Returns
+    * (query_id, distance, idCol) — callers add their own top-k.
+    * The corpus side NEVER shuffles: the query side carries the
+    * broadcast hint, honored per micro-batch in the streaming case. */
+  private[graft] def scoredCandidates(
+      vectors: DataFrame,
+      queries: DataFrame,
+      cents: Seq[(Long, Array[Float])],
+      nprobe: Int,
+      idCol: String,
+      embCol: String,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
     // ONE broadcast backs both the assignment and the probe columns —
     // per-column broadcasts would ship the same table twice per call
     // and accumulate executor memory over a long session
@@ -263,18 +289,11 @@ object Ann {
       else Some(broadcastCentroids(cents))
     val withCell = vectors.withColumn("cell", nearestCell(col(embCol), cents, shared))
     val probed = queries
-      .select(col("query_id"), col("qvec"),
-        explode(probeCells(col("qvec"), cents, nprobe, shared)).as("cell"))
-    val scored = withCell.join(broadcast(probed), "cell")
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qvec"),
+        explode(probeCells(col(queryVecCol), cents, nprobe, shared)).as("cell"))
+    withCell.join(broadcast(probed), "cell")
       .select(col("query_id"),
         l2sq(col(embCol), col("qvec")).as("distance"),
         col(idCol))
-    scored.groupBy(col("query_id"))
-      .agg(bottomK(col("distance"), col(idCol).cast("long"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"),
-        col("col.id").as(idCol),
-        col("col.distance").as("distance"),
-        (col("pos") + 1).cast("long").as("rank"))
   }
 }

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.expressions.BottomK.bottomK
-import graft.functions.VectorFunctions.l2sq
 import graft.operators.Ann
 
 /** Online ANN serving — the reference's Search RPC loop
@@ -11,26 +10,36 @@ import graft.operators.Ann
   * Structured Streaming plan: a stream of query vectors served against
   * a static corpus snapshot.
   *
-  * Shape, per micro-batch of arriving queries:
-  *  - probe-cell ranking is ROW-LOCAL on the stream side
-  *    ([[Ann.probeCells]] — the centroid table rides as a literal or
-  *    torrent broadcast, never a join);
+  * Shape, per micro-batch of arriving queries (the candidate pipeline
+  * is [[graft.operators.Ann.scoredCandidates]], SHARED with the batch
+  * engine's `Ann.search` so the two can never drift):
+  *  - probe-cell ranking is ROW-LOCAL on the stream side (the centroid
+  *    table rides as a literal or torrent broadcast, never a join);
   *  - the candidate fetch is a stream-static EQUI-join on the IVF cell
-  *    (the static side is re-read per batch; a cell-partitioned store
-  *    makes that a pruned read of nprobe/K of the files);
+  *    with the per-batch (small) QUERY side broadcast — the corpus
+  *    side never shuffles, the same invariant the batch path documents;
+  *    store it cell-partitioned/bucketed (`VectorStore`) and the
+  *    re-read each batch is a pruned, exchange-free scan;
   *  - the per-query top-k is the [[graft.expressions.BottomK]] partial
   *    aggregate. The static side is fully present in every batch, so a
   *    query's result is FINAL in the micro-batch it arrives — update
   *    mode emits each query's row exactly once.
   *
+  * RE-SENT query ids are dropped by a streaming `dropDuplicates` ahead
+  * of the join: the first arrival's answer stands and nothing is
+  * re-emitted — the serving analog of the reference's query cache
+  * (`served_from_cache`), and required for correctness: re-scoring a
+  * restored BottomK group would merge duplicate candidates into its
+  * state.
+  *
   * The result keeps the top-k as a sorted ARRAY column (explode after a
   * streaming aggregate is restricted; sinks/readers explode it freely).
   *
-  * State: one k-bounded row per served query id, forever — the cost of
-  * the single-plan form. An unbounded production stream should either
-  * retire served ids at the sink or run fully stateless via
-  * [[graft.operators.Ann.search]] inside `foreachBatch` (the same
-  * per-batch plan without aggregate state). */
+  * State: one seen-id row plus one k-bounded result row per served
+  * query, forever — the cost of the single-plan form. An unbounded
+  * production stream should either retire served ids at the sink or run
+  * fully stateless via [[graft.operators.Ann.search]] inside
+  * `foreachBatch` (the same per-batch plan without streaming state). */
 object AnnServe {
 
   def annServeStream(
@@ -44,24 +53,17 @@ object AnnServe {
       queryIdCol: String = "query_id",
       queryVecCol: String = "qvec"): DataFrame = {
     require(k > 0, "k must be positive")
-    val cents = Ann.collectCentroids(centroids)
-    val shared = if (cents.size <= Ann.InlineCentroidMax) None
-      else Some(Ann.broadcastCentroids(cents))
-    val withCell = vectors.withColumn("cell",
-      Ann.nearestCell(col(embCol), cents, shared))
-    val probed = queryStream
-      .select(col(queryIdCol), col(queryVecCol),
-        explode(Ann.probeCells(col(queryVecCol), cents, nprobe, shared)).as("cell"))
-    probed.join(withCell, "cell") // stream-static equi join
-      .select(col(queryIdCol),
-        l2sq(col(embCol), col(queryVecCol)).as("distance"),
-        col(idCol))
-      .groupBy(col(queryIdCol))
+    Ann.scoredCandidates(
+        vectors,
+        queryStream.dropDuplicates(queryIdCol), // first arrival wins
+        Ann.collectCentroids(centroids),
+        nprobe, idCol, embCol, queryIdCol, queryVecCol)
+      .groupBy(col("query_id"))
       .agg(bottomK(col("distance"), col(idCol).cast("long"), k).as("topk"))
   }
 
-  /** Start an update-mode in-memory serving endpoint for [[annServeStream]]
-    * under the reference's MICRO-BATCHING contract
+  /** Start an update-mode serving endpoint for [[annServeStream]] under
+    * the reference's MICRO-BATCHING contract
     * (`BatchingConfig.max_batch_delay_ms`, `src/util/config.cc:44-47`,
     * default 2 ms): requests coalesce for up to the configured delay and
     * then execute as one batch. A processing-time trigger IS that
@@ -70,18 +72,25 @@ object AnnServe {
     * data-plane wiring: a Spark batch serves ANY width in one pass, so
     * there is no per-request loop to amortize — the config field the
     * reference holds but also never reads, `shard_manager.cc:14-15`.)
-    * Read results from `spark.table(queryName)`; stop via the returned
-    * handle. */
+    *
+    * `sinkFormat` defaults to the in-memory sink — a TEST/OPS surface:
+    * it buffers every emitted row on the driver and cannot recover from
+    * a checkpoint. Durable serving should write a real sink ("parquet",
+    * a Kafka-shaped connector, ...) plus `checkpointLocation` via
+    * `sinkOptions`. */
   def startServing(
       served: DataFrame,
       queryName: String,
-      batching: graft.util.BatchingSettings = graft.util.BatchingSettings())
+      batching: graft.util.BatchingSettings = graft.util.BatchingSettings(),
+      sinkFormat: String = "memory",
+      sinkOptions: Map[String, String] = Map.empty)
       : org.apache.spark.sql.streaming.StreamingQuery =
     served.writeStream
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
         batching.maxBatchDelayMs.toLong, java.util.concurrent.TimeUnit.MILLISECONDS))
-      .format("memory")
+      .format(sinkFormat)
+      .options(sinkOptions)
       .queryName(queryName)
       .start()
 }

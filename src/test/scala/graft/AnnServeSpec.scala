@@ -54,6 +54,20 @@ class AnnServeSpec extends SparkSpec {
       val emits = spark.table(out).groupBy($"query_id").count().collect()
       assert(emits.length === 3)
       assert(emits.forall(_.getLong(1) === 1L))
+      // a RE-SENT query id (the RPC retry) is dropped: no re-emission,
+      // and the stored topk is NOT corrupted by a duplicate-merging
+      // re-score of its restored aggregation state
+      mem.addData(qvecs(0))
+      q.processAllAvailable()
+      val after = spark.table(out)
+        .select($"query_id", posexplode($"topk"))
+        .select($"query_id", $"col.id".as("vec_id"), $"col.distance".as("distance"),
+          ($"pos" + 1).cast("long").as("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(after === expect)
+      val reEmits = spark.table(out).groupBy($"query_id").count().collect()
+      assert(reEmits.forall(_.getLong(1) === 1L))
     } finally q.stop()
   }
 }
