@@ -152,6 +152,41 @@ object TextFunctions {
         i => array_min(slice(hs, i, lit(w))))))
   }
 
+  /** Token-window chunks for training-data prep: fixed `chunkSize`-token
+    * windows advancing by `chunkSize - overlap` tokens, as an
+    * array-of-token-arrays. Chunk count = max(1, ⌈(ntok − overlap) /
+    * stride⌉): every token lands in ≥ 1 chunk, the last chunk may run
+    * short, a document shorter than one window is a single chunk.
+    * Row-local (array HOFs inside the scan projection — no shuffle, no
+    * UDF, the 100 TB shape); `posexplode` turns a document row into its
+    * ordered chunk rows. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val tok = tokens(text)
+    val n = greatest(
+      ceil((size(tok) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    transform(sequence(lit(0), n - 1), i => slice(tok, i * stride + 1, lit(chunkSize)))
+  }
+
+  /** Deterministic stratified-sampling predicate for training-data
+    * mixing: keep a row iff the portable hash of (salt : id) falls
+    * below its stratum's threshold out of `outOf` buckets; strata not
+    * listed are kept whole. Row-local and reproducible across engines,
+    * runs, and restarts (md5, no RNG state) — the sampling contract a
+    * 100 TB mixing job needs: re-running any subset of partitions keeps
+    * exactly the same rows, and the oracle can replay the decision. */
+  def stratifiedKeep(stratum: Column, id: Column,
+      thresholds: Map[String, Int], outOf: Int, salt: String): Column = {
+    require(outOf > 0, "outOf must be positive")
+    val bucket = pmod(hash32(concat(lit(s"$salt:"), id.cast("string"))), lit(outOf))
+    thresholds.toSeq.sortBy(_._1).foldRight(lit(true)) {
+      case ((name, keep), acc) => when(stratum === name, bucket < keep).otherwise(acc)
+    }
+  }
+
   /** Jaccard similarity of two DISTINCT-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

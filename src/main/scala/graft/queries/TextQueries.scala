@@ -192,6 +192,32 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Token-window chunking (training-data prep): 64-token windows with
+    // 16-token overlap; one row per (doc, chunk) with a portable hash
+    // of the chunk text — verifies chunk boundaries, counts, and
+    // content exactly without dumping megabytes of text.
+    "text_chunks" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", posexplode(chunkTokens($"text", 64, 16)))
+        .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+          size($"col").cast("long").as("n_tok"),
+          hash32(concat_ws(" ", $"col")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Deterministic stratified sampling (training-data mixing): keep
+    // 1/2 of en, 1/4 of es, everything else whole — decided by the
+    // portable hash, so the exact kept set is oracle-replayable.
+    "sample_strata" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(stratifiedKeep($"lang", $"doc_id",
+          Map("en" -> 4, "es" -> 2), outOf = 8, salt = "mix"))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
     // Per-document statistics + quality score.
     "text_stats" -> ((s, dir) => {
       import s.implicits._
@@ -434,6 +460,39 @@ object TextQueries extends QueryPack {
          |  GROUP BY a.vec_id, b.vec_id
          |)
          |ORDER BY id1, id2""".stripMargin,
+
+    // stride 48 = 64 − 16; list_slice is inclusive-bounds and truncates
+    // past the end exactly like Spark's slice(start, length)
+    "text_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS tok FROM documents
+         |), n AS (
+         |  SELECT doc_id, tok,
+         |    greatest(CAST(ceil((len(tok) - 16) / 48.0) AS BIGINT), 1) AS nchunks
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, unnest(range(nchunks)) AS chunk_idx, tok FROM n
+         |), sliced AS (
+         |  SELECT doc_id, chunk_idx,
+         |    list_slice(tok, chunk_idx * 48 + 1, chunk_idx * 48 + 64) AS chunk
+         |  FROM c
+         |)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tok,
+         |       ${dHash32("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM sliced
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sample_strata" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ${dHash32("'mix:' || CAST(doc_id AS VARCHAR)")} % 8 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang FROM b
+         |WHERE CASE lang WHEN 'en' THEN bucket < 4
+         |               WHEN 'es' THEN bucket < 2
+         |               ELSE true END
+         |ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       s"""WITH t AS (

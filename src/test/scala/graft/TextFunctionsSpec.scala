@@ -187,6 +187,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(df(4L).isEmpty)
   }
 
+  test("chunkTokens: coverage, overlap, short-doc, and boundary behavior") {
+    val doc = (1 to 100).map(i => s"t$i").mkString(" ")
+    val got = Seq((1L, doc), (2L, "short doc"), (3L, ""))
+      .toDF("id", "text")
+      .select($"id", chunkTokens($"text", 64, 16).as("ch")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[String]](1)).toMap
+    // 100 tokens, stride 48: chunks at 1..64 and 49..100 → 2 chunks
+    assert(got(1L).length === 2)
+    assert(got(1L)(0).length === 64 && got(1L)(0).head === "t1" && got(1L)(0).last === "t64")
+    assert(got(1L)(1).length === 52 && got(1L)(1).head === "t49" && got(1L)(1).last === "t100")
+    // consecutive chunks share exactly the overlap tokens
+    assert(got(1L)(0).toSet.intersect(got(1L)(1).toSet).size === 16)
+    // every token is covered
+    assert(got(1L).flatten.toSet.size === 100)
+    // shorter than one window → a single short chunk; empty text → one
+    // chunk of the single empty token (tokens('') = [""])
+    assert(got(2L) === Seq(Seq("short", "doc")))
+    assert(got(3L).length === 1)
+  }
+
+  test("stratifiedKeep: deterministic, per-stratum rates, unlisted strata whole") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "es" else "de"))
+      .toDF("doc_id", "lang")
+    val keep = stratifiedKeep($"lang", $"doc_id",
+      Map("en" -> 4, "es" -> 2), outOf = 8, salt = "mix")
+    val kept = docs.filter(keep).collect().map(r => (r.getLong(0), r.getString(1)))
+    // unlisted stratum survives whole
+    assert(kept.count(_._2 == "de") === 200)
+    // listed strata thin to ≈ their rate (hash-uniform, ±binomial noise)
+    val en = kept.count(_._2 == "en"); val es = kept.count(_._2 == "es")
+    assert(en > 30 && en < 70, s"en=$en of 100 at rate 1/2")
+    assert(es > 10 && es < 40, s"es=$es of 100 at rate 1/4")
+    // deterministic: the same predicate keeps the same rows again
+    val again = docs.filter(keep).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq === again.toSeq)
+  }
+
   test("setFingerprint is order-independent and set-discriminating") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),
