@@ -218,6 +218,34 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Repetition quality signals (the public Gopher-rule shape, Rae et
+    // al. 2021, arXiv:2112.11446 §A1.1): fraction of tokens covered by
+    // the most frequent bigram, and fraction of trigrams that are
+    // duplicates. Row-local HOFs — the per-row cost is bounded by doc
+    // length (distinct-bigrams × n scan), never a join or shuffle.
+    "quality_repetition" -> ((s, dir) => {
+      import s.implicits._
+      // shingle arrays are MATERIALIZED columns before the counting
+      // lambdas reference them: inlining sh2 into the nested HOF would
+      // re-derive the whole array (regexp normalization included) once
+      // per distinct bigram — quadratic recompute per row (observed:
+      // a 60 s query at sf0.01). CollapseProject keeps multi-use
+      // non-cheap projections split, so each array is built once.
+      val topBigram = coalesce(
+        array_max(transform(array_distinct($"sh2"),
+          d => size(filter($"sh2", x => x === d)))), lit(0))
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("tok"))
+        .select($"doc_id", $"tok",
+          wordShingles($"tok", 2).as("sh2"), wordShingles($"tok", 3).as("sh3"))
+        .select($"doc_id",
+          size($"tok").cast("long").as("n_tok"),
+          round(topBigram * 2.0 / greatest(size($"tok"), lit(1)), 6).as("top2_frac"),
+          round((size($"sh3") - size(array_distinct($"sh3"))).cast("double") /
+            greatest(size($"sh3"), lit(1)), 6).as("dup3_frac"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-document statistics + quality score.
     "text_stats" -> ((s, dir) => {
       import s.implicits._
@@ -493,6 +521,27 @@ object TextQueries extends QueryPack {
          |               WHEN 'es' THEN bucket < 2
          |               ELSE true END
          |ORDER BY doc_id""".stripMargin,
+
+    // word shingles mirror wordShingles exactly: space-joined slices;
+    // range(1, n) is empty when n <= 1, matching the short-doc guard
+    "quality_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS tok FROM documents
+         |), sh AS (
+         |  SELECT doc_id, len(tok) AS ntok,
+         |    list_transform(range(1, len(tok)), i ->
+         |      array_to_string(list_slice(tok, i, i+1), ' ')) AS sh2,
+         |    list_transform(range(1, len(tok)-1), i ->
+         |      array_to_string(list_slice(tok, i, i+2), ' ')) AS sh3
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tok,
+         |  round(coalesce(list_max(list_transform(list_distinct(sh2),
+         |      d -> len(list_filter(sh2, x -> x = d)))), 0) * 2.0
+         |    / greatest(ntok, 1), 6) AS top2_frac,
+         |  round((len(sh3) - len(list_distinct(sh3))) * 1.0
+         |    / greatest(len(sh3), 1), 6) AS dup3_frac
+         |FROM sh ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       s"""WITH t AS (
