@@ -159,17 +159,30 @@ object TextFunctions {
     * short, a document shorter than one window is a single chunk.
     * Row-local (array HOFs inside the scan projection — no shuffle, no
     * UDF, the 100 TB shape); `posexplode` turns a document row into its
-    * ordered chunk rows. */
-  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    * ordered chunk rows.
+    *
+    * `tok` must be a MATERIALIZED token-array column (project
+    * `tokens(text)` first): expressions referenced inside an HOF lambda
+    * are re-evaluated per element, so an inlined tokenizer would re-run
+    * the full regexp normalization once per chunk — O(doc × chunks)
+    * work per row (the recompute cliff recorded in SURVEY r7). */
+  def chunkTokenArray(tok: Column, chunkSize: Int, overlap: Int): Column = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val tok = tokens(text)
     val n = greatest(
       ceil((size(tok) - lit(overlap)).cast("double") / stride).cast("int"),
       lit(1))
     transform(sequence(lit(0), n - 1), i => slice(tok, i * stride + 1, lit(chunkSize)))
   }
+
+  /** Convenience form of [[chunkTokenArray]] over raw text — fine for
+    * interactive use on short documents, but it INLINES the tokenizer
+    * into the chunk lambda (see the core form's warning): pipelines
+    * must materialize `tokens(text)` as a column and use the array
+    * form. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column =
+    chunkTokenArray(tokens(text), chunkSize, overlap)
 
   /** Deterministic stratified-sampling predicate for training-data
     * mixing: keep a row iff the portable hash of (salt : id) falls

@@ -199,7 +199,10 @@ object TextQueries extends QueryPack {
     "text_chunks" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .select($"doc_id", posexplode(chunkTokens($"text", 64, 16)))
+        // tokens materialized BEFORE the chunk lambda references them
+        // (the HOF-recompute convention — SURVEY r7)
+        .select($"doc_id", tokens($"text").as("tok"))
+        .select($"doc_id", posexplode(chunkTokenArray($"tok", 64, 16)))
         .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
           size($"col").cast("long").as("n_tok"),
           hash32(concat_ws(" ", $"col")).as("chunk_hash"))
@@ -219,10 +222,17 @@ object TextQueries extends QueryPack {
     }),
 
     // Repetition quality signals (the public Gopher-rule shape, Rae et
-    // al. 2021, arXiv:2112.11446 §A1.1): fraction of tokens covered by
-    // the most frequent bigram, and fraction of trigrams that are
-    // duplicates. Row-local HOFs — the per-row cost is bounded by doc
-    // length (distinct-bigrams × n scan), never a join or shuffle.
+    // al. 2021, arXiv:2112.11446 §A1.1), both defined as true [0,1]
+    // OCCURRENCE fractions over shingle positions:
+    //  - top2_frac: fraction of bigram positions held by the most
+    //    frequent bigram (a tokens-covered form would double-count
+    //    overlapping runs — "a a a a" ⇒ 1.5);
+    //  - dup3_frac: fraction of trigram occurrences belonging to a
+    //    trigram that occurs more than once (ALL its occurrences count,
+    //    the cited rule — an excess-only (n − distinct)/n form halves
+    //    the signal on fully-duplicated text).
+    // Row-local HOFs — per-row cost bounded by doc length
+    // (distinct-shingles × n scan), never a join or shuffle.
     "quality_repetition" -> ((s, dir) => {
       import s.implicits._
       // shingle arrays are MATERIALIZED columns before the counting
@@ -234,14 +244,17 @@ object TextQueries extends QueryPack {
       val topBigram = coalesce(
         array_max(transform(array_distinct($"sh2"),
           d => size(filter($"sh2", x => x === d)))), lit(0))
+      val onceOnly = size(filter(array_distinct($"sh3"),
+        d => size(filter($"sh3", x => x === d)) === 1))
       Tables.documents(s, dir)
         .select($"doc_id", tokens($"text").as("tok"))
         .select($"doc_id", $"tok",
           wordShingles($"tok", 2).as("sh2"), wordShingles($"tok", 3).as("sh3"))
         .select($"doc_id",
           size($"tok").cast("long").as("n_tok"),
-          round(topBigram * 2.0 / greatest(size($"tok"), lit(1)), 6).as("top2_frac"),
-          round((size($"sh3") - size(array_distinct($"sh3"))).cast("double") /
+          round(topBigram.cast("double") / greatest(size($"sh2"), lit(1)), 6)
+            .as("top2_frac"),
+          round((size($"sh3") - onceOnly).cast("double") /
             greatest(size($"sh3"), lit(1)), 6).as("dup3_frac"))
         .orderBy($"doc_id")
     }),
@@ -537,9 +550,10 @@ object TextQueries extends QueryPack {
          |)
          |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tok,
          |  round(coalesce(list_max(list_transform(list_distinct(sh2),
-         |      d -> len(list_filter(sh2, x -> x = d)))), 0) * 2.0
-         |    / greatest(ntok, 1), 6) AS top2_frac,
-         |  round((len(sh3) - len(list_distinct(sh3))) * 1.0
+         |      d -> len(list_filter(sh2, x -> x = d)))), 0) * 1.0
+         |    / greatest(len(sh2), 1), 6) AS top2_frac,
+         |  round((len(sh3) - len(list_filter(list_distinct(sh3),
+         |      d -> len(list_filter(sh3, x -> x = d)) = 1))) * 1.0
          |    / greatest(len(sh3), 1), 6) AS dup3_frac
          |FROM sh ORDER BY doc_id""".stripMargin,
 
