@@ -91,7 +91,12 @@ object Ann {
     * oracle can reproduce the exact seed set. */
   def spreadCentroids(vectors: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    vectors.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
+    // the embedding is the final tie-break: duplicate-id rows carrying
+    // different embeddings tie on (md5(id), id) and would make the seed
+    // pick partition-order-dependent (arrays order lexicographically in
+    // both Spark and DuckDB, so oracle replays stay exact)
+    vectors.orderBy(md5(col(idCol).cast("string")), col(idCol), col(embCol))
+      .limit(k)
       .select(col(idCol).as("cell"), col(embCol).as("centroid"))
 
   /** One Lloyd refinement step: mean of assigned vectors per cell.

@@ -916,9 +916,16 @@ object Dedup {
       .select(col(idCol).as("id"), col(embCol).as("e"))
       .withColumn("ccell", Ann.nearestCell(col("e"), cents))
     val byCell = Window.partitionBy(col("ccell"))
+    // (md5(id), id, e): the embedding itself is the FINAL tie-break —
+    // duplicate-id rows carrying different embeddings (the cross-shard
+    // quirk preserved engine-wide) would otherwise tie on both md5(id)
+    // and id, making the chosen seed centroid partition-order-dependent
+    // (exactly what the determinism gate flags). Arrays compare
+    // lexicographically in both Spark and DuckDB, so the oracle's
+    // fseeds CTE orders by the same three keys.
     val fineSeeds = base
       .withColumn("rk", row_number().over(
-        byCell.orderBy(md5(col("id").cast("string")), col("id"))))
+        byCell.orderBy(md5(col("id").cast("string")), col("id"), col("e"))))
       .withColumn("cn", count(lit(1)).over(byCell))
       .filter(col("rk") <= ceil(col("cn") / lit(targetBlock.toDouble)))
       .select(col("ccell"), col("id").as("fid"), col("e").as("centroid"))
@@ -947,7 +954,10 @@ object Dedup {
       joined
         .groupBy(col("id"), col("e"))
         .agg(graft.expressions.BottomK.bottomK(
-          l2sq(col("e"), col("centroid")), col("fid"), nprobe).as("probed"))
+          // cast like every other BottomK call site: update() stores the
+          // id with a bare asInstanceOf[Long], so an integer-typed id
+          // column would CCE here while the argmin branch works
+          l2sq(col("e"), col("centroid")), col("fid").cast("long"), nprobe).as("probed"))
         .select(col("id"), col("e"), explode(col("probed")).as("hit"))
         .select(col("id"), col("hit.id").as("blk"), col("e"))
     }

@@ -114,7 +114,15 @@ object Knn {
     * vectors — inside the production 64 MB threshold). Hash chunking
     * balances to ±O(√chunkSize) for distinct ids; exact output equality
     * with the unchunked form is property-tested at a forced tiny
-    * `maxChunk`. */
+    * `maxChunk`.
+    *
+    * The batch is evaluated ONCE: width discovery plus `chunks + 1`
+    * plan references would otherwise re-run an expensive upstream
+    * query-side plan per chunk, so unless the caller passes
+    * `knownWidth` (they built the batch from a local collection and
+    * know its size — e.g. [[SearchService.batchSearch]]), the queries
+    * frame is `localCheckpoint`ed first and both the count and every
+    * chunk filter read the materialized blocks. */
   def batchTopKChunked(
       vectors: DataFrame,
       queries: DataFrame,
@@ -123,14 +131,22 @@ object Knn {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
-      queryVecCol: String = "qvec"): DataFrame = {
+      queryVecCol: String = "qvec",
+      knownWidth: Option[Long] = None): DataFrame = {
     require(maxChunk > 0, "maxChunk must be positive")
-    val total = queries.count()
+    val (batch, total) = knownWidth match {
+      case Some(w) =>
+        require(w >= 0, "knownWidth must be non-negative")
+        (queries, w)
+      case None =>
+        val m = queries.localCheckpoint()
+        (m, m.count())
+    }
     val chunks = math.max(1L, (total + maxChunk - 1) / maxChunk.toLong).toInt
     if (chunks == 1)
-      return batchTopK(vectors, queries, k, idCol, embCol, queryIdCol, queryVecCol)
+      return batchTopK(vectors, batch, k, idCol, embCol, queryIdCol, queryVecCol)
     (0 until chunks).map { i =>
-      val part = queries.filter(
+      val part = batch.filter(
         pmod(xxhash64(col(queryIdCol)), lit(chunks)) === lit(i))
       batchTopK(vectors, part, k, idCol, embCol, queryIdCol, queryVecCol)
     }.reduce(_ unionByName _)

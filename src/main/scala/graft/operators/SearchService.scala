@@ -141,7 +141,10 @@ final class SearchService(
         val sp = state.sparkSession
         import sp.implicits._
         val qdf = idxs.map(i => (i.toLong, resolved(i)._1.query)).toDF("query_id", "qvec")
-        val byQuery = Knn.batchTopKChunked(state, qdf, k, idCol = idCol, embCol = embCol)
+        // the batch came from a local collection — its width is known, so
+        // batchTopKChunked skips the count job AND the localCheckpoint
+        val byQuery = Knn.batchTopKChunked(state, qdf, k, idCol = idCol,
+          embCol = embCol, knownWidth = Some(idxs.size.toLong))
           .orderBy("query_id", "rank").collect()
           .map(r => (r.getLong(0).toInt, ScoredPoint(r.getLong(1), r.getDouble(2), "")))
           .groupBy(_._1).map { case (i, rows) => (i, rows.map(_._2).toSeq) }

@@ -401,7 +401,7 @@ object TextQueries extends QueryPack {
     s"""cseeds AS (
        |  SELECT vec_id AS ccell, embedding AS centroid FROM (
        |    SELECT vec_id, embedding, row_number()
-       |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
        |    FROM embeddings
        |  ) WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS BIGINT)
        |                 FROM embeddings)
@@ -416,7 +416,7 @@ object TextQueries extends QueryPack {
        |  SELECT ccell, vec_id AS fid, embedding AS centroid FROM (
        |    SELECT ccell, vec_id, embedding,
        |      row_number() OVER (PARTITION BY ccell
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rk,
        |      count(*) OVER (PARTITION BY ccell) AS cn
        |    FROM coarse
        |  ) WHERE rk <= ceil(cn / 64.0)

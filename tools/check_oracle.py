@@ -134,6 +134,16 @@ def main():
                         pass
                     idx = list(g.index[mask])[:3]
                     bad.append((c, [(i, g[c][i], e[c][i]) for i in idx]))
+            if not bad:
+                # the pandas mask follows IEEE equality (-0.0 == 0.0) and
+                # is blind to the float-bit drift the repr hash catches —
+                # fall back to a repr-level per-cell compare so the report
+                # always names the diverging column/rows
+                for c in g.columns:
+                    gr, er = g[c].map(repr), e[c].map(repr)
+                    idx = [i for i in g.index if gr[i] != er[i]][:3]
+                    if idx:
+                        bad.append((c, [(i, gr[i], er[i]) for i in idx]))
             print(f"FAIL {name}: value mismatch {bad[:2]}")
             failures += 1; continue
         print(f"OK   {name}: rows={len(g)}")
