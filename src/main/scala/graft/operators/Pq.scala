@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2sq
+
+/** Product quantization (PQ) — the memory-compression scale path the
+  * reference reaches through FAISS (`faiss::IndexPQ` /
+  * `faiss::IndexIVFPQ`; our reference wraps only the flat index,
+  * `src/index/vector_shard.cc:41-42`, so PQ is the upgrade a user of it
+  * would reach for first). Public design: Jégou/Douze/Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011.
+  *
+  * The embedding space is split into `m` subspaces of `dim/m`
+  * components; each subspace gets its own `ks`-entry codebook, and a
+  * vector is stored as its `m` nearest sub-codes — at dim 64/float32
+  * that is 256 bytes → 8 bytes per vector (32×), which is the
+  * difference between an in-memory scan and a disk-bound one at 100 TB.
+  *
+  * Spark-first shape, all row-local (ZERO shuffle end to end):
+  *  - TRAIN: the codebook is `ks` md5-spread sample rows
+  *    ([[Ann.spreadCentroids]] seeding — FAISS likewise trains on a
+  *    sample, just non-deterministically), sliced per subspace. Size
+  *    m×ks — driver-sized BY CONSTRUCTION, independent of N.
+  *  - ENCODE: per-subspace argmin over the literal codebook, evaluated
+  *    inside the scan projection (the materialization point: at scale
+  *    the codes column is written out and the float vectors archived).
+  *  - SEARCH (ADC, asymmetric distance computation): the query is NOT
+  *    encoded; a per-query lookup table lut[s][j] = l2sq(q_s, cb[s][j])
+  *    is built once (m×ks entries) and a vector's distance is the sum
+  *    of its m table hits — the scan touches ONLY the 8-byte codes.
+  *    LUT entries are quantized to integers (×1e6, half-up) so the
+  *    per-vector sum is exact integer arithmetic: summation-order-free
+  *    across engines AND partitions — the same move FAISS's fast-scan
+  *    kernels make (8-bit quantized LUTs, André et al., "Cache
+  *    locality is not enough", VLDB 2015), taken further for oracle
+  *    exactness.
+  */
+object Pq {
+
+  /** Trained PQ model: `codebooks(s)(j)` = the j-th sub-centroid of
+    * subspace s (each of length `subDim`). Driver-sized (m×ks). */
+  case class PqModel(m: Int, subDim: Int, ks: Int,
+      codebooks: Seq[Seq[Array[Float]]]) {
+    def dim: Int = m * subDim
+  }
+
+  /** Exact mirror of the [[graft.expressions.L2SquaredDistance]] fold
+    * (elements widened to double, (x−y)² accumulated left-to-right) for
+    * driver-side LUT construction — bit-identical to what the engine
+    * (and the DuckDB oracle's `duckL2sq`) computes on the same floats. */
+  private[graft] def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+    require(a.length == b.length, "dimension mismatch")
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Train a PQ model: the `ks` sample rows ranked first by
+    * (md5(id), id, embedding) — the [[Ann.spreadCentroids]] seeding, so
+    * the oracle reproduces the exact sample in SQL — sliced into `m`
+    * sub-vectors each. One TakeOrdered job collects ks rows (constant,
+    * never O(N)); the driver re-sorts by the same key so code indices
+    * are independent of result-return order. */
+  def train(vectors: DataFrame, m: Int, ks: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
+    require(m > 0 && ks > 0, "m and ks must be positive")
+    val sample = vectors
+      .orderBy(md5(col(idCol).cast("string")), col(idCol), col(embCol))
+      .limit(ks)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect()
+      .map { r =>
+        val emb = r.getSeq[Any](1).map {
+          case f: Float => f
+          case d: Double => d.toFloat
+          case x => x.toString.toFloat
+        }.toArray
+        (r.getLong(0), emb)
+      }
+      .sortBy { case (id, emb) => (md5Hex(id.toString), id, emb.toSeq) }(
+        Ordering.Tuple3(Ordering.String, Ordering.Long,
+          scala.math.Ordering.Implicits.seqOrdering[Seq, Float]))
+    require(sample.nonEmpty, "cannot train on an empty corpus")
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = (0 until m).map { s =>
+      sample.toSeq.map { case (_, emb) =>
+        java.util.Arrays.copyOfRange(emb, s * subDim, (s + 1) * subDim)
+      }
+    }
+    PqModel(m, subDim, sample.length, codebooks)
+  }
+
+  /** Row-local PQ code array: element s = argmin_j of
+    * l2sq(slice_s(emb), codebooks(s)(j)), ties to the lower code —
+    * lexicographic struct `least` IS the (distance, code) argmin, the
+    * [[Ann.nearestCellInline]] pattern per subspace. m×ks inline struct
+    * nodes — bounded by the model, never by the corpus. */
+  def encodeCol(emb: Column, model: PqModel): Column =
+    array((0 until model.m).map { s =>
+      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
+        struct(l2sq(slice(emb, s * model.subDim + 1, model.subDim), lit(c)).as("dist"),
+          lit(j).as("code"))
+      }
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      best.getField("code")
+    }: _*)
+
+  /** Vectors → (id, codes): the compressed index. At 100 TB this is the
+    * table you persist (8 bytes/vector at m=8); the embedding column
+    * never needs to be read again on the search path. */
+  def encode(vectors: DataFrame, model: PqModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), encodeCol(col(embCol), model).as("codes"))
+
+  /** Integer-quantized ADC lookup table for one query:
+    * lut(s)(j) = round(l2sq(q_s, cb[s][j]) × 1e6) as Long, half-up on
+    * the true decimal value (BigDecimal — `math.round`'s floor(x+0.5)
+    * drifts on FP edges; DuckDB's `round` is half-away-from-zero on the
+    * same doubles, identical for the non-negative distances here). */
+  def lut(model: PqModel, query: Array[Float]): Seq[Seq[Long]] = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    (0 until model.m).map { s =>
+      val qs = java.util.Arrays.copyOfRange(query, s * model.subDim, (s + 1) * model.subDim)
+      model.codebooks(s).map { c =>
+        BigDecimal(l2sqLocal(qs, c) * 1e6)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+  }
+
+  /** Row-local ADC score of a codes array against a query LUT: the sum
+    * of m integer table hits — exact, order-free, and reads nothing but
+    * the codes. The LUT rides as m tiny array literals. */
+  def adcCol(codes: Column, lutQ: Seq[Seq[Long]]): Column =
+    (0 until lutQ.size).map { s =>
+      element_at(lit(lutQ(s).toArray), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** ADC top-k over an encoded corpus: (id, adc) ascending by
+    * (adc, id). `orderBy().limit()` plans TakeOrderedAndProject — per-
+    * partition k-heaps, tiny driver merge, never a global sort. `adc`
+    * is the ×1e6-scaled integer distance (exact); divide by 1e6 for the
+    * approximate squared L2. */
+  def adcTopK(encoded: DataFrame, model: PqModel, query: Array[Float], k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val scored = encoded.select(col(idCol),
+      adcCol(col("codes"), lut(model, query)).as("adc"))
+    scored.orderBy(col("adc"), col(idCol)).limit(k)
+  }
+
+  /** ADC shortlist → exact re-rank: the standard PQ serving pipeline
+    * (shortlist `r` by compressed codes, then true distances for just
+    * those r rows — FAISS's IVFADC + refine). Vectors inside a tight
+    * cluster share codes, so pure ADC cannot order WITHIN the cluster;
+    * the re-rank finishes the job while still touching only r full
+    * vectors. The r-row shortlist carries the broadcast hint — the
+    * corpus side of the join never shuffles. */
+  def adcTopKRerank(encoded: DataFrame, vectors: DataFrame, model: PqModel,
+      query: Array[Float], r: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val shortlist = adcTopK(encoded, model, query, r, idCol).select(col(idCol))
+    vectors.join(broadcast(shortlist), idCol)
+      .select(col(idCol), l2sq(col(embCol), lit(query)).as("distance"))
+      .orderBy(col("distance"), col(idCol)).limit(k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Ann
+import graft.operators.{Ann, Pq}
 import graft.sources.Tables
 import graft.queries.VectorQueries.duckL2sq
 
@@ -75,6 +75,57 @@ object AnnQueries extends QueryPack {
           (round(round($"col", 6).cast("float").cast("double"), 4) + lit(0.0))
             .as("comp"))
         .orderBy($"cell", $"pos")
+    }),
+
+    // Product quantization, end to end: train (16 md5-spread sample
+    // rows → 8 sub-codebooks), encode the corpus to 8-byte codes, ADC
+    // top-10 for query vec 0. The oracle replays the identical train /
+    // encode / LUT / sum pipeline, so the whole compression path is
+    // value-checked: LUT entries are ×1e6 integer-quantized (the FAISS
+    // fast-scan move) making the per-vector sum EXACT integer math —
+    // no float summation order anywhere past the (deterministic,
+    // row-local) LUT and argmin compares.
+    "ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Pq.train(e, m = 8, ks = 16)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Pq.adcTopK(Pq.encode(e, model), model, q, k = 10)
+    }),
+
+    // Honesty metric for the approximation: |PQ top-10 ∩ exact top-10|
+    // for the same query — recall@10 × 10 as one integer row. Both
+    // engines compute both rankings and intersect, so the metric itself
+    // is exact even though what it measures is approximate.
+    "ann_pq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Pq.train(e, m = 8, ks = 16)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val pq10 = Pq.adcTopK(Pq.encode(e, model), model, q, k = 10)
+        .select($"vec_id")
+      val exact10 = e
+        .select($"vec_id", graft.functions.VectorFunctions.l2sq(
+          $"embedding", lit(q)).as("d"))
+        .orderBy($"d", $"vec_id").limit(10).select($"vec_id")
+      pq10.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
+    }),
+
+    // The practical PQ serving pipeline (FAISS IVFADC + refine): ADC
+    // shortlist of 50 by compressed codes, exact re-rank of just those
+    // rows. Vectors inside one tight cluster share codes, so ADC alone
+    // cannot order within a cluster — the re-rank finishes the job
+    // while touching 50 full vectors instead of N.
+    "ann_pq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Pq.train(e, m = 8, ks = 16)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Pq.adcTopKRerank(Pq.encode(e, model), e, model, q, r = 50, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"))
     })
   )
 
@@ -93,6 +144,42 @@ object AnnQueries extends QueryPack {
   private def dHash32(s: String): String =
     s"CAST(list_sum(list_transform(range(1,9), i -> " +
       s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+
+  /** Shared CTE prefix replaying the PQ pipeline (`Pq.train` / `encode`
+    * / `lut` / ADC): 16 md5-spread sample rows sliced into 8
+    * sub-codebooks, per-(vector, subspace) argmin codes, a ×1e6
+    * integer-quantized LUT for query vec 0, and the exact BIGINT ADC
+    * sum per vector. */
+  private def duckPqCtes: String =
+    s"""cbrows AS (
+       |  SELECT rn - 1 AS j, embedding FROM (
+       |    SELECT embedding, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
+       |    FROM embeddings
+       |  ) WHERE rn <= 16
+       |), subsp AS (
+       |  SELECT CAST(unnest(range(0, 8)) AS INT) AS s
+       |), cb AS (
+       |  SELECT sp.s, c.j, list_slice(c.embedding, sp.s*8 + 1, sp.s*8 + 8) AS cent
+       |  FROM subsp sp CROSS JOIN cbrows c
+       |), codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT e.vec_id, c.s, c.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.s
+       |        ORDER BY ${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")}, c.j) AS rn
+       |    FROM embeddings e CROSS JOIN cb c
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), lut AS (
+       |  SELECT c.s, c.j,
+       |    CAST(round(${duckL2sq("list_slice(q.qv, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
+       |  FROM cb c CROSS JOIN q
+       |), adcs AS (
+       |  SELECT co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
+       |  FROM codes co JOIN lut l ON l.s = co.s AND l.j = co.code
+       |  GROUP BY co.vec_id
+       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
 
@@ -180,6 +267,30 @@ object AnnQueries extends QueryPack {
          |)
          |SELECT cell, pos,
          |  round(CAST(CAST(round(m, 6) AS REAL) AS DOUBLE), 4) + 0.0 AS comp
-         |FROM m2 ORDER BY cell, pos""".stripMargin
+         |FROM m2 ORDER BY cell, pos""".stripMargin,
+
+    "ann_pq" ->
+      s"""WITH $duckPqCtes
+         |SELECT vec_id, adc FROM adcs
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+
+    "ann_pq_recall" ->
+      s"""WITH $duckPqCtes,
+         |pq10 AS (
+         |  SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT 10
+         |), exact10 AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
+         |)
+         |SELECT count(*) AS hits FROM pq10 JOIN exact10 USING (vec_id)""".stripMargin,
+
+    "ann_pq_rerank" ->
+      s"""WITH $duckPqCtes,
+         |shortlist AS (
+         |  SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT 50
+         |)
+         |SELECT e.vec_id, round(${duckL2sq("e.embedding", "q.qv")}, 4) AS distance
+         |FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN q
+         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin
   )
 }

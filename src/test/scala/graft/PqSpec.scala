@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pq
+import graft.sources.Tables
+
+/** Product quantization: training is deterministic and driver-bounded,
+  * encoding is an in-range row-local projection, ADC scores are exact
+  * integer sums matching a driver-side replay, and the approximate
+  * ranking recalls a usable share of the exact top-k. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+  private lazy val model = Pq.train(e, m = 8, ks = 16)
+  private lazy val query: Array[Float] =
+    e.filter($"vec_id" === 0L).select($"embedding").head.getSeq[Float](0).toArray
+
+  test("train: model shape is (m × ks) with subDim = dim/m, independent of run") {
+    assert(model.m === 8 && model.subDim === 8 && model.ks === 16)
+    assert(model.codebooks.size === 8)
+    assert(model.codebooks.forall(_.size === 16))
+    assert(model.codebooks.forall(_.forall(_.length === 8)))
+    val again = Pq.train(e, m = 8, ks = 16)
+    assert(model.codebooks.flatten.map(_.toSeq) ===
+      again.codebooks.flatten.map(_.toSeq))
+  }
+
+  test("encode: every code in [0, ks); sampled rows sit at distance 0 from their code") {
+    val enc = Pq.encode(e, model)
+    val codes = enc.select($"codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size === model.m))
+    assert(codes.forall(_.forall(j => j >= 0 && j < model.ks)))
+    // a vector the codebook was trained on quantizes losslessly: its
+    // chosen sub-centroid is (at worst a tie with) an exact copy
+    val encodedById = Pq.encode(e, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val byId = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // recover the ids of the sample rows: re-run the training ranking
+    val sampleIds = e.orderBy(md5($"vec_id".cast("string")), $"vec_id", $"embedding")
+      .limit(16).select($"vec_id").collect().map(_.getLong(0))
+    sampleIds.foreach { id =>
+      val emb = byId(id)
+      encodedById(id).zipWithIndex.foreach { case (code, s) =>
+        val sub = java.util.Arrays.copyOfRange(emb, s * 8, (s + 1) * 8)
+        assert(Pq.l2sqLocal(sub, model.codebooks(s)(code)) === 0.0,
+          s"sample row $id, subspace $s: non-zero distance to its own code")
+      }
+    }
+  }
+
+  test("adc: engine scores equal the driver-side LUT replay exactly") {
+    val lutQ = Pq.lut(model, query)
+    val got = Pq.adcTopK(Pq.encode(e, model), model, query, k = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Pq.encode(e, model).collect().map { r =>
+      val codes = r.getSeq[Int](1)
+      r.getLong(0) -> (0 until model.m).map(s => lutQ(s)(codes(s))).sum
+    }.toMap
+    assert(got === expected.view.filterKeys(got.contains).toMap)
+    assert(got.size === math.min(1000, expected.size))
+  }
+
+  test("adc ranking: the query's own vector wins; overlap with exact top-10; deterministic") {
+    val pq10 = Pq.adcTopK(Pq.encode(e, model), model, query, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val exact10 = e.select($"vec_id",
+        graft.functions.VectorFunctions.l2sq($"embedding", lit(query)).as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // query IS corpus vector 0: its ADC score is pure quantization error,
+    // far below any other random 64-dim vector's true distance
+    assert(pq10.head === 0L, s"query's own vector not ranked first: $pq10")
+    // uniform random data is PQ's worst case (all pairwise distances
+    // concentrate); still must beat chance (10/500)
+    val overlap = pq10.count(exact10)
+    assert(overlap >= 1, s"recall@10 was $overlap/10 — PQ ranking degenerate")
+    val again = Pq.adcTopK(Pq.encode(e, model), model, query, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq10 === again)
+  }
+
+  test("clustered data: ADC retrieves the right cluster; rerank recovers the exact top-10") {
+    // 12 well-separated centers × ~42 members, tight noise — the shape
+    // real embedding corpora have (and the regime PQ is designed for).
+    // Members of one tight cluster share codes (identical ADC), so pure
+    // ADC cannot order WITHIN a cluster — the correct claims are that it
+    // prunes to the right cluster and that the exact re-rank of a
+    // shortlist finishes the job.
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(12)(Array.fill(64)(rnd.nextFloat() * 10f))
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val m2 = Pq.train(corpus, m = 8, ks = 32)
+    val q2 = rows(7)._2.map(_.toFloat).toArray
+    val enc = Pq.encode(corpus, m2)
+    val pq10 = Pq.adcTopK(enc, m2, q2, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq10.forall(_ % 12 === 7L), s"ADC left the query's cluster: $pq10")
+    val exact10 = corpus.select($"vec_id",
+        graft.functions.VectorFunctions.l2sq($"embedding", lit(q2)).as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    // shortlist 50 > cluster population ~42, so the exact top-10 (all
+    // in-cluster) are inside the shortlist and the re-rank is exact
+    val reranked = Pq.adcTopKRerank(enc, corpus, m2, q2, r = 50, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reranked === exact10)
+  }
+
+  test("encode + adc plan is row-local: no exchange, no join — the scan reads only codes") {
+    val scored = Pq.encode(e, model)
+      .select($"vec_id", Pq.adcCol($"codes", Pq.lut(model, query)).as("adc"))
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("l2sqLocal mirrors the engine kernel bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(20)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
+    val engine = pairs.toDF("a", "b")
+      .select(graft.functions.VectorFunctions.l2sq($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    pairs.zip(engine).foreach { case ((a, b), d) =>
+      assert(java.lang.Double.doubleToLongBits(Pq.l2sqLocal(a, b)) ===
+        java.lang.Double.doubleToLongBits(d))
+    }
+  }
+}
