@@ -25,7 +25,8 @@ object SparkEntry {
     AnnQueries,
     AdvancedQueries,
     MiscQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    RetrievalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact k-NN — the reference's core operation (SURVEY.md §2 O-1/O-2). */

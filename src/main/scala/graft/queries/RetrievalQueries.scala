@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Bm25
+import graft.sources.Tables
+import graft.queries.TextQueries.dNorm
+
+/** Lexical ranked retrieval over the documents corpus — the search-side
+  * capability a training-data pipeline pairs with the vector path
+  * (corpus search, relevance filtering, hybrid retrieval). The oracle
+  * replays the full BM25 computation, so tokenization, tf/df/length
+  * statistics, the ln-idf arithmetic, and the ×1e6 integer score
+  * quantization are all value-checked end to end. */
+object RetrievalQueries extends QueryPack {
+
+  private val terms = Seq("spark", "merge", "customer")
+  private val termsSql = terms.map(t => s"'$t'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 top-15 for a three-term query. Scores are ×1e6-scaled
+    // integers: each per-term score is a deterministic double function
+    // of integer statistics (tf, df, N, dl, Σdl), quantized BEFORE the
+    // per-document sum, so the total is exact integer math in both
+    // engines (no float summation order anywhere).
+    "bm25_topk" -> ((s, dir) =>
+      Bm25.topK(Tables.documents(s, dir), terms, k = 15)),
+
+    // Hybrid retrieval, reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    // 2009): rrf = Σ 1/(60 + rank) over the lexical (BM25) and vector
+    // (exact L2, query vec 0) rankings — the standard public recipe for
+    // fusing incomparable score scales. Ranks are integers from total
+    // orders, the two fused terms are summed in a fixed order, and the
+    // result rounds to 6 dp, so the hash compare is stable.
+    "hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val lex = Bm25.topK(docs, terms, k = 50)
+        .select($"doc_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"score".desc, $"doc_id")).as("lrank"))
+      val vec = e.select($"vec_id".as("doc_id"),
+          graft.functions.VectorFunctions.l2sq($"embedding", lit(q)).as("d"))
+        .orderBy($"d", $"doc_id").limit(50)
+        .select($"doc_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"d", $"doc_id")).as("vrank"))
+      lex.join(vec, Seq("doc_id"), "outer")
+        .select($"doc_id",
+          (when($"lrank".isNotNull, lit(1.0) / (lit(60) + $"lrank")).otherwise(lit(0.0)) +
+           when($"vrank".isNotNull, lit(1.0) / (lit(60) + $"vrank")).otherwise(lit(0.0)))
+            .as("rrf_raw"))
+        .select($"doc_id", round($"rrf_raw", 6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(20)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "bm25_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, len(string_split($dNorm, ' ')) AS dl,
+         |         unnest(string_split($dNorm, ' ')) AS term
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf
+         |  FROM tok WHERE term IN ($termsSql)
+         |  GROUP BY doc_id, term, dl
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM f GROUP BY term
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(len(string_split($dNorm, ' '))) AS sumdl
+         |  FROM documents
+         |), terms AS (
+         |  SELECT f.doc_id, CAST(round(
+         |    ln(1e0 + ((s.n - d.df + 5e-1) / (d.df + 5e-1))) *
+         |    ((f.tf * 2.2e0) / (f.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (f.dl / (s.sumdl / s.n))))) *
+         |    1e6) AS BIGINT) AS ts
+         |  FROM f JOIN dfreq d USING (term) CROSS JOIN stats s
+         |)
+         |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+         |FROM terms GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, len(string_split($dNorm, ' ')) AS dl,
+         |         unnest(string_split($dNorm, ' ')) AS term
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf
+         |  FROM tok WHERE term IN ($termsSql)
+         |  GROUP BY doc_id, term, dl
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM f GROUP BY term
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(len(string_split($dNorm, ' '))) AS sumdl
+         |  FROM documents
+         |), terms AS (
+         |  SELECT f.doc_id, CAST(round(
+         |    ln(1e0 + ((s.n - d.df + 5e-1) / (d.df + 5e-1))) *
+         |    ((f.tf * 2.2e0) / (f.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (f.dl / (s.sumdl / s.n))))) *
+         |    1e6) AS BIGINT) AS ts
+         |  FROM f JOIN dfreq d USING (term) CROSS JOIN stats s
+         |), bm AS (
+         |  SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+         |  FROM terms GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 50
+         |), lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+         |  FROM bm
+         |), q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), vtop AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         ${VectorQueries.duckL2sq("e.embedding", "q.qv")} AS d
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY d, doc_id LIMIT 50
+         |), vec AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS vrank
+         |  FROM vtop
+         |)
+         |SELECT doc_id,
+         |  round(coalesce(1e0 / (60 + l.lrank), 0e0) +
+         |        coalesce(1e0 / (60 + v.vrank), 0e0), 6) AS rrf
+         |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  )
+}

@@ -18,7 +18,7 @@ object TextQueries extends QueryPack {
   // ---- shared DuckDB fragments (mirror graft.functions.TextFunctions) ----
 
   /** normalized text */
-  private val dNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private[queries] val dNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   /** distinct whitespace tokens of normalized text */
   private val dTok = s"list_distinct(string_split($dNorm, ' '))"
   /** exact jaccard of two distinct-lists */
