@@ -177,4 +177,33 @@ object Pq {
       .select(col(idCol), l2sq(col(embCol), lit(query)).as("distance"))
       .orderBy(col("distance"), col(idCol)).limit(k)
   }
+
+  /** Vectors → (id, cell, codes): the IVF-PQ index — each vector keyed
+    * by its IVF cell AND compressed to PQ codes. Persist partitioned by
+    * `cell`: probing prunes partitions (reads nprobe/K of the files)
+    * and what it reads is 8-byte codes, not 256-byte floats — the two
+    * multiplicative wins of `faiss::IndexIVFPQ`, as storage layout. */
+  def encodeIvf(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+      model: PqModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), Ann.nearestCell(col(embCol), centroids).as("cell"),
+      encodeCol(col(embCol), model).as("codes"))
+
+  /** IVF-PQ search: rank cells by centroid distance (driver-side — the
+    * centroid table is driver-sized by definition, and [[l2sqLocal]] is
+    * the engine fold), scan the `nprobe` nearest cells' CODES, ADC
+    * top-k within them. On a cell-partitioned store the filter is
+    * partition pruning. */
+  def ivfAdcTopK(encodedIvf: DataFrame, centroids: Seq[(Long, Array[Float])],
+      model: PqModel, query: Array[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val probed = centroids
+      .map { case (cellId, c) => (l2sqLocal(query, c), cellId) }
+      .sorted.take(nprobe).map(_._2)
+    val scored = encodedIvf
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), adcCol(col("codes"), lut(model, query)).as("adc"))
+    scored.orderBy(col("adc"), col(idCol)).limit(k)
+  }
 }

@@ -126,6 +126,23 @@ object AnnQueries extends QueryPack {
         .head.getSeq[Float](0).toArray
       Pq.adcTopKRerank(Pq.encode(e, model), e, model, q, r = 50, k = 10)
         .select($"vec_id", round($"distance", 4).as("distance"))
+    }),
+
+    // IVF-PQ — the two at-scale wins composed, `faiss::IndexIVFPQ` as
+    // storage layout: probe the 2 nearest of 8 IVF cells (partition
+    // pruning on a cell-partitioned store → the scan reads nprobe/K of
+    // the files) and what it reads is 8-byte PQ codes, not 256-byte
+    // floats. The oracle replays cell assignment, probe ranking, and
+    // the integer ADC pipeline end to end.
+    "ann_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Pq.train(e, m = 8, ks = 16)
+      val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Pq.ivfAdcTopK(Pq.encodeIvf(e, cents, model), cents, model, q,
+        k = 10, nprobe = 2)
     })
   )
 
@@ -291,6 +308,21 @@ object AnnQueries extends QueryPack {
          |)
          |SELECT e.vec_id, round(${duckL2sq("e.embedding", "q.qv")}, 4) AS distance
          |FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN q
-         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin
+         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivfpq" ->
+      s"""WITH $duckPqCtes,
+         |assigned AS (
+         |  $duckAssigned
+         |), probe AS (
+         |  SELECT cell FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |      ORDER BY ${duckL2sq("q.qv", "c.centroid")}, c.cell) AS crn
+         |    FROM ($duckCentroids) c CROSS JOIN q
+         |  ) WHERE crn <= 2
+         |)
+         |SELECT a.vec_id, a.adc
+         |FROM adcs a JOIN assigned s2 USING (vec_id) JOIN probe p ON p.cell = s2.cell
+         |ORDER BY a.adc, a.vec_id LIMIT 10""".stripMargin
   )
 }

@@ -121,6 +121,25 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("ivf-pq: nprobe=K degenerates to plain ADC; fewer probes scan a subset") {
+    val cents = graft.operators.Ann.collectCentroids(
+      graft.operators.Ann.seedCentroids(e, 8))
+    val ivf = Pq.encodeIvf(e, cents, model)
+    val all = Pq.ivfAdcTopK(ivf, cents, model, query, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = Pq.adcTopK(Pq.encode(e, model), model, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all === plain)
+    val probed = Pq.ivfAdcTopK(ivf, cents, model, query, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // probed results are a (possibly lossy) subset-ranking of the full
+    // ADC scores: every returned (id, adc) must carry its true ADC score
+    val fullScores = Pq.encode(e, model)
+      .select($"vec_id", Pq.adcCol($"codes", Pq.lut(model, query)).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probed.foreach { case (id, adc) => assert(fullScores(id) === adc) }
+  }
+
   test("l2sqLocal mirrors the engine kernel bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(20)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
