@@ -96,4 +96,34 @@ object VectorStore {
       .partitionBy("cell")
       .outputMode("append")
       .start()
+
+  /** [[appendStream]] for an IVF-PQ store: upserts are cell-assigned AND
+    * PQ-encoded in the same row-local micro-batch projection, so the
+    * store ingests 8-byte codes (not raw vectors) and stays probe-able
+    * by partition pruning the moment a batch commits — streaming index
+    * maintenance for [[graft.operators.Pq.ivfAdcTopK]]. The embedding
+    * column is dropped: at scale the raw vectors live in the archival
+    * store, not the search index. */
+  def appendStreamIvfPq(
+      mutations: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      model: graft.operators.Pq.PqModel,
+      path: String,
+      checkpoint: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    mutations
+      .filter(col("op") === "UPSERT")
+      .select(col(idCol),
+        graft.operators.Ann.nearestCell(col(embCol), centroids).as("cell"),
+        graft.operators.Pq.encodeCol(col(embCol), model).as("codes"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cell")
+      .outputMode("append")
+      .start()
+  }
 }

@@ -140,6 +140,75 @@ class PqSpec extends SparkSpec {
     probed.foreach { case (id, adc) => assert(fullScores(id) === adc) }
   }
 
+  test("ivf-pq store: cell-partitioned codes, probing is partition pruning over 8-byte rows") {
+    val cents = graft.operators.Ann.collectCentroids(
+      graft.operators.Ann.seedCentroids(e, 8))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      Pq.encodeIvf(e, cents, model).write.mode("overwrite")
+        .partitionBy("cell").parquet(dir)
+      val stored = spark.read.parquet(dir)
+      // the store carries NO embedding column — the scan reads codes only
+      assert(stored.columns.toSet === Set("vec_id", "codes", "cell"))
+      val probedCells = cents
+        .map { case (cellId, c) => (Pq.l2sqLocal(query, c), cellId) }
+        .sorted.take(2).map(_._2)
+      val probed = stored.filter($"cell".isin(probedCells: _*))
+      val scan = probed.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cell"), scan)
+      // search over the pruned store matches the in-memory operator
+      val fromStore = probed
+        .select($"vec_id", Pq.adcCol($"codes", Pq.lut(model, query)).as("adc"))
+        .orderBy($"adc", $"vec_id").limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inMemory = Pq.ivfAdcTopK(Pq.encodeIvf(e, cents, model), cents, model,
+          query, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fromStore === inMemory)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("streaming ingest: appendStreamIvfPq encodes upserts into the partitioned code store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream")
+    val cents = Seq(0L -> Array(0f, 0f), 1L -> Array(10f, 10f))
+    // 2-dim corpus, m=2/ks=2 model trained on a tiny static frame
+    val corpus = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val m2 = Pq.train(corpus, m = 2, ks = 2)
+    val mem = MemoryStream[(String, Long, Seq[Float])]
+    val q = graft.sources.VectorStore.appendStreamIvfPq(
+      mem.toDF().toDF("op", "vec_id", "embedding"), cents, m2,
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData(
+        ("UPSERT", 1L, Seq(0.1f, 0.2f)),
+        ("UPSERT", 2L, Seq(9.5f, 9.5f)),
+        ("DELETE", 3L, Seq(0f, 0f)))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/store")
+      assert(stored.columns.toSet === Set("vec_id", "codes", "cell"))
+      // streamed codes == batch encodeCol of the same rows
+      val batch = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(9.5f, 9.5f)))
+        .toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      val expected = Pq.encode(batch, m2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val got = stored.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](stored.columns.indexOf("codes"))).toMap
+      assert(got === expected)
+      assert(new java.io.File(s"$dir/store/cell=0").exists)
+      assert(new java.io.File(s"$dir/store/cell=1").exists)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("l2sqLocal mirrors the engine kernel bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(20)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
