@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Pq}
+import graft.operators.{Ann, Pq, Sq}
 import graft.sources.Tables
 import graft.queries.VectorQueries.duckL2sq
 
@@ -143,6 +143,33 @@ object AnnQueries extends QueryPack {
         .head.getSeq[Float](0).toArray
       Pq.ivfAdcTopK(Pq.encodeIvf(e, cents, model), cents, model, q,
         k = 10, nprobe = 2)
+    }),
+
+    // Scalar quantization (SQ8, FAISS QT_8bit): per-dimension affine
+    // 8-bit codes against corpus-trained [min, max] bounds, integer
+    // Σ(c_d − q_d)² distance — exact arithmetic end to end, so the
+    // oracle value-checks train, encode, AND search. 4× compression
+    // with near-exact ranking; the quantization sibling of ann_pq.
+    "ann_sq" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Sq.train(e)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Sq.sqTopK(Sq.encode(e, model), model, q, k = 10)
+    }),
+
+    // SQ serving pipeline: integer-distance shortlist of 50 over the
+    // 1-byte codes, exact L2 re-rank of just those rows — the
+    // ann_pq_rerank shape at 4× instead of 32× compression.
+    "ann_sq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Sq.train(e)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Sq.sqTopKRerank(Sq.encode(e, model), e, model, q, r = 50, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"))
     })
   )
 
@@ -196,6 +223,32 @@ object AnnQueries extends QueryPack {
        |  SELECT co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
        |  FROM codes co JOIN lut l ON l.s = co.s AND l.j = co.code
        |  GROUP BY co.vec_id
+       |)""".stripMargin
+
+  /** Shared CTE prefix replaying the SQ8 pipeline (`Sq.train` /
+    * `encode` / integer distance): per-dimension min/max bounds, the
+    * affine floor(x + 0.5) code formula (identical IEEE operation
+    * order), codes for query vec 0, and the exact BIGINT Σ(c−q)². */
+  private def duckSqCtes: String =
+    s"""sqdims AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS d
+       |  FROM embeddings
+       |), sqmm AS (
+       |  SELECT d, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+       |  FROM sqdims GROUP BY d
+       |), sqcodes AS (
+       |  SELECT t.vec_id, t.d,
+       |    CASE WHEN m.mx = m.mn THEN 0
+       |         ELSE least(255, greatest(0,
+       |           CAST(floor((CAST(t.v AS DOUBLE) - m.mn) * 255e0 / (m.mx - m.mn) + 5e-1) AS INT))) END AS c
+       |  FROM sqdims t JOIN sqmm m USING (d)
+       |), sqq AS (
+       |  SELECT d, c FROM sqcodes WHERE vec_id = 0
+       |), sqd AS (
+       |  SELECT c.vec_id, CAST(sum(CAST(c.c - q.c AS BIGINT) * (c.c - q.c)) AS BIGINT) AS dq
+       |  FROM sqcodes c JOIN sqq q USING (d)
+       |  GROUP BY c.vec_id
        |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
@@ -323,6 +376,22 @@ object AnnQueries extends QueryPack {
          |)
          |SELECT a.vec_id, a.adc
          |FROM adcs a JOIN assigned s2 USING (vec_id) JOIN probe p ON p.cell = s2.cell
-         |ORDER BY a.adc, a.vec_id LIMIT 10""".stripMargin
+         |ORDER BY a.adc, a.vec_id LIMIT 10""".stripMargin,
+
+    "ann_sq" ->
+      s"""WITH $duckSqCtes
+         |SELECT vec_id, dq FROM sqd
+         |ORDER BY dq, vec_id LIMIT 10""".stripMargin,
+
+    "ann_sq_rerank" ->
+      s"""WITH $duckSqCtes,
+         |shortlist AS (
+         |  SELECT vec_id FROM sqd ORDER BY dq, vec_id LIMIT 50
+         |), q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |)
+         |SELECT e.vec_id, round(${duckL2sq("e.embedding", "q.qv")}, 4) AS distance
+         |FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN q
+         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin
   )
 }
