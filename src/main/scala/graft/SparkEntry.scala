@@ -26,7 +26,8 @@ object SparkEntry {
     AdvancedQueries,
     MiscQueries,
     MultimodalQueries,
-    RetrievalQueries)
+    RetrievalQueries,
+    DecontamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exact k-NN — the reference's core operation (SURVEY.md §2 O-1/O-2). */

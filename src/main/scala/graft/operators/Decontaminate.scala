@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Benchmark decontamination — remove (or flag) training documents that
+  * share word n-grams with an evaluation/benchmark set, the standard
+  * guard against train/test contamination in LLM data pipelines (GPT-3
+  * appendix C uses 13-gram overlap; Dolma/RedPajama ship the same shape
+  * with n in 8–13). Not in the reference (a pure vector-search engine),
+  * but a first-class operator for the 100 TB training-data use case
+  * this engine targets.
+  *
+  * Spark-first shape, and why it scales:
+  *  - n-grams are produced INSIDE the scan projection (`transform` over
+  *    the token array — row-local, whole-stage codegen'd), distinct-ed
+  *    per document before the explode so a pathological repeated-phrase
+  *    document cannot amplify join input.
+  *  - the eval side is DRIVER-KNOWN SMALL by nature (benchmark suites
+  *    are MBs against a 100 TB corpus), so the contamination check is a
+  *    BROADCAST hash join against the distinct eval-gram set: the
+  *    training corpus NEVER shuffles — the only exchange in the plan is
+  *    the per-doc hit count, keyed on already-matched (rare) rows.
+  *  - `overlap` returns per-doc match counts (audit view); `keep`
+  *    anti-joins the flagged ids — at scale you persist `keep`'s output
+  *    as the cleaned corpus in the same pass that computed it.
+  */
+object Decontaminate {
+
+  /** (id, gram): the DISTINCT word n-grams of each document, after the
+    * library-standard normalization ([[TextFunctions.normText]]).
+    * Documents shorter than n words emit nothing (explode of an empty
+    * array). */
+  def wordNgrams(docs: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    docs.select(col(idCol), explode(ngramsCol(col(textCol), n)).as("gram"))
+  }
+
+  /** Row-local distinct n-gram array for one text column. */
+  def ngramsCol(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document contamination audit: (id, n_overlap) for every
+    * training document sharing at least one word n-gram with the eval
+    * set. `n_overlap` counts DISTINCT shared grams (the per-doc gram
+    * sets are distinct by construction). */
+  def overlap(train: DataFrame, eval: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = broadcast(
+      wordNgrams(eval, n, textCol, idCol).select(col("gram")).distinct())
+    wordNgrams(train, n, textCol, idCol)
+      .join(evalGrams, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** The cleaned corpus: training documents with ZERO eval n-gram
+    * overlap. Broadcast anti-join on the (rare) flagged ids — the
+    * corpus passes through without shuffling. */
+  def keep(train: DataFrame, eval: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val flagged = overlap(train, eval, n, textCol, idCol).select(col(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

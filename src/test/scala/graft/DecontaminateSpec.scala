@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+/** Decontamination: n-gram extraction matches a driver replay (incl.
+  * short-doc and repeated-phrase edges), overlap/keep semantics are
+  * exact on a crafted corpus, and the training corpus never shuffles
+  * (broadcast contamination join). */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("wordNgrams: distinct per doc, normalization applied, short docs emit nothing") {
+    val docs = df(
+      1L -> "the cat sat on the cat sat",  // "the cat sat" twice -> once
+      2L -> "  The   CAT  sat ",           // normalizes to "the cat sat"
+      3L -> "too short")                   // 2 tokens < n=3 -> nothing
+    val got = Decontaminate.wordNgrams(docs, n = 3).as[(Long, String)]
+      .collect().toSet
+    // doc 1 tokens: [the cat sat on the cat sat] — positions 1 and 5
+    // both yield "the cat sat"; distinct keeps one
+    assert(got === Set(
+      1L -> "the cat sat", 1L -> "cat sat on", 1L -> "sat on the",
+      1L -> "on the cat",
+      2L -> "the cat sat"))
+  }
+
+  test("overlap counts distinct shared grams; keep drops exactly the flagged docs") {
+    val train = df(
+      10L -> "alpha beta gamma delta",     // shares "alpha beta gamma" + "beta gamma delta"
+      11L -> "epsilon zeta eta",           // clean
+      12L -> "one two three alpha beta gamma")  // shares one gram
+    val eval = df(100L -> "alpha beta gamma delta epsilon")
+    val ov = Decontaminate.overlap(train, eval, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ov === Map(10L -> 2L, 12L -> 1L))
+    val kept = Decontaminate.keep(train, eval, n = 3)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(11L))
+  }
+
+  test("plan: contamination check broadcasts the eval grams — the corpus never shuffles") {
+    val train = df(10L -> "alpha beta gamma delta", 11L -> "epsilon zeta eta")
+    val eval = df(100L -> "alpha beta gamma")
+    val plan = Decontaminate.overlap(train, eval, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the STREAMED (training-corpus) side of the broadcast join — the
+    // segment between the join node and its BroadcastExchange child in
+    // the rendered tree — must be exchange-free; the eval side's tiny
+    // distinct and the post-join per-doc count may each shuffle
+    val streamed = plan.substring(
+      plan.indexOf("BroadcastHashJoin"), plan.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange"), plan)
+  }
+
+  test("wordNgrams n=1 degenerates to distinct tokens") {
+    val got = Decontaminate.wordNgrams(df(1L -> "a b a"), n = 1)
+      .as[(Long, String)].collect().toSet
+    assert(got === Set(1L -> "a", 1L -> "b"))
+  }
+}
