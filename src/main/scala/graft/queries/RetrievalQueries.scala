@@ -56,8 +56,72 @@ object RetrievalQueries extends QueryPack {
             .as("rrf_raw"))
         .select($"doc_id", round($"rrf_raw", 6).as("rrf"))
         .orderBy($"rrf".desc, $"doc_id").limit(20)
-    })
+    }),
+
+    // MMR diversified top-5 over a 20-candidate exact shortlist
+    // (λ=0.7, query vec 0). The oracle replays the greedy selection as
+    // a chained-CTE argmax per step on the SAME ×1e6 integer-quantized
+    // marginal scores, so the selection order (not just membership) is
+    // value-checked.
+    "mmr_rerank" -> ((s, dir) =>
+      graft.operators.Mmr.rerank(s, Tables.embeddings(s, dir),
+        RetrievalQueries.mmrQuery(s, dir), r = 20, k = 5, lambda = 0.7))
   )
+
+  /** Query vector 0 — shared by the Spark path and oracle builders. */
+  private def mmrQuery(s: SparkSession, dir: String): Array[Float] = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" === 0L)
+      .select($"embedding").head.getSeq[Float](0).toArray
+  }
+
+  import graft.queries.VectorQueries.{duckDot, duckL2sq}
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** The MMR oracle: cand = exact top-20 with cosine relevance, sims =
+    * pairwise candidate cosines, then one (argmax, selected-set) CTE
+    * pair per greedy step. λ is written `7e-1` and the diversity weight
+    * `(1e0 - 7e-1)` so both engines compute the IDENTICAL doubles
+    * (1 − 0.7 ≠ 0.3 in IEEE). */
+  private def mmrOracle(k: Int): String = {
+    val lam = "7e-1"
+    val pen = s"(1e0 - $lam)"
+    val head =
+      s"""WITH q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), cand AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         ${duckCos("q.qv", "e.embedding")} AS rel
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 20
+         |), sims AS (
+         |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         |         ${duckCos("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+         |), p1 AS (
+         |  SELECT vec_id, CAST(round(($lam * rel - $pen * 0e0) * 1e6) AS BIGINT) AS score_q
+         |  FROM cand ORDER BY score_q DESC, vec_id LIMIT 1
+         |), s1 AS (SELECT vec_id FROM p1)""".stripMargin
+    val steps = (2 to k).map { n =>
+      s""", p$n AS (
+         |  SELECT c.vec_id, CAST(round(($lam * c.rel - $pen * (
+         |      SELECT max(sim) FROM sims
+         |      WHERE ca = c.vec_id AND cb IN (SELECT vec_id FROM s${n - 1})
+         |    )) * 1e6) AS BIGINT) AS score_q
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s${n - 1})
+         |  ORDER BY score_q DESC, c.vec_id LIMIT 1
+         |), s$n AS (
+         |  SELECT vec_id FROM s${n - 1} UNION ALL SELECT vec_id FROM p$n
+         |)""".stripMargin
+    }.mkString
+    val branches = (1 to k).map { n =>
+      if (n == 1) s"SELECT CAST(1 AS INT) AS rank, vec_id, score_q FROM p1"
+      else s"SELECT $n, vec_id, score_q FROM p$n"
+    }.mkString("\n  UNION ALL ")
+    s"$head$steps\nSELECT rank, vec_id, score_q FROM (\n  $branches\n) ORDER BY rank"
+  }
 
   def oracle: Map[String, String] = Map(
 
@@ -128,6 +192,8 @@ object RetrievalQueries extends QueryPack {
          |  round(coalesce(1e0 / (60 + l.lrank), 0e0) +
          |        coalesce(1e0 / (60 + v.vrank), 0e0), 6) AS rrf
          |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "mmr_rerank" -> mmrOracle(k = 5)
   )
 }
