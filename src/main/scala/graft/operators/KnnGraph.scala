@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2sq
+
+/** Corpus-wide k-NN graph — the m nearest neighbor ids for EVERY vector
+  * in one batch plan. This is the backbone op of semantic dedup and
+  * clustering over training corpora (SemDeDup, arXiv:2303.09540, builds
+  * exactly this graph to drop semantic duplicates; k-NN-graph
+  * construction is also the offline step of NN-Descent/HNSW-style index
+  * builds). The reference serves one query at a time
+  * (`src/rpc/search_service_impl.cc:33-50`); an all-corpus graph through
+  * that path is N RPCs — here it is one job.
+  *
+  * Spark-first shape, reusing the two-level IVF blocking that already
+  * bounds embedding dedup ([[Dedup.ivfTwoLevelBlocks]]):
+  *  - assignment is row-local against driver-bounded coarse seeds +
+  *    JOINED fine seeds (nothing O(N) crosses the driver);
+  *  - candidates are the within-block pairs — block population is held
+  *    ≈ targetBlock by construction (ProfileScale evidence in
+  *    BASELINE.md), so candidate work is N·targetBlock, never N²;
+  *  - per-vector top-m runs as the [[graft.expressions.BottomK]]
+  *    k-bounded heap with map-side partial aggregation: each task
+  *    reduces its slice to ≤ m hits per vector BEFORE the shuffle.
+  *
+  * Approximation contract: neighbors are found within a vector's fine
+  * block only (the dedup-family trade); the DuckDB oracle replays the
+  * identical blocking, so what is value-checked is the exact algorithm,
+  * with brute-force `Knn` remaining the recall-1.0 single-query path.
+  *
+  * Duplicate-id note: rows are grouped by id here (a graph node IS an
+  * id); duplicate-id rows (the preserved cross-shard quirk) contribute
+  * their candidates to one node. Callers needing per-row graphs should
+  * pre-dedup ids ([[Knn.dedupById]] semantics).
+  */
+object KnnGraph {
+
+  /** (id, nbr_rank, nbr_id, distance): the m nearest other ids per
+    * vector, ascending (distance, nbr_id) with dense 1-based ranks.
+    * `nprobe` is the recall knob (each vector contributes candidates
+    * from its nprobe nearest fine cells — the dedup_embedding_mp
+    * trade): >1 inserts a min-distance collapse per (node, neighbor)
+    * pair so a neighbor shared via two probed cells is counted once. */
+  def build(vectors: DataFrame, m: Int, targetBlock: Int = 64,
+      nprobe: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(m > 0, "m must be positive")
+    val (_, assigned) =
+      Dedup.ivfTwoLevelBlocks(vectors, targetBlock, idCol, embCol, nprobe = nprobe)
+    val a = assigned.select(col("id").as("aid"), col("blk"), col("e").as("ae"))
+    val b = assigned.select(col("id").as("bid"), col("blk"), col("e").as("be"))
+    val cand = a.join(b, Seq("blk"))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), l2sq(col("ae"), col("be")).as("d"))
+    val collapsed =
+      if (nprobe == 1) cand
+      else cand.groupBy(col("aid"), col("bid")).agg(min(col("d")).as("d"))
+    collapsed
+      .groupBy(col("aid"))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("d"), col("bid").cast("long"), m).as("nbrs"))
+      .select(col("aid"), posexplode(col("nbrs")))
+      .select(col("aid").as(idCol),
+        (col("pos") + 1).cast("int").as("nbr_rank"),
+        col("col.id").as("nbr_id"),
+        col("col.distance").as("distance"))
+  }
+}

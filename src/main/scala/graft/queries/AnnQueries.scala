@@ -170,6 +170,19 @@ object AnnQueries extends QueryPack {
         .head.getSeq[Float](0).toArray
       Sq.sqTopKRerank(Sq.encode(e, model), e, model, q, r = 50, k = 10)
         .select($"vec_id", round($"distance", 4).as("distance"))
+    }),
+
+    // Corpus-wide k-NN graph (the SemDeDup backbone): 3 nearest other
+    // ids for EVERY vector in one job, candidates bounded by the same
+    // two-level IVF blocking as embedding dedup, per-vector top-m via
+    // the BottomK partial-aggregated heap. The oracle replays blocking
+    // + windowed ranking, so ranks, ids, and distances are value-checked.
+    "knn_graph" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.KnnGraph.build(Tables.embeddings(s, dir), m = 3)
+        .select($"vec_id", $"nbr_rank", $"nbr_id",
+          round($"distance", 4).as("distance"))
+        .orderBy($"vec_id", $"nbr_rank")
     })
   )
 
@@ -382,6 +395,19 @@ object AnnQueries extends QueryPack {
       s"""WITH $duckSqCtes
          |SELECT vec_id, dq FROM sqd
          |ORDER BY dq, vec_id LIMIT 10""".stripMargin,
+
+    "knn_graph" ->
+      s"""WITH ${TextQueries.duckTwoLevelCtes}
+         |SELECT vec_id, CAST(nbr_rank AS INT) AS nbr_rank, nbr_id,
+         |       round(d, 4) AS distance
+         |FROM (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         ${duckL2sq("a.embedding", "b.embedding")} AS d,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+         |  FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+         |) WHERE nbr_rank <= 3
+         |ORDER BY vec_id, nbr_rank""".stripMargin,
 
     "ann_sq_rerank" ->
       s"""WITH $duckSqCtes,

@@ -397,7 +397,7 @@ object TextQueries extends QueryPack {
     * md5-spread coarse seeds (Kc = ⌈√⌈N/64⌉⌉) → coarse argmin →
     * per-coarse-cell fine seeds → fine assignment keeping the `probeRn`
     * nearest cells per vector (1 = the single-probe argmin). */
-  private def duckTwoLevelCtesProbed(probeRn: Int): String =
+  private[queries] def duckTwoLevelCtesProbed(probeRn: Int): String =
     s"""cseeds AS (
        |  SELECT vec_id AS ccell, embedding AS centroid FROM (
        |    SELECT vec_id, embedding, row_number()
@@ -429,7 +429,7 @@ object TextQueries extends QueryPack {
        |  ) WHERE rn <= $probeRn
        |)""".stripMargin
 
-  private def duckTwoLevelCtes: String = duckTwoLevelCtesProbed(1)
+  private[queries] def duckTwoLevelCtes: String = duckTwoLevelCtesProbed(1)
 
   def oracle: Map[String, String] = Map(
 

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, KnnGraph}
+import graft.sources.Tables
+
+/** k-NN graph: per-node neighbors are the exact within-block top-m
+  * (differential vs a naive window mirror), the graph closely tracks
+  * the unblocked exact graph, and the plan aggregates with the BottomK
+  * partial heap (no global window over candidates). */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+
+  test("differential: BottomK graph == naive within-block window mirror") {
+    val got = KnnGraph.build(e, m = 3)
+      .select($"vec_id", $"nbr_rank", $"nbr_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // naive mirror over the same blocking
+    val (_, assigned) = Dedup.ivfTwoLevelBlocks(e, targetBlock = 64)
+    val a = assigned.select($"id".as("aid"), $"blk", $"e".as("ae"))
+    val b = assigned.select($"id".as("bid"), $"blk", $"e".as("be"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"aid")
+      .orderBy(graft.functions.VectorFunctions.l2sq($"ae", $"be"), $"bid")
+    val expected = a.join(b, Seq("blk")).filter($"aid" =!= $"bid")
+      .select($"aid", $"bid", row_number().over(w).as("rk"))
+      .filter($"rk" <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("graph quality: nprobe is a working recall knob on the exact 1-NN") {
+    // for each node, is its rank-1 blocked neighbor the true nearest?
+    // uniform synthetic embeddings are the IVF worst case (no cluster
+    // structure), so absolute recall is modest — what must hold is that
+    // probing more cells strictly helps
+    val rows = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val exact1 = rows.map { case (id, emb) =>
+      id -> rows.filter(_._1 != id)
+        .minBy { case (oid, oemb) => (l2(emb, oemb), oid) }._1
+    }.toMap
+    def agreement(nprobe: Int): Int = {
+      val nn1 = KnnGraph.build(e, m = 1, nprobe = nprobe)
+        .select($"vec_id", $"nbr_id").as[(Long, Long)].collect().toMap
+      rows.count { case (id, _) => nn1.get(id).contains(exact1(id)) }
+    }
+    val a1 = agreement(1)
+    val a3 = agreement(3)
+    assert(a3 > a1, s"nprobe=3 ($a3) should beat nprobe=1 ($a1)")
+    assert(a3 >= rows.length * 2 / 5, s"1-NN agreement at nprobe=3: $a3/${rows.length}")
+  }
+
+  test("plan: per-node top-m is the partial-aggregated BottomK heap") {
+    val plan = KnnGraph.build(e, m = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)
+  }
+}
