@@ -894,6 +894,56 @@ object Dedup {
     * exposed for scale profiling: returns (coarseK — the ONLY row count
     * that crosses the driver — and the (id, blk, e) frame; `nprobe` > 1
     * emits one row per probed fine cell). */
+  /** Containment (doc-in-doc) pairs — the DIRECTIONAL overlap dedup:
+    * containment = |A ∩ B| / min(|A|, |B|) over distinct-token hash
+    * sets, catching a document embedded in (or quoting most of) another
+    * even when symmetric Jaccard is diluted by the larger doc. The
+    * quote/subset signal RefinedWeb/CCNet-style pipelines act on next
+    * to plain near-dup. Reference has no text surface; public recipe.
+    *
+    * Candidates come from the SAME MinHash banding as the Jaccard
+    * family (one shared mechanism); recall therefore tracks Jaccard —
+    * severely size-asymmetric pairs (tiny doc in huge doc) can be
+    * missed by banding, which production systems address with
+    * size-stratified bands. The DuckDB oracle replays the identical
+    * pipeline, so what ships is value-checked end to end.
+    *
+    * Scale shape: hashed token sets never leave the scan projection,
+    * candidates are a (band, bucket) equi-join, and the verify is a
+    * builtin `array_intersect` on the two sorted hash arrays of the
+    * CANDIDATE pairs only. */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.9): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // persisted: three consumers (bucket self-join + both verify joins);
+    // callers clearCache per the object-level lifecycle convention
+    val base = docs
+      .select(col(idCol).as("id"),
+        transform(array_distinct(tokens(col(textCol))), s => hash32(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"),
+        array_sort(array_distinct(col("hs"))).as("hsd"),
+        minhashFamilies(col("hs"), numHashes).as("minhash_sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(base, "id", bands, rowsPerBand)
+    cand
+      .join(base.as("wa"), col("wa.id") === col("id1"))
+      .join(base.as("wb"), col("wb.id") === col("id2"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("wa.hsd"), col("wb.hsd")))
+          .cast("double").as("inter"),
+        least(size(col("wa.hsd")), size(col("wb.hsd")))
+          .cast("double").as("mn"))
+      .filter(col("inter") / col("mn") >= threshold)
+      .select(col("id1"), col("id2"),
+        round(col("inter") / col("mn"), 6).as("containment"))
+  }
+
   private[graft] def ivfTwoLevelBlocks(
       vectors: DataFrame,
       targetBlock: Int,

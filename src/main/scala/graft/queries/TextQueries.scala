@@ -143,6 +143,17 @@ object TextQueries extends QueryPack {
         .orderBy($"id1", $"id2")
     }),
 
+    // Containment (doc-in-doc) pairs: directional overlap
+    // |A∩B| / min(|A|,|B|) over distinct-token hash sets — catches a
+    // document quoting/embedding another even when symmetric Jaccard is
+    // diluted. Same MinHash banding as dedup_minhash for candidates;
+    // the oracle replays the identical pipeline.
+    "dedup_containment" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.9)
+        .orderBy($"id1", $"id2")
+    }),
+
     // Transitive dedup closure: connected components of the simhash
     // near-dup graph (hamming is NOT transitive, so A~B~C chains exist
     // that single-pass keepList cannot collapse). Every doc labeled with
@@ -467,6 +478,39 @@ object TextQueries extends QueryPack {
          |)
          |SELECT id AS doc_id, min(anc) AS component
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.containmentPairs: same banding as dedup_minhash
+    // (12 hashes, 4 bands × 3), containment verify on sorted distinct
+    // hash sets. Division shape identical to the engine (double cast
+    // before the divide), so the filter and the 6-dp round agree.
+    "dedup_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dTok AS sh FROM documents
+         |), hsh AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
+         |), sig AS (
+         |  SELECT doc_id, list_sort(list_distinct(hs)) AS hsd,
+         |    list_transform(range(0,12), j ->
+         |      list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+7)) % 2147483647))) AS sg
+         |  FROM hsh WHERE len(hs) > 0
+         |), bands AS (
+         |  SELECT doc_id, b,
+         |    md5(CAST(sg[3*b+1] AS VARCHAR) || ':' || CAST(sg[3*b+2] AS VARCHAR)
+         |        || ':' || CAST(sg[3*b+3] AS VARCHAR)) AS bucket
+         |  FROM sig, (SELECT unnest(range(0,4)) AS b) u
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bucket = c.bucket
+         |                            AND a.doc_id < c.doc_id
+         |), pairs AS (
+         |  SELECT id1, id2,
+         |    CAST(len(list_intersect(x.hsd, y.hsd)) AS DOUBLE) AS inter,
+         |    CAST(least(len(x.hsd), len(y.hsd)) AS DOUBLE) AS mn
+         |  FROM cand JOIN sig x ON x.doc_id = id1 JOIN sig y ON y.doc_id = id2
+         |)
+         |SELECT id1, id2, round(inter / mn, 6) AS containment
+         |FROM pairs WHERE inter / mn >= 0.9
+         |ORDER BY id1, id2""".stripMargin,
 
     "dedup_ngram" -> dMinhashPipeline(
       "list_distinct(list_transform(range(1, len(text) - 2), i -> text[i:i+3]))",

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Containment dedup: directional doc-in-doc semantics on crafted
+  * corpora, and a driver-side differential over the real table. */
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a strict token-subset doc scores containment 1.0 even though jaccard < 1") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota"  // 9 of 10
+    val docs = Seq((1L, a), (2L, b), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+  }
+
+  test("set semantics: token multiplicity and order are ignored") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "five five four three two one one one"))  // same SET
+    .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1.0)))
+  }
+
+  test("differential: engine pairs equal a driver-side replay on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // driver replay: hashed distinct-token sets + the same banding
+    val hs = docs.select($"doc_id",
+        transform(array_distinct(
+          graft.functions.TextFunctions.tokens($"text")),
+          s => graft.functions.TextFunctions.hash32(s)).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).distinct.toSet)
+      .toMap
+    val sigs = docs.select($"doc_id",
+        graft.functions.TextFunctions.minhashFamilies(
+          transform(array_distinct(
+            graft.functions.TextFunctions.tokens($"text")),
+            s => graft.functions.TextFunctions.hash32(s)), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bands(sig: Seq[Long]): Seq[String] =
+      (0 until 4).map(b => (0 until 3).map(r => sig(b * 3 + r)).mkString(":"))
+    val ids = hs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if bands(sigs(i)).zip(bands(sigs(j))).exists { case (x, y) => x == y }
+      inter = (hs(i) & hs(j)).size.toDouble
+      mn = math.min(hs(i).size, hs(j).size).toDouble
+      if inter / mn >= 0.9
+    } yield (i, j, BigDecimal(inter / mn)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got === expected)
+  }
+}
