@@ -31,21 +31,32 @@ object Decontaminate {
   /** (id, gram): the DISTINCT word n-grams of each document, after the
     * library-standard normalization ([[TextFunctions.normText]]).
     * Documents shorter than n words emit nothing (explode of an empty
-    * array). */
+    * array).
+    *
+    * The token array is MATERIALIZED as its own projection before the
+    * gram lambda touches it — inlining `tokens(text)` into the
+    * `slice(...)` inside the transform re-derives the whole split per
+    * gram (O(tokens²) per document; the SURVEY §2 round-7 convention,
+    * observed 60 s → 0.12 s on `quality_repetition`). */
   def wordNgrams(docs: DataFrame, n: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    docs.select(col(idCol), explode(ngramsCol(col(textCol), n)).as("gram"))
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(gramsOfTokens(col("toks"), n)).as("gram"))
   }
 
-  /** Row-local distinct n-gram array for one text column. */
-  def ngramsCol(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Row-local distinct n-gram array over an ALREADY-MATERIALIZED token
+    * array column (see [[wordNgrams]] for why it must not be an inline
+    * `tokens(...)` expression). */
+  def gramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[gramsOfTokens]] over a text column, for single-expression use in
+    * tests; callers on a hot path should project the tokens first. */
+  def ngramsCol(text: Column, n: Int): Column = gramsOfTokens(tokens(text), n)
 
   /** Per-document contamination audit: (id, n_overlap) for every
     * training document sharing at least one word n-gram with the eval

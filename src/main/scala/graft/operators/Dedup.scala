@@ -920,20 +920,45 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.9): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persisted: three consumers (bucket self-join + both verify joins);
-    // callers clearCache per the object-level lifecycle convention
-    val base = docs
-      .select(col(idCol).as("id"),
-        transform(array_distinct(tokens(col(textCol))), s => hash32(s)).as("hs"))
-      .filter(size(col("hs")) > 0)
+    // Identical-set collapse (the minhashRepPairs stages): containment
+    // is a function of the token SETS alone, so rep-level verification
+    // + member expansion is provably output-identical to the naive form
+    // the oracle runs — identical sets share minhash signatures, hence
+    // buckets, hence candidacy, and their pairs score exactly 1.0 ≥ t.
+    // On this duplicate-heavy corpus it is the difference between
+    // verifying clusters² member pairs and clusters (bench: 9.0 s →
+    // see BASELINE.md round-8 gate). Persisted frames follow the
+    // object-level callers-clearCache lifecycle convention.
+    val keyed = docs
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(col("id"))
       .select(col("id"),
-        array_sort(array_distinct(col("hs"))).as("hsd"),
-        minhashFamilies(col("hs"), numHashes).as("minhash_sig"))
+        transform(array_distinct(tokens(col(textCol))), s => hash32(s)).as("hs"))
+      .withColumn("set_key", setFingerprint(array_distinct(col("hs"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(base, "id", bands, rowsPerBand)
-    cand
-      .join(base.as("wa"), col("wa.id") === col("id1"))
-      .join(base.as("wb"), col("wb.id") === col("id2"))
+    val reps = keyed.groupBy(col("set_key"))
+      .agg(min(col("id")).as("rep"), first(col("hs")).as("hs"))
+    val withSig = reps
+      .select(col("set_key"), col("rep"),
+        minhashFamilies(col("hs"), numHashes).as("minhash_sig"),
+        array_sort(array_distinct(col("hs"))).as("hsd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withSig.count()
+    // (tokens(<anything>) is never empty — split("") = [""] — so the
+    // empty-set exclusion the shingle pipelines need does not arise)
+    val memberMap = keyed
+      .select(col("set_key"), col("id"))
+      .join(withSig.select(col("set_key"), col("rep")), "set_key")
+      .select(col("rep"), col("id"))
+    val cand = lshCandidates(
+      withSig.select(col("rep").as("id"), col("minhash_sig")),
+      "id", bands, rowsPerBand)
+    // no est gate: signature agreement estimates JACCARD, and a high-
+    // containment size-asymmetric pair can sit at low jaccard — a gate
+    // would silently cost recall vs the oracle's gateless replay
+    val verified = cand
+      .join(withSig.as("wa"), col("wa.rep") === col("id1"))
+      .join(withSig.as("wb"), col("wb.rep") === col("id2"))
       .select(col("id1"), col("id2"),
         size(array_intersect(col("wa.hsd"), col("wb.hsd")))
           .cast("double").as("inter"),
@@ -942,6 +967,17 @@ object Dedup {
       .filter(col("inter") / col("mn") >= threshold)
       .select(col("id1"), col("id2"),
         round(col("inter") / col("mn"), 6).as("containment"))
+    val crossPairs = verified
+      .join(memberMap.as("ma"), col("ma.rep") === col("id1"))
+      .join(memberMap.as("mb"), col("mb.rep") === col("id2"))
+      .select(least(col("ma.id"), col("mb.id")).as("id1"),
+        greatest(col("ma.id"), col("mb.id")).as("id2"), col("containment"))
+    // within-cluster pairs: identical sets, containment exactly 1.0
+    val dupPairs = memberMap.as("x").join(memberMap.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        lit(1.0).as("containment"))
+    crossPairs.unionByName(dupPairs)
   }
 
   private[graft] def ivfTwoLevelBlocks(
