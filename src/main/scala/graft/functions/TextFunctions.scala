@@ -311,6 +311,33 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** Character array of a string column: 1-based substring per
+    * position. Callers MUST pass a MATERIALIZED (projected) string
+    * column and should project the RESULT before lambdas reference it
+    * repeatedly (the round-7 inline-HOF recompute trap). */
+  def charsOf(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)), i => substring(s, i, lit(1))))
+
+  /** Character-unigram Shannon entropy (nats), ×1e6 integer-quantized
+    * PER TERM before the sum — Σ_c round(−(p_c·ln p_c)·1e6) as a LONG —
+    * so the cross-engine compare is exact integer math (the BM25 move;
+    * each term is a deterministic double function of two integers).
+    * Low entropy flags repetitive/garbage text, high entropy flags
+    * random noise — the cheap perplexity proxy in quality pipelines.
+    * Row-local: no shuffle, O(distinct-chars × len) per row. `chars`
+    * must be a MATERIALIZED array column ([[charsOf]] + projection). */
+  def charEntropyQ(chars: Column): Column = {
+    val n = size(chars)
+    when(n === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(array_distinct(chars), c => {
+          val p = size(filter(chars, x => x === c)).cast("double") / n
+          round(-(p * log(p)) * 1e6).cast("long")
+        }),
+        lit(0L), (acc, x) => acc + x))
+  }
+
   /** Quality score in [0,1]: blend of length, type-token ratio, and
     * alpha-character ratio — the standard cheap pre-filter shape for
     * training-data pipelines. */

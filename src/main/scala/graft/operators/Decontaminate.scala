@@ -80,4 +80,36 @@ object Decontaminate {
     val flagged = overlap(train, eval, n, textCol, idCol).select(col(idCol))
     train.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** The distinct hash32 values of the eval set's word n-grams,
+    * collected once — bounded by the BENCHMARK size (MBs against a
+    * 100 TB corpus), never by training data. The handle a streaming
+    * ingest pipeline builds at start-up and reuses per micro-batch. */
+  def evalGramHashes(eval: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): Array[Long] =
+    wordNgrams(eval, n, textCol, idCol)
+      .select(graft.functions.TextFunctions.hash32(col("gram")).as("h"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Streaming decontamination: keep only stream documents sharing NO
+    * word n-gram with the eval set. The decision is fully ROW-LOCAL —
+    * gram hashes are built in the projection and tested with
+    * `arrays_overlap` against the eval-hash literal — so the filter is
+    * stateless, watermark-free, and legal in any streaming output mode
+    * (the shape that matters: ingest-time decontamination instead of a
+    * post-hoc batch sweep). Matches [[keep]] on the same rows up to
+    * hash32 collisions (2⁻³² per gram pair, which only ever DROPS an
+    * extra doc — conservative in the safe direction). */
+  def keepStream(stream: DataFrame, evalHashes: Array[Long], n: Int,
+      textCol: String = "text"): DataFrame = {
+    val gh = array_distinct(transform(
+      gramsOfTokens(col("__toks"), n),
+      g => graft.functions.TextFunctions.hash32(g)))
+    stream
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__gh", gh)
+      .filter(!arrays_overlap(col("__gh"), lit(evalHashes)))
+      .drop("__toks", "__gh")
+  }
 }

@@ -143,6 +143,19 @@ object TextQueries extends QueryPack {
         .orderBy($"id1", $"id2")
     }),
 
+    // Character-unigram entropy (the cheap perplexity proxy): ×1e6
+    // integer-quantized per-char terms summed as exact longs — low
+    // flags repetitive/garbage docs, high flags random noise. chars is
+    // a MATERIALIZED column (round-7 inline-HOF trap).
+    "quality_entropy" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", normText($"text").as("norm"))
+        .select($"doc_id", charsOf($"norm").as("chars"))
+        .select($"doc_id", charEntropyQ($"chars").as("entropy_q"))
+        .orderBy($"doc_id")
+    }),
+
     // Containment (doc-in-doc) pairs: directional overlap
     // |A∩B| / min(|A|,|B|) over distinct-token hash sets — catches a
     // document quoting/embedding another even when symmetric Jaccard is
@@ -478,6 +491,25 @@ object TextQueries extends QueryPack {
          |)
          |SELECT id AS doc_id, min(anc) AS component
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // mirrors charsOf + charEntropyQ: 1-based char slices, per-term
+    // ×1e6 quantization before the integer sum — identical IEEE shape
+    // (CAST/division/ln/negate/multiply order) to the Spark column
+    "quality_entropy" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dNorm AS norm FROM documents
+         |), c AS (
+         |  SELECT doc_id, CASE WHEN len(norm) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(norm) + 1), i -> norm[i:i]) END AS chars
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN len(chars) = 0 THEN CAST(0 AS BIGINT) ELSE
+         |    CAST(list_sum(list_transform(list_distinct(chars), ch ->
+         |      CAST(round(-((CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)) *
+         |        ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
+         |    )) AS BIGINT) END AS entropy_q
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // mirrors Dedup.containmentPairs: same banding as dedup_minhash
     // (12 hashes, 4 bands × 3), containment verify on sorted distinct

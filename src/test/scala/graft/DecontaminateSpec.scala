@@ -61,4 +61,30 @@ class DecontaminateSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got === Set(1L -> "a", 1L -> "b"))
   }
+
+  test("streaming keep: row-local filter matches the batch keep decision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val eval = df(100L -> "alpha beta gamma delta epsilon")
+    val docs = Seq(
+      (10L, "alpha beta gamma unrelated tail"),   // contaminated
+      (11L, "epsilon zeta eta totally clean"),    // clean
+      (12L, "one two three"),                     // clean
+      (13L, "delta epsilon zeta and more"))       // clean: no 3-gram of the EVAL text matches
+    val hashes = Decontaminate.evalGramHashes(eval, n = 3)
+    val mem = MemoryStream[(Long, String)]
+    val out = Decontaminate.keepStream(
+      mem.toDF().toDF("doc_id", "text"), hashes, n = 3)
+    val q = out.writeStream.format("memory").queryName("dc_keep").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dc_keep")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = Decontaminate.keep(docs.toDF("doc_id", "text"), eval, n = 3)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(!streamed.contains(10L) && streamed.contains(11L))
+    } finally q.stop()
+  }
 }

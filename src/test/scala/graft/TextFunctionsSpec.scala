@@ -225,6 +225,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kept.toSeq === again.toSeq)
   }
 
+  test("charEntropyQ: engine == driver replay; edges behave") {
+    val docs = Seq(
+      (1L, "aaaa"),            // one symbol → entropy 0
+      (2L, "abab"),            // two equiprobable → ln 2 per char
+      (3L, ""),                // empty → 0 by definition
+      (4L, "the quick brown fox"))
+    .toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id", normText($"text").as("norm"))
+      .select($"doc_id", $"norm", charsOf($"norm").as("chars"))
+      .select($"doc_id", $"norm", charEntropyQ($"chars").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // BigDecimal HALF_UP mirrors Spark's round exactly (math.round is
+    // floor(x+0.5), which drifts on FP edges — Pq.lut scaladoc)
+    def q(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def replay(s: String): Long =
+      if (s.isEmpty) 0L
+      else s.distinct.map { c =>
+        val p = s.count(_ == c).toDouble / s.length
+        q(-(p * math.log(p)) * 1e6)
+      }.sum
+    got.foreach { case (id, norm, h) =>
+      assert(h === replay(norm), s"doc $id")
+    }
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(1L) === 0L)
+    assert(byId(3L) === 0L)
+    // "abab": Σ over 2 chars of round(0.5·ln2·1e6) = 2 × 346574
+    assert(byId(2L) === 2L * q(0.5 * math.log(2) * 1e6))
+    assert(byId(4L) > byId(2L), "richer alphabet → higher entropy")
+  }
+
   test("setFingerprint is order-independent and set-discriminating") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),
