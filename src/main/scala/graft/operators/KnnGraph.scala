@@ -66,4 +66,34 @@ object KnnGraph {
         col("col.id").as("nbr_id"),
         col("col.distance").as("distance"))
   }
+
+  /** The full SemDeDup decision (arXiv:2303.09540 §3): build the k-NN
+    * graph, keep edges closer than `maxL2Sq`, collapse chains with
+    * connected components, and keep ONE representative (the minimum id)
+    * per semantic-duplicate group. The reference exposes only
+    * point-lookup search (`src/rpc/search_service_impl.cc:33-50`); this
+    * is the corpus-curation operator built on top of it.
+    *
+    * Returns (idCol, component, keep) for EVERY distinct id: `component`
+    * is the lowest id reachable through any chain of near-dup edges and
+    * `keep` marks the representative (`component == id`). Scale shape:
+    * edges come from [[build]] (candidate work N·targetBlock), the
+    * closure is [[Dedup.connectedComponents]] (driver union-find below
+    * the config gate, O(log diameter) pointer-jumping rounds above it).
+    * The threshold compares the RAW fold-ordered distance, identically
+    * in the DuckDB oracle, so the edge set — and therefore the grouping
+    * — is deterministic on both engines. */
+  def semanticComponents(vectors: DataFrame, m: Int = 3,
+      maxL2Sq: Double = 1.0, targetBlock: Int = 64, nprobe: Int = 1,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val g = build(vectors, m, targetBlock, nprobe, idCol, embCol)
+    val pairs = g.filter(col("distance") <= maxL2Sq)
+      .select(least(col(idCol), col("nbr_id")).as("id1"),
+        greatest(col(idCol), col("nbr_id")).as("id2"))
+      .distinct()
+    val nodes = vectors.select(col(idCol)).distinct()
+    Dedup.connectedComponents(nodes, pairs, idCol)
+      .select(col(idCol), col("component"),
+        (col("component") === col(idCol)).as("keep"))
+  }
 }

@@ -183,6 +183,19 @@ object AnnQueries extends QueryPack {
         .select($"vec_id", $"nbr_rank", $"nbr_id",
           round($"distance", 4).as("distance"))
         .orderBy($"vec_id", $"nbr_rank")
+    }),
+
+    // The full SemDeDup decision on top of the graph: k-NN edges under
+    // the L2 threshold, transitive closure, keep the min-id
+    // representative per semantic-duplicate group. The threshold
+    // compares the RAW fold-ordered distance — identical IEEE value in
+    // both engines — so the edge set is deterministic; the oracle
+    // replays blocking + ranking + a recursive walk.
+    "semdedup_keep" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.KnnGraph.semanticComponents(
+          Tables.embeddings(s, dir), m = 3, maxL2Sq = 1.45)
+        .orderBy($"vec_id")
     })
   )
 
@@ -408,6 +421,35 @@ object AnnQueries extends QueryPack {
          |  FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
          |) WHERE nbr_rank <= 3
          |ORDER BY vec_id, nbr_rank""".stripMargin,
+
+    // replays knn_graph, thresholds the RAW distance, then walks the
+    // undirected edge set recursively — the dedup_cc closure shape —
+    // and marks the min-id representative per component
+    "semdedup_keep" ->
+      s"""WITH RECURSIVE ${TextQueries.duckTwoLevelCtes},
+         |knng AS (
+         |  SELECT vec_id, nbr_id, d FROM (
+         |    SELECT a.vec_id, b.vec_id AS nbr_id,
+         |           ${duckL2sq("a.embedding", "b.embedding")} AS d,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+         |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+         |  ) WHERE nbr_rank <= 3
+         |), prs AS (
+         |  SELECT DISTINCT least(vec_id, nbr_id) AS id1,
+         |                  greatest(vec_id, nbr_id) AS id2
+         |  FROM knng WHERE d <= 1.45
+         |), und AS (
+         |  SELECT id1 AS a, id2 AS b FROM prs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM prs
+         |), walk(id, anc) AS (
+         |  SELECT DISTINCT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.anc
+         |)
+         |SELECT id AS vec_id, min(anc) AS component, (min(anc) = id) AS keep
+         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "ann_sq_rerank" ->
       s"""WITH $duckSqCtes,

@@ -62,4 +62,34 @@ class KnnGraphSpec extends SparkSpec {
     val plan = KnnGraph.build(e, m = 3).queryExecution.executedPlan.toString
     assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)
   }
+
+  test("semanticComponents == driver union-find over the thresholded graph") {
+    val tau = 1.45
+    val got = KnnGraph.semanticComponents(e, m = 3, maxL2Sq = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // driver replay: same edges, naive union-find
+    val edges = KnnGraph.build(e, m = 3).filter($"distance" <= tau)
+      .select($"vec_id", $"nbr_id").as[(Long, Long)].collect()
+    val nodes = e.select($"vec_id").distinct().as[Long].collect()
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = nodes.map { n =>
+      val c = find(n); (n, c, c == n)
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("semanticComponents: exactly one keep per component, keeps are minima") {
+    val res = KnnGraph.semanticComponents(e, m = 3, maxL2Sq = 1.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    res.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._3) === 1, s"component $comp keep count")
+      assert(members.filter(_._3).head._1 === members.map(_._1).min)
+      assert(comp === members.map(_._1).min)
+    }
+  }
 }
