@@ -980,6 +980,59 @@ object Dedup {
     crossPairs.unionByName(dupPairs)
   }
 
+  /** Duplicated-SPAN detection — substring-level exact dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: repeated ≥k-token substrings, which doc-level
+    * near-dup misses when boilerplate is embedded in otherwise-unique
+    * pages). Their suffix-array build is a single-machine algorithm;
+    * the distributed rendition is positional k-gram frequency: a token
+    * k-gram occurring ≥ `minCount` times corpus-wide marks its start
+    * position as duplicated, and runs of adjacent duplicated starts
+    * merge into maximal spans (gaps-and-islands). Any repeated
+    * substring of length ≥ k marks exactly its covered positions, so
+    * span boundaries match the suffix-array answer at k-token
+    * resolution.
+    *
+    * Scale shape: gram explode is linear in corpus tokens; the
+    * frequency table is one hash-groupBy on the 32-bit gram hash; the
+    * mark-back is an equi-join on the same key (partial-aggregated
+    * count, no arrays through exchanges); the island merge is one
+    * window per doc. Nothing quadratic, nothing driver-side. Hash
+    * collisions can only OVER-mark (a false duplicated position —
+    * conservative for a removal pipeline); the oracle replays the same
+    * hash so the check is exact.
+    *
+    * Returns (idCol, span_start, span_end, span_tokens): 0-based
+    * inclusive token positions of each maximal duplicated span. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      minCount: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && minCount >= 2, "k > 0, minCount >= 2")
+    // tokens materialized as a projection BEFORE the shingle transform
+    // (round-7 inline-HOF trap), shingles materialized before posexplode
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("tok"))
+      .select(col(idCol), wordShingles(col("tok"), k).as("sh"))
+      .select(col(idCol), posexplode(col("sh")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        hash32(col("col")).as("h"))
+    val dup = grams.groupBy(col("h")).count()
+      .filter(col("count") >= minCount).select(col("h"))
+    val marked = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   private[graft] def ivfTwoLevelBlocks(
       vectors: DataFrame,
       targetBlock: Int,

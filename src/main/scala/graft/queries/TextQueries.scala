@@ -161,6 +161,17 @@ object TextQueries extends QueryPack {
     // document quoting/embedding another even when symmetric Jaccard is
     // diluted. Same MinHash banding as dedup_minhash for candidates;
     // the oracle replays the identical pipeline.
+    // Duplicated-SPAN detection (substring-level dedup): maximal runs
+    // of token 8-gram starts whose gram occurs ≥2× corpus-wide — the
+    // positional-k-gram rendition of the suffix-array repeated-substring
+    // pass. Span boundaries are exact at k-token resolution; the oracle
+    // replays grams, frequency, and the island merge.
+    "dedup_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicatedSpans(Tables.documents(s, dir), k = 8, minCount = 2)
+        .orderBy($"doc_id", $"span_start")
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       import s.implicits._
       Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.9)
@@ -510,6 +521,33 @@ object TextQueries extends QueryPack {
          |        ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
          |    )) AS BIGINT) END AS entropy_q
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors Dedup.duplicatedSpans: 1-based gram starts si ∈ [1, L-7]
+    // (pos = si - 1), hash of the space-joined 8-token slice, count ≥ 2
+    // gate, pos - row_number() island key. The unnest alias is `si`, NOT
+    // `i` — dHash32's lambda variable is `i` and would shadow it.
+    "dedup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS tk FROM documents
+         |), p AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS si
+         |  FROM t WHERE len(tk) >= 8
+         |), g AS (
+         |  SELECT doc_id, CAST(si - 1 AS BIGINT) AS pos,
+         |    ${dHash32("array_to_string(tk[si:si+7], ' ')")} AS h
+         |  FROM p
+         |), dupg AS (
+         |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+         |), m AS (
+         |  SELECT g.doc_id, g.pos FROM g JOIN dupg USING (h)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM m
+         |)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |       max(pos) - min(pos) + 8 AS span_tokens
+         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // mirrors Dedup.containmentPairs: same banding as dedup_minhash
     // (12 hashes, 4 bands × 3), containment verify on sorted distinct

@@ -266,4 +266,31 @@ class DedupSpec extends SparkSpec {
     assert(r.getDouble(0) === 0.5)
     assert(r.getDouble(0) === r.getDouble(1))
   }
+
+  test("duplicatedSpans finds a planted shared substring at exact positions") {
+    // 10-token boilerplate planted at token offset 5 of doc 1 and
+    // offset 0 of doc 2; all other tokens globally unique
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    val d1 = ((0 until 5).map(i => s"u$i") :+ boiler).mkString(" ") +
+      " " + (0 until 5).map(i => s"v$i").mkString(" ")
+    val d2 = boiler + " " + (0 until 6).map(i => s"w$i").mkString(" ")
+    val d3 = (0 until 12).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, k = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 4-gram starts inside the 10-token block: 7 per copy, adjacent →
+    // one maximal span covering exactly the planted tokens
+    assert(got === Set((1L, 5L, 14L, 10L), (2L, 0L, 9L, 10L)))
+  }
+
+  test("duplicatedSpans: within-doc repetition also marks spans; short docs skipped") {
+    val rep = "p q r s p q r s"            // 4-gram "p q r s" occurs twice
+    val df = Seq((1L, rep), (2L, "t u v")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, k = 4, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // starts 0 and 4 duplicated, non-adjacent run merging: starts {0,4}
+    // are not consecutive → two spans [0,3] and [4,7]
+    assert(got === Set((1L, 0L, 3L), (1L, 4L, 7L)))
+    assert(!got.exists(_._1 == 2L))
+  }
 }
