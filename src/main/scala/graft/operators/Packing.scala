@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Sequence packing — the manifest step of LM pre-training batch prep:
+  * documents are concatenated in a canonical order (ascending id) into
+  * one token stream and cut every `capacity` tokens, each cut being one
+  * training sequence ("pack"). The manifest maps every document to its
+  * global token offset and the pack range it lands in; a doc straddling
+  * a cut continues in the next pack — exactly the GPT-style
+  * concatenate-and-chunk regime (GPT-3, arXiv:2005.14165 §2.3). The
+  * reference has no batch-prep surface at all (serving only,
+  * `src/rpc/search_service_impl.cc`); this is pipeline-side curation.
+  *
+  * Scale shape — the global running sum is a DISTRIBUTED prefix scan,
+  * not a single-partition window: range-repartition by id (contiguous
+  * id ranges per partition), a partition-LOCAL running-sum window, and
+  * per-partition totals offset via a broadcast of one row per partition
+  * (bounded by cluster parallelism, never by data). The output is a
+  * pure function of (id order, token counts), so it is invariant to the
+  * actual range boundaries — verified by the cpu4-vs-cpu32 determinism
+  * gate. All arithmetic is integer-exact (BIGINT on both engines).
+  *
+  * Returns (idCol, n_tokens, start_offset, pack_first, pack_last,
+  * pack_offset): 0-based global token offset, inclusive pack ids, and
+  * the offset of the doc's first token within its first pack. */
+object Packing {
+
+  def manifest(docs: DataFrame, capacity: Long = 512,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    // persisted + materialized BEFORE branching: both the totals branch
+    // and the join branch must observe the SAME range partitioning (a
+    // recomputed RangePartitioner can sample differently, which would
+    // desynchronize pid between the branches — wrong offsets, not just
+    // nondeterminism). Callers own cleanup per the Dedup convention.
+    val lens = docs
+      .select(col(idCol).as("id"), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lens.count()
+    // one row per partition; the ordered offset window runs over a
+    // frame bounded by the partition COUNT (cluster-sized, not
+    // data-sized), then rides back as a broadcast
+    val offs = lens.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("poff",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poff"))
+    val wp = Window.partitionBy(col("pid")).orderBy(col("id"))
+    lens
+      .join(broadcast(offs), Seq("pid"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(wp) + col("poff"))
+      .withColumn("start_offset", col("cum_end") - col("n_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${capacity}L").as("pack_first"),
+        expr(s"(cum_end - 1) div ${capacity}L").as("pack_last"),
+        pmod(col("start_offset"), lit(capacity)).as("pack_offset"))
+  }
+}

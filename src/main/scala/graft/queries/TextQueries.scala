@@ -161,6 +161,17 @@ object TextQueries extends QueryPack {
     // document quoting/embedding another even when symmetric Jaccard is
     // diluted. Same MinHash banding as dedup_minhash for candidates;
     // the oracle replays the identical pipeline.
+    // Sequence-packing manifest (concatenate-and-cut batch prep):
+    // global token offset of every doc in id order and the 512-token
+    // pack range it lands in. Distributed prefix scan — partition-local
+    // windows + a bounded per-partition offset broadcast; all-BIGINT
+    // arithmetic, so the compare is exact.
+    "pack_manifest" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Packing.manifest(Tables.documents(s, dir), capacity = 512)
+        .orderBy($"doc_id")
+    }),
+
     // Duplicated-SPAN detection (substring-level dedup): maximal runs
     // of token 8-gram starts whose gram occurs ≥2× corpus-wide — the
     // positional-k-gram rendition of the suffix-array repeated-substring
@@ -520,6 +531,26 @@ object TextQueries extends QueryPack {
          |      CAST(round(-((CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)) *
          |        ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
          |    )) AS BIGINT) END AS entropy_q
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors Packing.manifest: one global running sum in doc_id order
+    // (the oracle is single-node, so a plain ordered window replays the
+    // engine's distributed prefix scan exactly — integer arithmetic end
+    // to end)
+    "pack_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split($dNorm, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, cum_end - n_tokens AS start_offset,
+         |  (cum_end - n_tokens) // 512 AS pack_first,
+         |  (cum_end - 1) // 512 AS pack_last,
+         |  (cum_end - n_tokens) % 512 AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // mirrors Dedup.duplicatedSpans: 1-based gram starts si ∈ [1, L-7]

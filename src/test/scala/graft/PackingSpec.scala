@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Sequence-packing manifest: exact offsets on a hand-checked corpus,
+  * invariance to input partitioning (the distributed prefix scan must
+  * be a pure function of id order), and the scale-shape guarantee that
+  * the full-corpus window is partition-local. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // token counts: 3, 5, 4, 2, 6 → cumulative 3, 8, 12, 14, 20
+  private def docs(parts: Int) = Seq(
+    (10L, "a b c"),
+    (20L, "d e f g h"),
+    (30L, "i j k l"),
+    (40L, "m n"),
+    (50L, "o p q r s t")
+  ).toDF("doc_id", "text").repartition(parts)
+
+  test("manifest: hand-checked offsets and pack ranges at capacity 5") {
+    val got = Packing.manifest(docs(3), capacity = 5)
+      .orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val expected = Array(
+      (10L, 3L, 0L, 0L, 0L, 0L),   // tokens [0,3) → pack 0
+      (20L, 5L, 3L, 0L, 1L, 3L),   // [3,8) straddles packs 0-1
+      (30L, 4L, 8L, 1L, 2L, 3L),   // [8,12) straddles 1-2
+      (40L, 2L, 12L, 2L, 2L, 2L),  // [12,14) inside pack 2
+      (50L, 6L, 14L, 2L, 3L, 4L))  // [14,20) straddles 2-3
+    assert(got === expected)
+    spark.catalog.clearCache()
+  }
+
+  test("manifest is invariant to input partitioning") {
+    val a = Packing.manifest(docs(1), capacity = 7).orderBy($"doc_id")
+      .collect().toSeq
+    spark.catalog.clearCache()
+    val b = Packing.manifest(docs(7), capacity = 7).orderBy($"doc_id")
+      .collect().toSeq
+    spark.catalog.clearCache()
+    assert(a === b)
+  }
+
+  test("plan: the corpus-wide running sum windows over pid, not globally") {
+    val plan = Packing.manifest(docs(3), capacity = 5)
+      .queryExecution.optimizedPlan.toString
+    // the per-row running sum must be partitioned (windowspecdefinition
+    // lists pid before the ORDER BY spec); only the bounded
+    // partition-totals frame may carry an unpartitioned window
+    assert(!plan.contains("windowspecdefinition(id#"),
+      s"per-row window must partition by pid, found global id window:\n$plan")
+    assert(plan.contains("windowspecdefinition(pid#"), plan)
+    spark.catalog.clearCache()
+  }
+}
