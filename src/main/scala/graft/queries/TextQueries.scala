@@ -161,6 +161,37 @@ object TextQueries extends QueryPack {
     // document quoting/embedding another even when symmetric Jaccard is
     // diluted. Same MinHash banding as dedup_minhash for candidates;
     // the oracle replays the identical pipeline.
+    // Domain-mixture weights (governance): per-source corpus shares →
+    // temperature-scaled (α = 0.5, i.e. sqrt) sampling weights, the
+    // multilingual-LM mixing scheme (XLM-R, arXiv:1911.02116 §3). The
+    // sqrt terms are ×1e6-quantized BEFORE the normalizing sum so the
+    // denominator is an exact BIGINT — no order-sensitive double fold.
+    "domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables.documents(s, dir)
+        .select($"source", tokenCount($"text").as("nt"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+      val q = t.withColumn("wq",
+        round(sqrt($"n_tokens".cast("double")) * lit(1e6)).cast("long"))
+      val tot = q.agg(sum($"wq").as("twq"))
+      q.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          round($"wq".cast("double") / $"twq".cast("double") * lit(1e9))
+            .cast("long").as("weight_q"))
+        .orderBy($"source")
+    }),
+
+    // DSIR-style importance score of every doc against the lang='en'
+    // target slice: hashed-unigram log-likelihood ratio, per-term
+    // ×1e6-quantized → exact BIGINT doc sums (order-insensitive).
+    "dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dsir.importanceWeights(
+          Tables.documents(s, dir), isTarget = $"lang" === "en")
+        .orderBy($"doc_id")
+    }),
+
     // Sequence-packing manifest (concatenate-and-cut batch prep):
     // global token offset of every doc in id order and the 512-token
     // pack range it lands in. Distributed prefix scan — partition-local
@@ -532,6 +563,55 @@ object TextQueries extends QueryPack {
          |        ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
          |    )) AS BIGINT) END AS entropy_q
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors the domain_mix query: sqrt quantized per source before
+    // the BIGINT normalizing sum; single division → ×1e9 → round, the
+    // identical IEEE tree
+    "domain_mix" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split($dNorm, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source
+         |), q AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+         |  FROM t
+         |)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(round(CAST(wq AS DOUBLE) /
+         |    CAST((SELECT CAST(sum(wq) AS BIGINT) FROM q) AS DOUBLE) * 1e9)
+         |    AS BIGINT) AS weight_q
+         |FROM q ORDER BY source""".stripMargin,
+
+    // mirrors Dsir.importanceWeights: hash32 % 4096 buckets, Laplace
+    // smoothing, the SAME two-division-then-ratio-then-ln IEEE tree,
+    // ×1e6 round per bucket, exact BIGINT doc sums
+    "dsir_weights" ->
+      s"""WITH tokx AS (
+         |  SELECT doc_id, (lang = 'en') AS tgt,
+         |         unnest(string_split($dNorm, ' ')) AS t
+         |  FROM documents
+         |), tb AS (
+         |  SELECT doc_id, tgt, ${dHash32("t")} % 4096 AS b FROM tokx
+         |), raw AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b
+         |), tgtc AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb WHERE tgt GROUP BY b
+         |), tot AS (
+         |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+         |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgtc) AS tt
+         |), w AS (
+         |  SELECT r.b,
+         |    CAST(round(ln(
+         |      (CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE)) /
+         |      (CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE))
+         |    ) * 1e6) AS BIGINT) AS wq
+         |  FROM raw r LEFT JOIN tgtc USING (b) CROSS JOIN tot
+         |)
+         |SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(wq) AS BIGINT) AS dsir_q
+         |FROM tb JOIN w USING (b)
+         |GROUP BY tb.doc_id ORDER BY tb.doc_id""".stripMargin,
 
     // mirrors Packing.manifest: one global running sum in doc_id order
     // (the oracle is single-node, so a plain ordered window replays the
