@@ -161,6 +161,37 @@ object TextQueries extends QueryPack {
     // document quoting/embedding another even when symmetric Jaccard is
     // diluted. Same MinHash banding as dedup_minhash for candidates;
     // the oracle replays the identical pipeline.
+    // Vocabulary coverage (tokenizer prep): build the top-16 corpus
+    // vocabulary (count desc, token asc — a total order, so the cut is
+    // deterministic), then per-doc OOV occurrence rate against it.
+    // Vocab is bounded by V, so it broadcasts; one exact division at
+    // the end, ×1e6-quantized.
+    "vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select($"doc_id", explode(tokens($"text")).as("t"))
+      val vocab = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"t").limit(16)
+        .select($"t", lit(1L).as("in_v"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          round($"n_oov".cast("double") / $"n_tokens".cast("double") * lit(1e6))
+            .cast("long").as("oov_q"))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus-trained bigram LM NLL (the KenLM-style quality band):
+    // Laplace-smoothed p(b|a), per-bigram terms ×1e6-quantized → exact
+    // BIGINT doc sums. Low mean = repetitive template, high = garbage.
+    "quality_bigram" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.NgramLm.bigramNll(Tables.documents(s, dir))
+        .orderBy($"doc_id")
+    }),
+
     // Domain-mixture weights (governance): per-source corpus shares →
     // temperature-scaled (α = 0.5, i.e. sqrt) sampling weights, the
     // multilingual-LM mixing scheme (XLM-R, arXiv:1911.02116 §3). The
@@ -563,6 +594,57 @@ object TextQueries extends QueryPack {
          |        ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
          |    )) AS BIGINT) END AS entropy_q
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors the vocab_coverage query: same (count desc, token asc)
+    // vocabulary cut, LEFT-join OOV marking, one division then ×1e6
+    "vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($dNorm, ' ')) AS t FROM documents
+         |), voc AS (
+         |  SELECT t FROM (
+         |    SELECT t, count(*) AS c FROM tok GROUP BY t
+         |    ORDER BY c DESC, t LIMIT 16)
+         |), d AS (
+         |  SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tok LEFT JOIN voc ON tok.t = voc.t GROUP BY tok.doc_id
+         |)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6)
+         |    AS BIGINT) AS oov_q
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mirrors NgramLm.bigramNll: space-joined bigrams, context = first
+    // token, Laplace smoothing over the distinct-token vocabulary, the
+    // SAME divide→ln→negate→×1e6→round tree, exact BIGINT doc sums
+    "quality_bigram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS tk FROM documents
+         |), bg AS (
+         |  SELECT doc_id, array_to_string(tk[si:si+1], ' ') AS g, tk[si] AS a
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS si
+         |        FROM t WHERE len(tk) >= 2)
+         |), c2 AS (
+         |  SELECT g, a, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY g, a
+         |), c1 AS (
+         |  SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY a
+         |), v AS (
+         |  SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS vsz FROM (
+         |    SELECT unnest(string_split($dNorm, ' ')) AS tkn FROM documents)
+         |), w AS (
+         |  SELECT c2.g,
+         |    CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS wq
+         |  FROM c2 JOIN c1 USING (a) CROSS JOIN v
+         |), d AS (
+         |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(wq) AS BIGINT) AS nll_q
+         |  FROM bg JOIN w USING (g) GROUP BY bg.doc_id
+         |)
+         |SELECT doc_id, n_bigrams, nll_q,
+         |  CAST(round(CAST(nll_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |    AS BIGINT) AS mean_nll_q
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // mirrors the domain_mix query: sqrt quantized per source before
     // the BIGINT normalizing sum; single division → ×1e9 → round, the
