@@ -1012,11 +1012,17 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && minCount >= 2, "k > 0, minCount >= 2")
-    // tokens materialized as a projection BEFORE the shingle transform
-    // (round-7 inline-HOF trap), shingles materialized before posexplode
-    val grams = docs
+    // The shingled frame is PERSISTED before the generator: a bare
+    // Project→Generate collapses, so explode re-evaluates the whole
+    // O(L·k) shingle array per OUTPUT row — O(L²·k) per doc (the
+    // round-7 HOF trap one level up; measured 6.9 s vs 0.2 s on the
+    // sf0.1 gram leg). The cache also serves both downstream passes
+    // (frequency + mark-back). Callers own cleanup per the convention.
+    val shingled = docs
       .select(col(idCol), tokens(col(textCol)).as("tok"))
       .select(col(idCol), wordShingles(col("tok"), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = shingled
       .select(col(idCol), posexplode(col("sh")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         hash32(col("col")).as("h"))
