@@ -156,6 +156,53 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Cross-source leakage matrix (governance): how many duplicate doc
+    // pairs straddle each pair of sources, keyed on the sorted
+    // distinct-token SET fingerprint (the containment rep key — this
+    // corpus's templated dups differ in token order/multiplicity, so
+    // the exact content hash never straddles). Counted at the
+    // (set-hash, source) level — c_a·c_b per cluster — so cluster
+    // membership never expands quadratically (a 1 M-member boilerplate
+    // cluster contributes ≤ sources² rows, not 10^12 pairs).
+    "source_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val g = Tables.documents(s, dir)
+        .select($"source",
+          md5(concat_ws(" ", array_sort(array_distinct(tokens($"text")))))
+            .as("ch"))
+        .groupBy($"ch", $"source").agg(count(lit(1)).as("c"))
+      g.as("a").join(g.as("b"),
+          col("a.ch") === col("b.ch") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+        .agg(sum(col("a.c") * col("b.c")).as("n_pairs"))
+        .orderBy($"src1", $"src2")
+    }),
+
+    // Quality-aware dedup survivor: production pipelines keep the BEST
+    // copy per near-dup group, not the lowest id. Components from the
+    // simhash closure, ranked by char-entropy (desc, id tiebreak) —
+    // one partition-local window per component.
+    "dedup_keep_quality" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.simhashComponents(docs)
+      val ent = docs
+        .select($"doc_id", normText($"text").as("norm"))
+        .select($"doc_id", charsOf($"norm").as("chars"))
+        .select($"doc_id", charEntropyQ($"chars").as("entropy_q"))
+      val w = Window.partitionBy($"component")
+        .orderBy($"entropy_q".desc, $"doc_id")
+      comp.join(ent, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy($"component")))
+        .filter($"rn" === 1)
+        .select($"component", $"doc_id".as("kept_id"), $"entropy_q",
+          $"n_members")
+        .orderBy($"component")
+    }),
+
     // Containment (doc-in-doc) pairs: directional overlap
     // |A∩B| / min(|A|,|B|) over distinct-token hash sets — catches a
     // document quoting/embedding another even when symmetric Jaccard is
@@ -741,6 +788,60 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
          |       max(pos) - min(pos) + 8 AS span_tokens
          |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // mirrors the source_leakage query: (set-hash, source)
+    // multiplicities, cross products per cluster, never per member pair
+    "source_leakage" ->
+      s"""WITH g AS (
+         |  SELECT md5(array_to_string(list_sort(list_distinct(
+         |           string_split($dNorm, ' '))), ' ')) AS ch,
+         |         source, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY ch, source
+         |)
+         |SELECT a.source AS src1, b.source AS src2,
+         |       CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs
+         |FROM g a JOIN g b ON a.ch = b.ch AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY src1, src2""".stripMargin,
+
+    // mirrors dedup_keep_quality: the dedup_cc recursive walk for
+    // components + the quality_entropy terms, survivor = row_number 1
+    // under (entropy desc, id)
+    "dedup_keep_quality" ->
+      s"""WITH RECURSIVE prs AS (
+         |  $dSimhashPairs
+         |), und AS (
+         |  SELECT id1 AS a, id2 AS b FROM prs
+         |  UNION ALL
+         |  SELECT id2 AS a, id1 AS b FROM prs
+         |), walk(id, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, u.b FROM walk w JOIN und u ON u.a = w.anc
+         |), comp AS (
+         |  SELECT id AS doc_id, min(anc) AS component FROM walk GROUP BY id
+         |), nrm AS (
+         |  SELECT doc_id, $dNorm AS norm FROM documents
+         |), ch AS (
+         |  SELECT doc_id, CASE WHEN len(norm) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(norm) + 1), i -> norm[i:i]) END AS chars
+         |  FROM nrm
+         |), ent AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(chars) = 0 THEN CAST(0 AS BIGINT) ELSE
+         |      CAST(list_sum(list_transform(list_distinct(chars), c ->
+         |        CAST(round(-((CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars)) *
+         |          ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
+         |      )) AS BIGINT) END AS entropy_q
+         |  FROM ch
+         |), r AS (
+         |  SELECT c.component, c.doc_id, e.entropy_q,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY e.entropy_q DESC, c.doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members
+         |  FROM comp c JOIN ent e USING (doc_id)
+         |)
+         |SELECT component, doc_id AS kept_id, entropy_q, n_members
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
 
     // mirrors Dedup.containmentPairs: same banding as dedup_minhash
     // (12 hashes, 4 bands × 3), containment verify on sorted distinct
