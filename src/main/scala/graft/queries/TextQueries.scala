@@ -208,6 +208,20 @@ object TextQueries extends QueryPack {
     // document quoting/embedding another even when symmetric Jaccard is
     // diluted. Same MinHash banding as dedup_minhash for candidates;
     // the oracle replays the identical pipeline.
+    // Deterministic holdout split (train/val/test = 98/1/1): the split
+    // is a pure function of the id hash, so it is reproducible across
+    // runs, clusters, and engines — the standard leakage-safe practice
+    // (never sample by position). Row-local, zero shuffle.
+    "split_assign" -> ((s, dir) => {
+      import s.implicits._
+      val b = pmod(hash32($"doc_id".cast("string")), lit(100L))
+      Tables.documents(s, dir)
+        .select($"doc_id", b.as("bucket"),
+          when(b < 98, "train").when(b === 98, "val").otherwise("test")
+            .as("split"))
+        .orderBy($"doc_id")
+    }),
+
     // Vocabulary coverage (tokenizer prep): build the top-16 corpus
     // vocabulary (count desc, token asc — a total order, so the cut is
     // deterministic), then per-doc OOV occurrence rate against it.
@@ -641,6 +655,15 @@ object TextQueries extends QueryPack {
          |        ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
          |    )) AS BIGINT) END AS entropy_q
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // mirrors split_assign: same hash32-of-id-string bucket
+    "split_assign" ->
+      s"""SELECT doc_id,
+         |  ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 < 98 THEN 'train'
+         |       WHEN ${dHash32("CAST(doc_id AS VARCHAR)")} % 100 = 98 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors the vocab_coverage query: same (count desc, token asc)
     // vocabulary cut, LEFT-join OOV marking, one division then ×1e6

@@ -40,6 +40,20 @@ object ProfileSpans {
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("a", substring_index(col("g"), " ", 1))
       .count())
+    // ProfileScale leg: spans wall + output under corpus replication —
+    // the gram-frequency design has no quadratic stage, so wall should
+    // grow ~linearly while N×k (replicas get distinct ids; their gram
+    // frequencies double/quadruple but the island merge stays per-doc)
+    Seq(1, 2, 4).foreach { k =>
+      val rep = (0 until k).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val n = graft.operators.Dedup.duplicatedSpans(rep, k = 8, minCount = 2).count()
+      println(f"PROF spans-x$k: ${(System.nanoTime() - t0) / 1e9}%.2f s (spans=$n)")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
