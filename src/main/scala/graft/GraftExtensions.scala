@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, Hash56, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignLshBucket, SignatureAgreement, SimHashBits, WinnowFingerprints}
+import graft.expressions.{CharEntropyQ, DotProduct, Hash56, JaccardLongs, JaccardSortedLongs, L2SquaredDistance, MinHashFamilies, NgramHashes, SignLshBucket, SignatureAgreement, SimHashBits, WinnowFingerprints}
 
 /** SQL surface for the native vector expressions.
   *
@@ -62,6 +62,9 @@ object GraftExtensions {
       info("winnow_fps", "winnow_fps(text, k, w) - distinct winnowed minima of char k-gram hash32s over windows of w"),
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0),
         foldableInt(exprs(1), "winnow_fps(k)"), foldableInt(exprs(2), "winnow_fps(w)"))),
+    ("char_entropy_q",
+      info("char_entropy_q", "char_entropy_q(s) - x1e6-quantized char-unigram Shannon entropy of a string"),
+      (exprs: Seq[Expression]) => CharEntropyQ(exprs(0))),
     ("sign_lsh",
       info("sign_lsh", "sign_lsh(emb, planes, dim) - sign-LSH bucket of a float array against the deterministic md5-derived hyperplane matrix (Ann.hyperplanes)"),
       (exprs: Seq[Expression]) => SignLshBucket(exprs(0),

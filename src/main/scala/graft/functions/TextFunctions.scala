@@ -338,6 +338,14 @@ object TextFunctions {
         lit(0L), (acc, x) => acc + x))
   }
 
+  /** Native codegen form of [[charEntropyQ]] over the normalized STRING
+    * (no char-array materialization; one code-point pass per row).
+    * Value-identical — differential-tested in TextFunctionsSpec. */
+  def charEntropyNative(s: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.CharEntropyQ(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s)))
+
   /** Quality score in [0,1]: blend of length, type-token ratio, and
     * alpha-character ratio — the standard cheap pre-filter shape for
     * training-data pipelines. */

@@ -149,10 +149,7 @@ object TextQueries extends QueryPack {
     // a MATERIALIZED column (round-7 inline-HOF trap).
     "quality_entropy" -> ((s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select($"doc_id", normText($"text").as("norm"))
-        .select($"doc_id", charsOf($"norm").as("chars"))
-        .select($"doc_id", charEntropyQ($"chars").as("entropy_q"))
+      graft.operators.Quality.charEntropy(Tables.documents(s, dir))
         .orderBy($"doc_id")
     }),
 
@@ -187,10 +184,7 @@ object TextQueries extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val comp = Dedup.simhashComponents(docs)
-      val ent = docs
-        .select($"doc_id", normText($"text").as("norm"))
-        .select($"doc_id", charsOf($"norm").as("chars"))
-        .select($"doc_id", charEntropyQ($"chars").as("entropy_q"))
+      val ent = graft.operators.Quality.charEntropy(docs)
       val w = Window.partitionBy($"component")
         .orderBy($"entropy_q".desc, $"doc_id")
       comp.join(ent, "doc_id")

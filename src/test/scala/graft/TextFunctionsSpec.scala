@@ -258,6 +258,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(byId(4L) > byId(2L), "richer alphabet → higher entropy")
   }
 
+  test("CharEntropyQ static: unicode code points count like substring chars") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 2-char string over a surrogate-pair alphabet: p = 0.5 each
+    val s = "😀😁"
+    def q(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = 2L * q(0.5 * math.log(2) * 1e6)
+    assert(graft.expressions.CharEntropyQ.entropyQ(
+      UTF8String.fromString(s)) === expected)
+    assert(graft.expressions.CharEntropyQ.entropyQ(
+      UTF8String.fromString("")) === 0L)
+  }
+
+  test("Quality.charEntropy (native kernel) ≡ charEntropyQ HOF kernel on testdata") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val kernel = docs
+      .select($"doc_id", normText($"text").as("norm"))
+      .select($"doc_id", charsOf($"norm").as("chars"))
+      .select($"doc_id", charEntropyQ($"chars").as("entropy_q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = graft.operators.Quality.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relational === kernel)
+    spark.catalog.clearCache()
+    // empty-text doc flows through the left join as 0
+    val edge = graft.operators.Quality.charEntropy(
+        Seq((9L, ""), (10L, "ab")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge(9L) === 0L && edge(10L) > 0L)
+    spark.catalog.clearCache()
+  }
+
   test("setFingerprint is order-independent and set-discriminating") {
     val df = Seq(
       (1L, Seq("a", "b", "c")),
