@@ -396,29 +396,12 @@ object TextQueries extends QueryPack {
     //    the signal on fully-duplicated text).
     // Row-local HOFs — per-row cost bounded by doc length
     // (distinct-shingles × n scan), never a join or shuffle.
+    // Relational counters (Quality.repetitionStats): the nested-HOF
+    // form cost 8.8 s of forced compute at sf0.1 that Bench's count()
+    // pruned — see BASELINE round-8 session 3.
     "quality_repetition" -> ((s, dir) => {
       import s.implicits._
-      // shingle arrays are MATERIALIZED columns before the counting
-      // lambdas reference them: inlining sh2 into the nested HOF would
-      // re-derive the whole array (regexp normalization included) once
-      // per distinct bigram — quadratic recompute per row (observed:
-      // a 60 s query at sf0.01). CollapseProject keeps multi-use
-      // non-cheap projections split, so each array is built once.
-      val topBigram = coalesce(
-        array_max(transform(array_distinct($"sh2"),
-          d => size(filter($"sh2", x => x === d)))), lit(0))
-      val onceOnly = size(filter(array_distinct($"sh3"),
-        d => size(filter($"sh3", x => x === d)) === 1))
-      Tables.documents(s, dir)
-        .select($"doc_id", tokens($"text").as("tok"))
-        .select($"doc_id", $"tok",
-          wordShingles($"tok", 2).as("sh2"), wordShingles($"tok", 3).as("sh3"))
-        .select($"doc_id",
-          size($"tok").cast("long").as("n_tok"),
-          round(topBigram.cast("double") / greatest(size($"sh2"), lit(1)), 6)
-            .as("top2_frac"),
-          round((size($"sh3") - onceOnly).cast("double") /
-            greatest(size($"sh3"), lit(1)), 6).as("dup3_frac"))
+      graft.operators.Quality.repetitionStats(Tables.documents(s, dir))
         .orderBy($"doc_id")
     }),
 

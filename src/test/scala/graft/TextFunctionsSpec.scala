@@ -271,6 +271,38 @@ class TextFunctionsSpec extends SparkSpec {
       UTF8String.fromString("")) === 0L)
   }
 
+  test("Quality.repetitionStats (relational) ≡ nested-HOF form on testdata") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val topBigram = coalesce(
+      array_max(transform(array_distinct($"sh2"),
+        d => size(filter($"sh2", x => x === d)))), lit(0))
+    val onceOnly = size(filter(array_distinct($"sh3"),
+      d => size(filter($"sh3", x => x === d)) === 1))
+    val hof = docs
+      .select($"doc_id", tokens($"text").as("tok"))
+      .select($"doc_id", $"tok",
+        wordShingles($"tok", 2).as("sh2"), wordShingles($"tok", 3).as("sh3"))
+      .select($"doc_id",
+        size($"tok").cast("long").as("n_tok"),
+        round(topBigram.cast("double") / greatest(size($"sh2"), lit(1)), 6)
+          .as("top2_frac"),
+        round((size($"sh3") - onceOnly).cast("double") /
+          greatest(size($"sh3"), lit(1)), 6).as("dup3_frac"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rel = graft.operators.Quality.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rel === hof)
+    spark.catalog.clearCache()
+    // short-doc edges: no bigrams/trigrams → 0.0 fractions survive
+    val edge = graft.operators.Quality.repetitionStats(
+        Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSet
+    assert(edge === Set((1L, 0.0, 0.0), (2L, 1.0, 0.0)))
+    spark.catalog.clearCache()
+  }
+
   test("Quality.charEntropy (native kernel) ≡ charEntropyQ HOF kernel on testdata") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val kernel = docs
