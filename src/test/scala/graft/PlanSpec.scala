@@ -130,4 +130,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dsir_weights: bucket weights broadcast; corpus never sort-merge-joins") {
+    val p = plan("dsir_weights")
+    // the ≤buckets weight table must ride to the token-scoring join as
+    // a broadcast — a sort-merge there re-shuffles the exploded corpus
+    // on the bucket key at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vocab_coverage: the vocabulary cut reaches the OOV join as a broadcast") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
