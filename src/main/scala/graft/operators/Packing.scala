@@ -1,9 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.TextFunctions._
+
+/** One document heading into the streaming packer: `shard` is the
+  * parallel packing lane (each lane owns its own token stream). */
+case class PackDoc(shard: Long, doc_id: Long, n_tokens: Long)
+
+/** A streaming pack assignment — same fields as the batch manifest,
+  * scoped to the doc's shard lane. */
+case class PackAssign(shard: Long, doc_id: Long, n_tokens: Long,
+    start_offset: Long, pack_first: Long, pack_last: Long,
+    pack_offset: Long)
 
 /** Sequence packing — the manifest step of LM pre-training batch prep:
   * documents are concatenated in a canonical order (ascending id) into
@@ -63,5 +74,35 @@ object Packing {
         expr(s"start_offset div ${capacity}L").as("pack_first"),
         expr(s"(cum_end - 1) div ${capacity}L").as("pack_last"),
         pmod(col("start_offset"), lit(capacity)).as("pack_offset"))
+  }
+
+  /** Streaming form: ingest-time packing with one running token offset
+    * per shard lane held in `GroupState` (state is bounded by the lane
+    * count, never by stream length). Docs pack in ARRIVAL order across
+    * micro-batches, id order within a batch — when a lane's batches
+    * arrive in id order the output equals the batch [[manifest]] of
+    * that lane's documents (parity-pinned in PackingSpec). The batch
+    * path stays the reproducible-offsets authority; this is the
+    * append-only ingest shape (new corpus slices pack as they land,
+    * nothing recomputes). */
+  def manifestStream(docs: Dataset[PackDoc],
+      capacity: Long = 512): Dataset[PackAssign] = {
+    require(capacity > 0, "capacity must be positive")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val s = off
+            off += d.n_tokens
+            PackAssign(shard, d.doc_id, d.n_tokens, s, s / capacity,
+              if (d.n_tokens == 0) s / capacity else (off - 1) / capacity,
+              s % capacity)
+          }
+          state.update(off)
+          out.iterator
+      }
   }
 }

@@ -37,6 +37,34 @@ object TextQueries extends QueryPack {
       s"CAST(strpos('0123456789abcdef', md5($s)[i:i]) - 1 AS BIGINT) * " +
       s"CAST(16^(14-i) AS BIGINT))) AS BIGINT)"
 
+  /** Bigram-LM CTE prefix (mirrors NgramLm.bigramNll): ends in
+    * `d(doc_id, n_bigrams, nll_q)`. Shared by quality_bigram and
+    * quality_band. */
+  private val dBigramCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, string_split($dNorm, ' ') AS tk FROM documents
+       |), bg AS (
+       |  SELECT doc_id, array_to_string(tk[si:si+1], ' ') AS g, tk[si] AS a
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS si
+       |        FROM t WHERE len(tk) >= 2)
+       |), c2 AS (
+       |  SELECT g, a, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY g, a
+       |), c1 AS (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY a
+       |), v AS (
+       |  SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS vsz FROM (
+       |    SELECT unnest(string_split($dNorm, ' ')) AS tkn FROM documents)
+       |), w AS (
+       |  SELECT c2.g,
+       |    CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))
+       |      * 1e6) AS BIGINT) AS wq
+       |  FROM c2 JOIN c1 USING (a) CROSS JOIN v
+       |), d AS (
+       |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(wq) AS BIGINT) AS nll_q
+       |  FROM bg JOIN w USING (g) GROUP BY bg.doc_id
+       |)""".stripMargin
+
   /** Numeric minhash LSH pipeline fragment (mirrors Dedup.minhashNearDups
     * hash family): shingle hash32s → H families (a_j·h+b_j mod p) →
     * r-row band buckets → candidate pairs → exact-jaccard verify. */
@@ -244,6 +272,25 @@ object TextQueries extends QueryPack {
     "quality_bigram" -> ((s, dir) => {
       import s.implicits._
       graft.operators.NgramLm.bigramNll(Tables.documents(s, dir))
+        .orderBy($"doc_id")
+    }),
+
+    // Percentile band filter on the bigram-LM score: drop the most
+    // repetitive 10% AND the most garbage 10%, keep the middle band —
+    // the two-sided CCNet-style cut. EXACT percentiles over the
+    // quantized scores (the agg state is bounded by DISTINCT score
+    // values, which quantization bounds — scale-safe where raw doubles
+    // would not be); the band bounds broadcast as one row.
+    "quality_band" -> ((s, dir) => {
+      import s.implicits._
+      val scored = graft.operators.NgramLm.bigramNll(Tables.documents(s, dir))
+        .select($"doc_id", $"mean_nll_q")
+      val bounds = scored.agg(
+        expr("percentile(mean_nll_q, 0.1)").as("lo"),
+        expr("percentile(mean_nll_q, 0.9)").as("hi"))
+      scored.crossJoin(broadcast(bounds))
+        .filter($"mean_nll_q" >= $"lo" && $"mean_nll_q" <= $"hi")
+        .select($"doc_id", $"mean_nll_q")
         .orderBy($"doc_id")
     }),
 
@@ -665,33 +712,29 @@ object TextQueries extends QueryPack {
     // token, Laplace smoothing over the distinct-token vocabulary, the
     // SAME divide→ln→negate→×1e6→round tree, exact BIGINT doc sums
     "quality_bigram" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split($dNorm, ' ') AS tk FROM documents
-         |), bg AS (
-         |  SELECT doc_id, array_to_string(tk[si:si+1], ' ') AS g, tk[si] AS a
-         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS si
-         |        FROM t WHERE len(tk) >= 2)
-         |), c2 AS (
-         |  SELECT g, a, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY g, a
-         |), c1 AS (
-         |  SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY a
-         |), v AS (
-         |  SELECT CAST(count(DISTINCT tkn) AS BIGINT) AS vsz FROM (
-         |    SELECT unnest(string_split($dNorm, ' ')) AS tkn FROM documents)
-         |), w AS (
-         |  SELECT c2.g,
-         |    CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))
-         |      * 1e6) AS BIGINT) AS wq
-         |  FROM c2 JOIN c1 USING (a) CROSS JOIN v
-         |), d AS (
-         |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(wq) AS BIGINT) AS nll_q
-         |  FROM bg JOIN w USING (g) GROUP BY bg.doc_id
-         |)
+      s"""WITH $dBigramCtes
          |SELECT doc_id, n_bigrams, nll_q,
          |  CAST(round(CAST(nll_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
          |    AS BIGINT) AS mean_nll_q
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mirrors quality_band: same bigram CTEs, quantile_cont ↔ Spark
+    // exact percentile (the percentiles-query parity), band filter on
+    // the quantized score
+    "quality_band" ->
+      s"""WITH $dBigramCtes, scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(CAST(nll_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         |      AS BIGINT) AS mean_nll_q
+         |  FROM d
+         |), b AS (
+         |  SELECT quantile_cont(mean_nll_q, 0.1) AS lo,
+         |         quantile_cont(mean_nll_q, 0.9) AS hi
+         |  FROM scored
+         |)
+         |SELECT doc_id, mean_nll_q FROM scored, b
+         |WHERE mean_nll_q >= lo AND mean_nll_q <= hi
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors the domain_mix query: sqrt quantized per source before
     // the BIGINT normalizing sum; single division → ×1e9 → round, the

@@ -45,6 +45,39 @@ class PackingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("manifestStream across micro-batches ≡ batch manifest (in-order lane)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{PackAssign, PackDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PackDoc]
+    val q = Packing.manifestStream(mem.toDS(), capacity = 5)
+      .writeStream.format("memory").queryName("packs")
+      .outputMode("append").start()
+    try {
+      // lane 1 in id order over two batches; lane 2 interleaved
+      mem.addData(PackDoc(1, 10, 3), PackDoc(1, 20, 5), PackDoc(2, 15, 4))
+      q.processAllAvailable()
+      mem.addData(PackDoc(1, 30, 4), PackDoc(2, 25, 2))
+      q.processAllAvailable()
+      val got = spark.table("packs").as[PackAssign].collect()
+        .map(p => (p.shard, p.doc_id) ->
+          (p.n_tokens, p.start_offset, p.pack_first, p.pack_last, p.pack_offset))
+        .toMap
+      // lane 1 must equal the batch manifest of its docs
+      val batch1 = Packing.manifest(
+          Seq((10L, "a b c"), (20L, "d e f g h"), (30L, "i j k l"))
+            .toDF("doc_id", "text"), capacity = 5)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      batch1.foreach { case (id, exp) => assert(got((1L, id)) === exp, s"doc $id") }
+      // lane 2 packs independently from offset 0
+      assert(got((2L, 15L)) === ((4L, 0L, 0L, 0L, 0L)))
+      assert(got((2L, 25L)) === ((2L, 4L, 0L, 1L, 4L)))
+      spark.catalog.clearCache()
+    } finally q.stop()
+  }
+
   test("plan: the corpus-wide running sum windows over pid, not globally") {
     val plan = Packing.manifest(docs(3), capacity = 5)
       .queryExecution.optimizedPlan.toString
