@@ -337,6 +337,101 @@ object Dedup {
     docs.join(pairs.select(col("id2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Per-doc MinHash state for the incremental probe path: one row per
+    * doc with the full signature (`minhash_sig`), the sorted distinct
+    * hashed-shingle set (`hsd`, for the exact-jaccard merge) and the
+    * band-bucket digests (`buckets`, one per band) — i.e. everything
+    * [[incrementalNearDups]] needs, computed in ONE pass over the text.
+    *
+    * This frame IS the on-disk dedup index at production scale: built
+    * once per corpus, persisted (ideally bucketed on the exploded
+    * (band, bucket) key), and PROBED by each arriving batch — the
+    * corpus text is never re-tokenized and the corpus never self-joins
+    * again. Same hash family as [[minhashRepPairs]], so probing this
+    * index finds exactly the cross pairs the full pipeline would. */
+  def minhashIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 1,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val tok = array_distinct(tokens(col(textCol)))
+    val sh = if (shingleN == 1) tok else array_distinct(wordShingles(tok, shingleN))
+    val bucketDigests = array((0 until bands).map { b =>
+      md5(concat_ws(":", (0 until rowsPerBand).map(r =>
+        element_at(col("minhash_sig"), b * rowsPerBand + r + 1).cast("string")): _*))
+    }: _*)
+    docs
+      .select(col(idCol).as("id"),
+        transform(sh, (s: Column) => hash32(s)).as("hs"))
+      .select(col("id"), minhashFamilies(col("hs"), numHashes).as("minhash_sig"),
+        array_sort(array_distinct(col("hs"))).as("hsd"))
+      .withColumn("buckets", bucketDigests)
+  }
+
+  /** Incremental near-dedup: probe a prebuilt corpus [[minhashIndex]]
+    * with a (small) new batch's index. THE 100 TB INGEST SHAPE — a
+    * daily batch must dedup against the accumulated corpus without
+    * re-banding the corpus against itself:
+    *
+    *  1. The batch's (band, bucket) table is BROADCAST against the
+    *     corpus index scan — candidate generation is one map-side pass
+    *     over the index, no corpus shuffle at all (on a bucketed index
+    *     layout it is additionally bucket-pruned to the batch's keys).
+    *  2. Candidates (batch-sized, not corpus-sized) join back for
+    *     verification: the corpus-side join streams the index exactly
+    *     once; the batch side is broadcast again.
+    *  3. Same two-stage verify as [[minhashRepPairs]]: the O(H)
+    *     signature-agreement estimate gates the exact-jaccard merge
+    *     inside a `when()` so the conjuncts cannot be reordered.
+    *
+    * Output (new_id, corpus_id, jaccard ≥ threshold): the batch docs
+    * that duplicate corpus content — feed id2 = new_id to the keep
+    * decision to drop them. Within-batch duplicates are a separate
+    * (batch-sized) run of the full pipeline.
+    *
+    * Recall/precision equal the full pipeline's restricted to cross
+    * pairs (same family, same bands, same est floor, same exact verify
+    * — oracle-checked in `dedup_incremental`). Docs whose shingle set
+    * is empty never pair (all-null signatures: their bucket digests
+    * collide but the est gate evaluates to null and drops them) —
+    * identical to the full pipeline's convention. */
+  def incrementalNearDups(
+      corpusIndex: DataFrame,
+      batchIndex: DataFrame,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    def bandTable(index: DataFrame): DataFrame =
+      index.select(col("id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+        .select(col("id"), col("band"), col("bucket"))
+    val cand = bandTable(corpusIndex).as("ci")
+      .join(broadcast(bandTable(batchIndex)).as("bi"),
+        col("ci.band") === col("bi.band") && col("ci.bucket") === col("bi.bucket"))
+      .select(col("bi.id").as("new_id"), col("ci.id").as("corpus_id"))
+      .distinct()
+    val estFloor = math.max(0.0, threshold - 0.15)
+    val est =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.SignatureAgreement(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wa.minhash_sig")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wb.minhash_sig"))))
+        .cast("double") / numHashes
+    val jac =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.JaccardSortedLongs(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wa.hsd")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("wb.hsd"))))
+    cand
+      .join(corpusIndex.as("wa"), col("wa.id") === col("corpus_id"))
+      .join(broadcast(batchIndex.as("wb")), col("wb.id") === col("new_id"))
+      .select(col("new_id"), col("corpus_id"),
+        when(est >= estFloor, jac).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph: every node's
     * `component` is the LOWEST id reachable through any chain of pairs
     * (A~B~C collapses to one group even when A~C was never emitted —

@@ -101,6 +101,44 @@ object TextQueries extends QueryPack {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Incremental-probe ground truth: [[dMinhashPipeline]]'s pair set
+    * restricted to (corpus = doc_id%10 < 8, batch = doc_id%10 >= 8)
+    * cross pairs, keyed (new_id, corpus_id). Same family, bands, est
+    * floor and exact verify — the probe operator must find exactly
+    * these. */
+  private def dIncrementalPipeline(shingleExpr: String, numHashes: Int,
+      bands: Int, threshold: Double): String = {
+    val r = numHashes / bands
+    val estFloor = math.max(0.0, threshold - 0.15)
+    val bucket = (0 until r).map(k => s"CAST(sg[$r*b+${k + 1}] AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $shingleExpr AS sh FROM documents
+       |), hsh AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
+       |), sig AS (
+       |  SELECT doc_id, list_distinct(hs) AS hsd, list_transform(range(0,$numHashes), j ->
+       |    list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+7)) % 2147483647))) AS sg
+       |  FROM hsh
+       |), bands AS (
+       |  SELECT doc_id, b, md5($bucket) AS bucket
+       |  FROM sig, (SELECT unnest(range(0,$bands)) AS b) u
+       |), cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM bands c JOIN bands n ON c.b = n.b AND c.bucket = n.bucket
+       |  WHERE c.doc_id % 10 < 8 AND n.doc_id % 10 >= 8
+       |), est AS (
+       |  SELECT new_id, corpus_id, x.hsd AS h1, y.hsd AS h2,
+       |    list_sum(list_transform(range(1,${numHashes + 1}), i ->
+       |      CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END)) * 1.0 / $numHashes AS est
+       |  FROM cand JOIN sig x ON x.doc_id = corpus_id JOIN sig y ON y.doc_id = new_id
+       |)
+       |SELECT new_id, corpus_id, round(${dJac("h1", "h2")}, 6) AS jaccard
+       |FROM est
+       |WHERE est >= $estFloor AND ${dJac("h1", "h2")} >= $threshold
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   /** SimHash near-dup pairs — the FULL QUADRATIC ground truth, no
     * blocking. The engine's pigeonhole multi-band candidates
     * (Dedup.simhashNearDups) are provably recall-complete, so its output
@@ -143,6 +181,26 @@ object TextQueries extends QueryPack {
           shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
         .select($"id1", $"id2", round($"jaccard", 6).as("jaccard"))
         .orderBy($"id1", $"id2")
+    }),
+
+    // Incremental ingest dedup: corpus (doc_id%10 < 8) indexed ONCE
+    // (Dedup.minhashIndex — the persisted frame stands in for the
+    // production on-disk index), new batch (doc_id%10 >= 8) PROBES it —
+    // batch bands broadcast against the index scan, no corpus
+    // self-join. Same hash family/bands/est-gate as dedup_minhash, so
+    // the output equals the full pipeline's cross pairs (the oracle
+    // computes exactly that restriction).
+    "dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val corpus = Dedup.minhashIndex(docs.filter($"doc_id" % 10 < 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = Dedup.minhashIndex(docs.filter($"doc_id" % 10 >= 8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.incrementalNearDups(corpus, batch, numHashes = 12, bands = 4,
+          threshold = 0.8)
+        .select($"new_id", $"corpus_id", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"new_id", $"corpus_id")
     }),
 
     // SimHash(56-bit) near-dups: 7 disjoint 8-bit pigeonhole bands give
@@ -634,6 +692,10 @@ object TextQueries extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> dMinhashPipeline(dTok, 12, 4, 0.8),
+
+    // the full pipeline restricted to (corpus, batch) cross pairs —
+    // exactly what probing the prebuilt index must find
+    "dedup_incremental" -> dIncrementalPipeline(dTok, 12, 4, 0.8),
 
     "dedup_keep" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

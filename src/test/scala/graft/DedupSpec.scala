@@ -293,4 +293,43 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 0L, 3L), (1L, 4L, 7L)))
     assert(!got.exists(_._1 == 2L))
   }
+
+  test("incremental probe finds exactly the full pipeline's cross pairs") {
+    // corpus 1-5, batch 11-14; batch doc 11 = exact dup of 1, 12 = near
+    // dup of 3, 13 = unique, 14 = near dup of 4; 12~13 is a WITHIN-batch
+    // relation the probe must NOT emit
+    val corpus = docs
+    val batch = Seq(
+      (11L, "the quick brown fox"),
+      (12L, "the quick brown fox jumps high"),
+      (13L, "some fresh batch only material"),
+      (14L, "completely different content here today")
+    ).toDF("doc_id", "text")
+    val t = 0.5
+    val got = Dedup.incrementalNearDups(
+        Dedup.minhashIndex(corpus, bands = 6),
+        Dedup.minhashIndex(batch, bands = 6),
+        numHashes = 12, bands = 6, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every emitted pair crosses sides and meets the threshold
+    assert(got.forall { case (n, c, j) => n >= 11L && c <= 5L && j >= t })
+    // differential: the full pipeline on corpus ∪ batch, restricted to
+    // cross pairs (corpus ids < 10 < batch ids ⇒ id1 = corpus side)
+    val full = Dedup.minhashNearDups(corpus.unionByName(batch),
+        numHashes = 12, bands = 6, threshold = t)
+      .filter($"id1" <= 5L && $"id2" >= 11L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    assert(got.toSet === full)
+    assert(got.toSet.contains((11L, 1L, 1.0)))
+    assert(!got.exists { case (n, _, _) => n == 13L })
+    spark.catalog.clearCache()
+  }
+
+  test("incremental probe: empty batch and empty corpus yield no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDups(
+      Dedup.minhashIndex(docs), Dedup.minhashIndex(empty)).count() === 0L)
+    assert(Dedup.incrementalNearDups(
+      Dedup.minhashIndex(empty), Dedup.minhashIndex(docs)).count() === 0L)
+  }
 }
