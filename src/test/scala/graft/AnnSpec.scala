@@ -211,4 +211,35 @@ class AnnSpec extends SparkSpec {
       assert(probed.toList === foldProbed.toList)
     }
   }
+
+  test("rpProject column ≡ rpProjectLocal driver mirror; planes are ±1") {
+    val planes = Ann.rpPlanes(16, 64)
+    assert(planes.size === 16 && planes.forall(_.length === 64))
+    assert(planes.flatten.forall(v => v == 1f || v == -1f))
+    // same matrix every call (pure function of the md5 derivation)
+    assert(Ann.rpPlanes(16, 64).map(_.toSeq) === planes.map(_.toSeq))
+    val rows = e.limit(5).select($"vec_id", $"embedding",
+        Ann.rpProject($"embedding", planes).as("pv"))
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1).toArray
+      assert(r.getSeq[Float](2).toArray.toSeq ===
+        Ann.rpProjectLocal(emb, planes).toSeq)
+    }
+  }
+
+  test("rpSearch finds a planted near-identical neighbor first") {
+    // proj is linear: proj(q + eps) − proj(q) = proj(eps), so a tiny
+    // perturbation stays nearest in the projected space and survives
+    // the shortlist regardless of how the other vectors project
+    val q = Array.tabulate(64)(i => (math.sin(i + 1) * 2).toFloat)
+    val near = q.clone(); near(0) = near(0) + 1e-3f
+    val far = (1 to 40).map(s =>
+      (100L + s, Array.tabulate(64)(i => (math.cos(s * 64 + i) * 10).toFloat)))
+    val vecs = ((1L, near) +: far).toDF("vec_id", "embedding")
+    val got = Ann.rpSearch(vecs, q, outDim = 16, r = 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 === 1L)
+    assert(got.head._2 < 1e-5)
+  }
 }
