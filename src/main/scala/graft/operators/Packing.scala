@@ -105,4 +105,39 @@ object Packing {
           out.iterator
       }
   }
+
+  /** Curriculum ordering: round-robin interleave of per-source quality
+    * rankings — round r of the curriculum takes each source's r-th best
+    * doc (sources in name order), so every training window sees the
+    * best remaining mix of sources instead of one source's contiguous
+    * block. `round_no` = rank within source by (scoreCol desc, id);
+    * `pos` = 1-based global curriculum position.
+    *
+    * SCALE: the obvious `row_number() OVER (ORDER BY round, source)` is
+    * a single-partition window over the corpus. Instead the global
+    * position is computed ARITHMETICALLY from the per-source size table
+    * (one tiny agg, broadcast back): a doc at (round r, source s) is
+    * preceded by the first r−1 rounds of every source — Σ_s' min(cnt_s',
+    * r−1) — plus this round's earlier sources — |{s' < s : cnt_s' ≥ r}|.
+    * The crossJoin is corpus × #sources with the size table broadcast
+    * (BroadcastNestedLoopJoin — the intended scalar-broadcast shape),
+    * re-aggregated on the doc key: fully distributed, no global window,
+    * identical to the window form (differential-tested). */
+  def curriculumOrder(docs: DataFrame, scoreCol: String,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val ranked = docs
+      .select(col(idCol).as("id"), col(sourceCol).as("src"), col(scoreCol).as("score"))
+      .withColumn("round_no",
+        row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+    val sizes = docs.groupBy(col(sourceCol).as("csrc"))
+      .agg(count(lit(1)).as("cnt"))
+    ranked.crossJoin(broadcast(sizes))
+      .groupBy(col("id"), col("src"), col("round_no"))
+      .agg((sum(least(col("cnt"), col("round_no") - 1)) +
+        sum(when(col("csrc") < col("src") && col("cnt") >= col("round_no"), 1L)
+          .otherwise(0L)) + 1L).as("pos"))
+      .select(col("id").as(idCol), col("src").as(sourceCol),
+        col("round_no"), col("pos"))
+  }
 }

@@ -394,6 +394,21 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Curriculum ordering: round-robin interleave of per-source quality
+    // rankings (score = quantized char entropy) — round r takes each
+    // source's r-th best doc. The global position is ARITHMETIC (per-
+    // source size table broadcast + re-agg), not a single-partition
+    // window — see Packing.curriculumOrder; the window form is the
+    // differential spec and the oracle.
+    "curriculum_order" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          charEntropyNative(normText($"text")).as("score"))
+      graft.operators.Packing.curriculumOrder(scored, "score")
+        .orderBy($"pos")
+    }),
+
     // Duplicated-SPAN detection (substring-level dedup): maximal runs
     // of token 8-gram starts whose gram occurs ≥2× corpus-wide — the
     // positional-k-gram rendition of the suffix-array repeated-substring
@@ -866,6 +881,34 @@ object TextQueries extends QueryPack {
          |  (cum_end - 1) // 512 AS pack_last,
          |  (cum_end - n_tokens) % 512 AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ground truth for the arithmetic global position: the plain
+    // ordered-window form (single-node oracle, so a global row_number
+    // is fine here); entropy fragment identical to quality_entropy
+    "curriculum_order" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $dNorm AS norm FROM documents
+         |), c AS (
+         |  SELECT doc_id, source, CASE WHEN len(norm) = 0 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(1, len(norm) + 1), i -> norm[i:i]) END AS chars
+         |  FROM t
+         |), ent AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(chars) = 0 THEN CAST(0 AS BIGINT) ELSE
+         |      CAST(list_sum(list_transform(list_distinct(chars), ch ->
+         |        CAST(round(-((CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)) *
+         |          ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))) * 1e6) AS BIGINT)
+         |      )) AS BIGINT) END AS score
+         |  FROM c
+         |), r AS (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS round_no
+         |  FROM ent
+         |)
+         |SELECT doc_id, source, round_no,
+         |  CAST(row_number() OVER (ORDER BY round_no, source) AS BIGINT) AS pos
+         |FROM r ORDER BY pos""".stripMargin,
 
     // mirrors Dedup.duplicatedSpans: 1-based gram starts si ∈ [1, L-7]
     // (pos = si - 1), hash of the space-joined 8-token slice, count ≥ 2

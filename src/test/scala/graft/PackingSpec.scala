@@ -89,4 +89,38 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(pid#"), plan)
     spark.catalog.clearCache()
   }
+
+  test("curriculumOrder: arithmetic pos ≡ global-window form; interleave shape") {
+    // three sources of sizes 3/2/1 with distinct scores
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 20L), (3L, "a", 10L),
+      (4L, "b", 25L), (5L, "b", 5L),
+      (6L, "c", 99L)
+    ).toDF("doc_id", "source", "score")
+    val got = Packing.curriculumOrder(df, "score")
+      .orderBy($"pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // round 1: a→1, b→4, c→6; round 2: a→2, b→5; round 3: a→3
+    assert(got.toList === List(
+      (1L, "a", 1L, 1L), (4L, "b", 1L, 2L), (6L, "c", 1L, 3L),
+      (2L, "a", 2L, 4L), (5L, "b", 2L, 5L),
+      (3L, "a", 3L, 6L)))
+    // differential vs the single-partition window form on a wider frame
+    val wide = (0L until 200L).map(i =>
+      (i, s"s${(i % 7)}", (i * 37 % 101))).toDF("doc_id", "source", "score")
+    val arith = Packing.curriculumOrder(wide, "score")
+    val w = org.apache.spark.sql.expressions.Window
+    val windowed = wide
+      .withColumn("round_no", row_number().over(
+        w.partitionBy($"source").orderBy($"score".desc, $"doc_id")).cast("long"))
+      .withColumn("pos", row_number().over(
+        w.orderBy($"round_no", $"source")).cast("long"))
+      .select($"doc_id", $"source", $"round_no", $"pos")
+    assert(arith.orderBy($"pos").collect().toSeq ===
+      windowed.orderBy($"pos").collect().toSeq)
+    // scale shape: no global (unpartitioned) row_number window in the plan
+    val plan = arith.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("windowspecdefinition(round_no"),
+      s"global window leaked into curriculumOrder:\n$plan")
+  }
 }
