@@ -397,7 +397,14 @@ object Dedup {
     * — oracle-checked in `dedup_incremental`). Docs whose shingle set
     * is empty never pair (all-null signatures: their bucket digests
     * collide but the est gate evaluates to null and drops them) —
-    * identical to the full pipeline's convention. */
+    * identical to the full pipeline's convention.
+    *
+    * STREAMING ingest: call this per micro-batch inside `foreachBatch`
+    * against the static corpus index — per-batch probing is exact
+    * (every doc probes the same index regardless of arrival batch), so
+    * stream ≡ batch by construction; parity is pinned in
+    * EventStreamsSpec. The candidate `distinct` and threshold filter
+    * are batch-local, so no streaming-aggregation restrictions apply. */
   def incrementalNearDups(
       corpusIndex: DataFrame,
       batchIndex: DataFrame,

@@ -207,4 +207,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.groupBy(_.productElement(0)).exists(_._2.size > 1))
     assert(streamed.exists(_.productElement(3).asInstanceOf[Long] > 1L))
   }
+
+  test("streaming ingest dedup: foreachBatch probe of the static corpus index " +
+      "≡ batch probe of the union") {
+    // the production ingest shape: the corpus MinHash index is static
+    // (built once); each arriving micro-batch probes it via the batch
+    // operator inside foreachBatch (candidate distinct + threshold
+    // filter are per-batch, so no streaming-aggregation restriction)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val corpusIdx = Dedup.minhashIndex(corpus, bands = 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b1 = Seq((11L, "the quick brown fox"), (12L, "fresh new material one"))
+    val b2 = Seq((13L, "completely different content here now"), (14L, "more novel text"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Dedup.incrementalNearDups(
+            corpusIdx, Dedup.minhashIndex(batch, bands = 6),
+            numHashes = 12, bands = 6, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // parity: the batch probe of all arrived docs finds the same pairs
+    // (per-batch probing is exact — each doc probes the SAME static
+    // index regardless of which micro-batch carried it)
+    val allNew = (b1 ++ b2).toDF("doc_id", "text")
+    val batchPairs = Dedup.incrementalNearDups(
+        corpusIdx, Dedup.minhashIndex(allNew, bands = 6),
+        numHashes = 12, bands = 6, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet === batchPairs)
+    assert(got.exists(_._1 == 11L)) // the exact dup was caught in-stream
+    corpusIdx.unpersist()
+  }
 }
