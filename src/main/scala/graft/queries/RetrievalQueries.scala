@@ -27,6 +27,16 @@ object RetrievalQueries extends QueryPack {
     "bm25_topk" -> ((s, dir) =>
       Bm25.topK(Tables.documents(s, dir), terms, k = 15)),
 
+    // TF-IDF cosine top-15 — the vector-space complement to BM25: true
+    // cosine needs every doc's norm over its FULL term vector, so this
+    // exercises the corpus-wide inverted-index build (one posting-list
+    // shuffle; df and norms derived from the same persisted frame).
+    // Norms/dots are ×1e6-quantized integer sums (no float summation
+    // order); the oracle replays the identical expression tree.
+    "tfidf_topk" -> ((s, dir) =>
+      graft.operators.Tfidf.topK(Tables.documents(s, dir), terms, k = 15)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
     // Hybrid retrieval, reciprocal-rank fusion (Cormack/Clarke/Büttcher
     // 2009): rrf = Σ 1/(60 + rank) over the lexical (BM25) and vector
     // (exact L2, query vec 0) rankings — the standard public recipe for
@@ -149,6 +159,45 @@ object RetrievalQueries extends QueryPack {
          |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
          |FROM terms GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "tfidf_topk" -> {
+      val idf = "(ln((1e0 + s.n) / (1e0 + d.df)) + 1e0)"
+      val qidf = "(ln((1e0 + s.n) / (1e0 + coalesce(d.df, 0))) + 1e0)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($dNorm, ' ')) AS term
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY term
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |), wt AS (
+         |  SELECT f.doc_id, f.term,
+         |    CAST(round(((f.tf * $idf) * (f.tf * $idf)) * 1e6) AS BIGINT) AS d2,
+         |    CAST(round(((f.tf * $idf) * $idf) * 1e6) AS BIGINT) AS dq
+         |  FROM f JOIN dfreq d USING (term) CROSS JOIN stats s
+         |), norms AS (
+         |  SELECT doc_id, CAST(sum(d2) AS BIGINT) AS normsq FROM wt GROUP BY doc_id
+         |), dots AS (
+         |  SELECT doc_id, CAST(sum(dq) AS BIGINT) AS dotq
+         |  FROM wt WHERE term IN ($termsSql) GROUP BY doc_id
+         |), qn AS (
+         |  SELECT CAST(sum(CAST(round(($qidf * $qidf) * 1e6) AS BIGINT)) AS BIGINT) AS qnormsq
+         |  FROM (SELECT unnest([$termsSql]) AS term) t
+         |  LEFT JOIN dfreq d USING (term) CROSS JOIN stats s
+         |)
+         |SELECT doc_id, score FROM (
+         |  SELECT dots.doc_id,
+         |    round((dotq / 1e6) / (sqrt(normsq / 1e6) * sqrt(qn.qnormsq / 1e6)), 6) AS score,
+         |    row_number() OVER (ORDER BY
+         |      (dotq / 1e6) / (sqrt(normsq / 1e6) * sqrt(qn.qnormsq / 1e6)) DESC,
+         |      dots.doc_id) AS rn
+         |  FROM dots JOIN norms USING (doc_id) CROSS JOIN qn
+         |) WHERE rn <= 15
+         |ORDER BY score DESC, doc_id""".stripMargin
+    },
 
     "hybrid_rrf" ->
       s"""WITH tok AS (
