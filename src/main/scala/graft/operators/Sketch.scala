@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.expressions.BottomK.bottomK
+import graft.functions.TextFunctions.hash32
+
+/** Mergeable cardinality sketches. The production alternative to
+  * `count(DISTINCT x)` at 100 TB is a SKETCH — bounded state per group,
+  * map-side partial aggregation, one tiny merge instead of a full
+  * distinct shuffle. Spark's builtin `approx_count_distinct` is HLL++,
+  * whose estimate depends on implementation internals no other engine
+  * reproduces — unusable under a value-equality oracle. KMV (k-minimum
+  * values, Bar-Yossef et al. 2002) is the deterministic classic: keep
+  * the k smallest values of a uniform hash; with U = 2³² the estimate
+  * (k−1)·U / h₍ₖ₎ is an exact function of integers, reproducible
+  * bit-for-bit in any engine that shares the hash.
+  */
+object Sketch {
+
+  /** Per-group exact distinct count AND the KMV estimate of it, side by
+    * side (the estimate's honesty is part of the output, like
+    * `ann_*_recall`). Input is a (group, value) frame; `n_exact` counts
+    * distinct values, `kmv_est` is the k-minimum-values estimate from
+    * hash32(value) — groups with fewer than k distinct values fall back
+    * to the exact count (their sketch holds every hash).
+    *
+    * Scale shape: the distinct collapse is one shuffle on
+    * (group, value) — the same shuffle exact counting needs — and the
+    * sketch rides it as a [[graft.expressions.BottomK]] partial
+    * aggregate (k-bounded heaps merged map-side). In the PURE-sketch
+    * deployment (accepting the estimate without `n_exact`) the distinct
+    * collapse is dropped entirely and BottomK runs straight on the raw
+    * stream — duplicate hashes cannot displace distinct ones from a KMV
+    * sketch that dedups, and even this non-deduping heap is exact-equal
+    * as long as group cardinality ≥ k keeps duplicates out of the
+    * bottom window; the oracle query keeps the distinct-first form so
+    * both engines see identical multisets. */
+  def kmvDistinct(pairs: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    val est = round(
+      lit((k - 1).toLong * 4294967296L) / element_at(col("sk"), k).getField("id"), 4)
+    pairs
+      .select(col(groupCol), col(valueCol)).distinct()
+      .select(col(groupCol), hash32(col(valueCol)).as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_exact"),
+        bottomK(col("h").cast("double"), col("h"), k).as("sk"))
+      .select(col(groupCol), col("n_exact"),
+        when(col("n_exact") < k, col("n_exact").cast("double"))
+          .otherwise(est).as("kmv_est"))
+  }
+}

@@ -324,6 +324,21 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // KMV distinct-cardinality sketch (the deterministic stand-in for
+    // HLL at 100 TB): per-source exact distinct bigram count next to
+    // the k=64-minimum-values estimate — bounded-state BottomK partial
+    // agg, estimate = 63·2³²/h₍₆₄₎ from exact integers. Shingled frame
+    // persisted before the generator (the explode re-derivation trap).
+    "distinct_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .select($"source", wordShingles(tokens($"text"), 2).as("gs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.Sketch.kmvDistinct(
+          sh.select($"source", explode($"gs").as("g")), "source", "g", k = 64)
+        .orderBy($"source")
+    }),
+
     // Corpus-trained bigram LM NLL (the KenLM-style quality band):
     // Laplace-smoothed p(b|a), per-bigram terms ×1e6-quantized → exact
     // BIGINT doc sums. Low mean = repetitive template, high = garbage.
@@ -784,6 +799,31 @@ object TextQueries extends QueryPack {
          |  CAST(round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6)
          |    AS BIGINT) AS oov_q
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // mirrors Sketch.kmvDistinct: distinct (source, bigram), hash32,
+    // 64th-smallest hash per source, estimate 63·2³²/h₍₆₄₎ (exact
+    // integers → one double division); < 64 distinct falls back exact
+    "distinct_kmv" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split($dNorm, ' ') AS tk FROM documents
+         |), d AS (
+         |  SELECT DISTINCT source, array_to_string(tk[si:si+1], ' ') AS g
+         |  FROM (SELECT source, tk, unnest(range(1, len(tk))) AS si
+         |        FROM t WHERE len(tk) >= 2)
+         |), h AS (
+         |  SELECT source, ${dHash32("g")} AS h FROM d
+         |), r AS (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM h
+         |), agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+         |         max(CASE WHEN rn = 64 THEN h END) AS h64
+         |  FROM r GROUP BY source
+         |)
+         |SELECT source, n_exact,
+         |  CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+         |       ELSE round(270582939648 / h64, 4) END AS kmv_est
+         |FROM agg ORDER BY source""".stripMargin,
 
     // mirrors NgramLm.bigramNll: space-joined bigrams, context = first
     // token, Laplace smoothing over the distinct-token vocabulary, the

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+/** KMV distinct sketch: exact-fallback below k, estimate formula replay
+  * above k, invariance to input partitioning (the heap is a mergeable
+  * partial aggregate), and error within the theoretical band. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k distinct values the estimate IS the exact count") {
+    val pairs = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z"))
+      .toDF("g", "v")
+    val got = Sketch.kmvDistinct(pairs, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map("a" -> (2L, 2.0), "b" -> (1L, 1.0)))
+  }
+
+  test("above k: estimate matches a driver-side replay and lands near truth") {
+    val n = 2000
+    val pairs = (0 until n).map(i => ("g", s"val_$i")).toDF("g", "v")
+    val k = 64
+    val got = Sketch.kmvDistinct(pairs, "g", "v", k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    // driver replay with the same hash32 (first 8 md5 nibbles)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val hk = (0 until n).map(i => h32(s"val_$i")).distinct.sorted.apply(k - 1)
+    val est = BigDecimal(63L * 4294967296L / hk.toDouble)
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 === n.toLong)
+    assert(got._2 === est)
+    // within 4 standard errors of truth (se ≈ n/√(k−2))
+    assert(math.abs(got._2 - n) < 4.0 * n / math.sqrt(k - 2.0))
+  }
+
+  test("sketch is partitioning-invariant (mergeable partial aggregate)") {
+    val pairs = (0 until 500).map(i => (s"g${i % 3}", s"v$i"))
+    val one = Sketch.kmvDistinct(pairs.toDF("g", "v").repartition(1), "g", "v", 16)
+      .orderBy($"g").collect().toSeq
+    val many = Sketch.kmvDistinct(pairs.toDF("g", "v").repartition(13), "g", "v", 16)
+      .orderBy($"g").collect().toSeq
+    assert(one === many)
+  }
+}
