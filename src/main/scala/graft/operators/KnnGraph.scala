@@ -83,6 +83,45 @@ object KnnGraph {
     * The threshold compares the RAW fold-ordered distance, identically
     * in the DuckDB oracle, so the edge set — and therefore the grouping
     * — is deterministic on both engines. */
+  /** Integer-quantized PageRank over a directed edge frame — hub scoring
+    * for a k-NN graph (centrality-based data selection / dedup-survivor
+    * ranking over corpora; the kNN-graph sibling of the CC labeling).
+    *
+    * Arithmetic is ENTIRELY ×1e6-scaled BIGINT: every node starts at
+    * 1 000 000; one round is
+    *   pr'(v) = 150 000 + (85 · Σ_{u→v} (pr(u) div outdeg(u))) div 100
+    * i.e. damping 0.85 with the per-edge contribution an integer
+    * division (both engines floor identically on non-negative values),
+    * so round outputs are exact integers — no float summation order in
+    * an ITERATED computation, where drift would compound per round.
+    *
+    * Scale shape is the Pregel step: contributions are one equi-join of
+    * edges × current ranks (shuffle on src), one groupBy dst, one left
+    * join back to nodes; `iters` is a fixed unroll (3 here) so lineage
+    * stays bounded without checkpoints — the CC operator remains the
+    * pattern for run-to-fixpoint loops. Nodes without in-edges keep the
+    * 150 000 base mass. */
+  def pageRankQ(nodes: DataFrame, edges: DataFrame, iters: Int = 3,
+      idCol: String = "vec_id"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val ids = nodes.select(col(idCol).as("id"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesWithDeg = edges.join(deg, "src")
+    var pr = ids.select(col("id"), lit(1000000L).as("pr_q"))
+    (1 to iters).foreach { _ =>
+      val inflow = edgesWithDeg
+        .join(pr, col("src") === col("id"))
+        .select(col("dst"), expr("pr_q div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pr = ids
+        .join(inflow, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) +
+            expr("85L * coalesce(inflow, 0L) div 100L")).as("pr_q"))
+    }
+    pr.select(col("id").as(idCol), col("pr_q"))
+  }
+
   def semanticComponents(vectors: DataFrame, m: Int = 3,
       maxL2Sq: Double = 1.0, targetBlock: Int = 64, nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -216,6 +216,21 @@ object AnnQueries extends QueryPack {
         .orderBy($"vec_id", $"nbr_rank")
     }),
 
+    // PageRank(3 iterations, damping 0.85) over the kNN graph — hub
+    // scoring for centrality-based selection. Entirely ×1e6 BIGINT
+    // arithmetic (per-edge contribution = integer division), so the
+    // ITERATED computation carries no float drift to compound; the
+    // oracle unrolls the same three Pregel steps.
+    "graph_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.build(e, m = 3)
+        .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      graft.operators.KnnGraph.pageRankQ(
+          e.select($"vec_id").distinct(), g, iters = 3)
+        .orderBy($"vec_id")
+    }),
+
     // The full SemDeDup decision on top of the graph: k-NN edges under
     // the L2 threshold, transitive closure, keep the min-id
     // representative per semantic-duplicate group. The threshold
@@ -504,6 +519,41 @@ object AnnQueries extends QueryPack {
          |  FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
          |) WHERE nbr_rank <= 3
          |ORDER BY vec_id, nbr_rank""".stripMargin,
+
+    // replays knn_graph's edges, then unrolls three integer Pregel
+    // steps: inflow = Σ pr//outdeg over in-edges, pr' = 150000 +
+    // (85·inflow)//100 — all BIGINT, no float anywhere
+    "graph_pagerank" -> {
+      val knng =
+        s"""knng AS (
+           |  SELECT vec_id, nbr_id FROM (
+           |    SELECT a.vec_id, b.vec_id AS nbr_id,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+           |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+           |  ) WHERE nbr_rank <= 3
+           |), deg AS (
+           |  SELECT vec_id AS src, CAST(count(*) AS BIGINT) AS outdeg
+           |  FROM knng GROUP BY vec_id
+           |), pr0 AS (
+           |  SELECT vec_id AS id, CAST(1000000 AS BIGINT) AS pr_q FROM embeddings
+           |)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s""", f$i AS (
+           |  SELECT e.nbr_id AS id, CAST(sum(p.pr_q // d.outdeg) AS BIGINT) AS inflow
+           |  FROM knng e JOIN pr${i - 1} p ON p.id = e.vec_id
+           |  JOIN deg d ON d.src = e.vec_id
+           |  GROUP BY e.nbr_id
+           |), pr$i AS (
+           |  SELECT n.id,
+           |    CAST(150000 + (85 * COALESCE(f$i.inflow, 0)) // 100 AS BIGINT) AS pr_q
+           |  FROM pr${i - 1} n LEFT JOIN f$i USING (id)
+           |)""".stripMargin
+      }.mkString
+      s"""WITH ${TextQueries.duckTwoLevelCtes},
+         |$knng$steps
+         |SELECT id AS vec_id, pr_q FROM pr3 ORDER BY vec_id""".stripMargin
+    },
 
     // replays knn_graph, thresholds the RAW distance, then walks the
     // undirected edge set recursively — the dedup_cc closure shape —

@@ -92,4 +92,40 @@ class KnnGraphSpec extends SparkSpec {
       assert(comp === members.map(_._1).min)
     }
   }
+
+  test("pageRankQ: a cycle is a fixpoint at the initial mass") {
+    // 1→2→3→1, outdeg 1 everywhere: pr' = 150000 + 85% of 1000000 = pr
+    val nodes = Seq(1L, 2L, 3L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = KnnGraph.pageRankQ(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  test("pageRankQ: star center accumulates, leaves fall to base mass") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    // iter1: pr(1) = 150000 + 85%·3·1000000 = 2700000; leaves 150000
+    // iter2+: pr(1) = 150000 + 85%·3·150000 = 532500 (stable)
+    val got = KnnGraph.pageRankQ(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 532500L, 2L -> 150000L, 3L -> 150000L, 4L -> 150000L))
+    val one = KnnGraph.pageRankQ(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(1L) === 2700000L)
+  }
+
+  test("pageRankQ is partitioning-invariant (exact integer rounds)") {
+    val e = Tables.embeddings(spark, sf)
+    val g = KnnGraph.build(e, m = 3).select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select($"vec_id").distinct()
+    val a = KnnGraph.pageRankQ(nodes.repartition(1), g.repartition(1), iters = 2)
+      .orderBy($"vec_id").collect().toSeq
+    val b = KnnGraph.pageRankQ(nodes.repartition(17), g.repartition(17), iters = 2)
+      .orderBy($"vec_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
