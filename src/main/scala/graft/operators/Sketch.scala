@@ -51,4 +51,39 @@ object Sketch {
         when(col("n_exact") < k, col("n_exact").cast("double"))
           .otherwise(est).as("kmv_est"))
   }
+
+  /** Count-min sketch (Cormode/Muthukrishnan 2005) of a value stream:
+    * `d` hash rows × `w` buckets of exact integer counts — the bounded-
+    * state frequency table that replaces a full `groupBy(value).count`
+    * at 100 TB (d·w cells of state regardless of vocabulary size; cells
+    * merge by addition, so partial aggregation collapses each task's
+    * slice to ≤ d·w rows before the one tiny shuffle). Row r buckets a
+    * value at `hash32("r:" ++ value) mod w`; everything is integer, so
+    * the sketch is reproducible bit-for-bit in any engine sharing the
+    * hash. Returns (r, b, c). */
+  def cmsTable(values: DataFrame, valueCol: String,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, "cms needs d >= 1, w >= 2")
+    values
+      .select(explode(array((0 until d).map(lit(_)): _*)).as("r"), col(valueCol).as("v"))
+      .select(col("r"),
+        pmod(hash32(concat(col("r").cast("string"), lit(":"), col("v"))), lit(w)).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from a [[cmsTable]]: for each probe value, the
+    * minimum over the d rows of its bucket's count — an overestimate
+    * (collisions only add), exact when no collision. `probes` is any
+    * frame carrying the values to look up; the sketch (d·w rows) is
+    * broadcast, so probing is shuffle-free up to the final per-value
+    * min. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, valueCol: String,
+      d: Int = 4, w: Int = 256): DataFrame =
+    probes
+      .select(col("*"), explode(array((0 until d).map(lit(_)): _*)).as("r"))
+      .withColumn("b",
+        pmod(hash32(concat(col("r").cast("string"), lit(":"), col(valueCol))), lit(w)))
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("c")).as("cms_est"))
 }

@@ -339,6 +339,20 @@ object TextQueries extends QueryPack {
         .orderBy($"source")
     }),
 
+    // Count-min sketch heavy-hitter counts: 4×256 integer cells (the
+    // bounded-state frequency table vs a full vocab shuffle), probed
+    // for the exact top-16 tokens — estimate ≥ exact by construction,
+    // equal when the row is collision-free. All-integer, bit-exact.
+    "cms_est" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.documents(s, dir).select(explode(tokens($"text")).as("t"))
+      val exact = tok.groupBy($"t").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"t").limit(16)
+      val cms = graft.operators.Sketch.cmsTable(tok, "t")
+      graft.operators.Sketch.cmsEstimate(cms, exact, "t")
+        .orderBy($"t")
+    }),
+
     // Corpus-trained bigram LM NLL (the KenLM-style quality band):
     // Laplace-smoothed p(b|a), per-bigram terms ×1e6-quantized → exact
     // BIGINT doc sums. Low mean = repetitive template, high = garbage.
@@ -824,6 +838,29 @@ object TextQueries extends QueryPack {
          |  CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
          |       ELSE round(270582939648 / h64, 4) END AS kmv_est
          |FROM agg ORDER BY source""".stripMargin,
+
+    // mirrors Sketch.cmsTable/cmsEstimate: row-salted hash32 buckets,
+    // exact integer cell counts, min over the 4 rows per probe
+    "cms_est" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split($dNorm, ' ')) AS t FROM documents
+         |), exact AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY t
+         |  ORDER BY n_exact DESC, t LIMIT 16
+         |), cells AS (
+         |  SELECT r, ${dHash32("CAST(r AS VARCHAR) || ':' || t")} % 256 AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM tok, (SELECT unnest(range(0,4)) AS r) u
+         |  GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT e.t, e.n_exact, u.r,
+         |    ${dHash32("CAST(u.r AS VARCHAR) || ':' || e.t")} % 256 AS b
+         |  FROM exact e, (SELECT unnest(range(0,4)) AS r) u
+         |)
+         |SELECT p.t, p.n_exact, CAST(min(c.c) AS BIGINT) AS cms_est
+         |FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+         |GROUP BY p.t, p.n_exact
+         |ORDER BY p.t""".stripMargin,
 
     // mirrors NgramLm.bigramNll: space-joined bigrams, context = first
     // token, Laplace smoothing over the distinct-token vocabulary, the

@@ -44,4 +44,34 @@ class SketchSpec extends SparkSpec {
       .orderBy($"g").collect().toSeq
     assert(one === many)
   }
+
+  test("cms: every row partitions the full stream; estimates dominate exact " +
+      "counts even under forced collisions (tiny w)") {
+    val n = 300
+    val values = (0 until n).map(i => Tuple1(s"tok${i % 17}")).toDF("v")
+    val d = 3
+    val w = 4 // 17 distinct values into 4 buckets: collisions guaranteed
+    val cms = Sketch.cmsTable(values, "v", d, w)
+    // each of the d rows hashes every stream element into exactly one
+    // bucket, so per-row cell sums equal the stream length
+    val perRow = cms.groupBy($"r").agg(sum($"c").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow === (0 until d).map(_ -> n.toLong).toMap)
+    val exact = values.groupBy($"v").agg(count(lit(1)).as("n_exact"))
+    val est = Sketch.cmsEstimate(cms, exact, "v", d, w)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length === 17)
+    est.foreach { case (_, ex, e) => assert(e >= ex) }
+    // some bucket must actually collide at w=4, so some estimate exceeds
+    assert(est.exists { case (_, ex, e) => e > ex })
+  }
+
+  test("cms is partitioning-invariant") {
+    val values = (0 until 400).map(i => Tuple1(s"t${i % 23}"))
+    val a = Sketch.cmsTable(values.toDF("v").repartition(1), "v")
+      .orderBy($"r", $"b").collect().toSeq
+    val b = Sketch.cmsTable(values.toDF("v").repartition(11), "v")
+      .orderBy($"r", $"b").collect().toSeq
+    assert(a === b)
+  }
 }
