@@ -28,12 +28,14 @@ object Tables {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  // events.parquet stores ts as TIMESTAMP(NANOS, ntz), which Spark's
-  // parquet reader does not support as a timestamp type. We read the raw
-  // int64 nanos (requires spark.sql.legacy.parquet.nanosAsLong=true on
-  // the session — set by Verify/Bench/tests) and convert to
-  // TIMESTAMP_NTZ micros in load(), truncating exactly like the oracle's
-  // reader does.
+  // events.parquet has shipped with TWO ts encodings across driver
+  // rounds: TIMESTAMP(NANOS, ntz) — which Spark's parquet reader only
+  // surfaces as a raw int64 under spark.sql.legacy.parquet.nanosAsLong
+  // (set by Verify/Bench/tests) — and plain TIMESTAMP(MICROS, ntz).
+  // load() probes the footer once per path (cached; no data scan) and
+  // branches: nanos → read long, `div 1000` to micros; micros → read as
+  // TIMESTAMP_NTZ directly. Both land on identical micro-precision NTZ
+  // values, the same truncation the DuckDB oracle's reader applies.
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", LongType),
@@ -105,13 +107,28 @@ object Tables {
     "orders" -> ordersSchema,
     "lineitem" -> lineitemSchema)
 
+  /** Footer-inferred ts type per events.parquet path: LongType means the
+    * legacy NANOS encoding (surfaced as raw int64 under nanosAsLong);
+    * anything else is the MICROS encoding, readable as a timestamp. */
+  private val eventsTsEncoding =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   /** Read one testdata table with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-    else raw
+    if (name == "events") {
+      val path = s"$sfDir/events.parquet"
+      val tsType = eventsTsEncoding.computeIfAbsent(path,
+        p => spark.read.parquet(p).schema("ts").dataType)
+      if (tsType == LongType)
+        spark.read.schema(eventsSchema).parquet(path)
+          .withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      else {
+        val micros = StructType(eventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+        spark.read.schema(micros).parquet(path)
+      }
+    } else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
   }
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
