@@ -112,4 +112,69 @@ object Decontaminate {
       .filter(!arrays_overlap(col("__gh"), lit(evalHashes)))
       .drop("__toks", "__gh")
   }
+
+  /** The `kh` Bloom positions of one gram: `hash32("s:gram") mod m` for
+    * seed s in 1..kh (the standard k-hash family built from one base
+    * hash by seed prefixing). Row-local; shared by the filter build and
+    * the probe so both sides hash identically. */
+  def bloomPositions(gram: Column, m: Int, kh: Int): Column =
+    transform(sequence(lit(1), lit(kh)), s => pmod(
+      graft.functions.TextFunctions.hash32(
+        concat_ws(":", s.cast("string"), gram)),
+      lit(m.toLong)))
+
+  /** Bloom-filter contamination audit — the FIXED-STATE variant of
+    * [[overlap]]. The exact check broadcasts the full eval gram SET,
+    * which grows with the benchmark suite; the Bloom form compresses it
+    * to an `m`-bit filter — state bounded by CONFIG, not by data — at
+    * the price of false positives, which for decontamination only ever
+    * over-drop (the conservative direction; same argument as
+    * [[keepStream]]'s hash collisions).
+    *
+    * Spark-first shape, and why it scales:
+    *  - the filter is built from the (benchmark-sized) eval side: kh
+    *    positions per distinct gram, distinct-ed, folded to ONE row
+    *    holding the sorted position array (≤ m longs ≈ 8·m bytes —
+    *    constant). That row and the exact-set row reach the corpus as
+    *    single-row broadcasts (BroadcastNestedLoopJoin on one row — the
+    *    scalar-broadcast pattern of `dsir_weights`).
+    *  - the probe is FULLY ROW-LOCAL: each document's distinct gram
+    *    array is tested gram-by-gram with `forall` over the kh
+    *    positions against the broadcast array. The training corpus is
+    *    scanned once and NEVER shuffles — the plan above the scan is
+    *    project → filter, no exchange.
+    *  - at production scale the position array becomes a real bitset in
+    *    a broadcast variable probed by a native expression (Spark's own
+    *    runtime bloom-join pushdown shape); the sorted-array form keeps
+    *    every bit oracle-replayable here.
+    *
+    * Output: one row per contaminated-or-flagged training doc —
+    * (id, n_grams, n_bloom, n_exact) with n_grams the distinct-gram
+    * count, n_bloom the grams the filter flags, n_exact the grams truly
+    * shared with the eval set. `n_bloom ≥ n_exact` always (no false
+    * negatives — every true gram's positions are in the filter by
+    * construction); the gap is the false-positive honesty metric, like
+    * `kmv_est` vs `n_exact` and `ann_*_recall`. */
+  def bloomAudit(train: DataFrame, eval: DataFrame, n: Int, m: Int, kh: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(m >= 2 && kh >= 1, "need m >= 2 and kh >= 1")
+    val evalGrams = wordNgrams(eval, n, textCol, idCol)
+      .select(col("gram")).distinct()
+    val bloom = broadcast(
+      evalGrams.select(explode(bloomPositions(col("gram"), m, kh)).as("pos"))
+        .distinct()
+        .agg(sort_array(collect_set(col("pos"))).as("bloom")))
+    val evset = broadcast(
+      evalGrams.agg(sort_array(collect_set(col("gram"))).as("evset")))
+    train.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), gramsOfTokens(col("toks"), n).as("gs"))
+      .crossJoin(bloom).crossJoin(evset)
+      .select(col(idCol),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(filter(col("gs"), g =>
+          forall(bloomPositions(g, m, kh),
+            p => array_contains(col("bloom"), p)))).cast("long").as("n_bloom"),
+        size(array_intersect(col("gs"), col("evset"))).cast("long").as("n_exact"))
+      .filter(col("n_bloom") > 0)
+  }
 }

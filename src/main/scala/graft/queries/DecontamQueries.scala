@@ -20,6 +20,21 @@ import graft.queries.TextQueries.dNorm
 object DecontamQueries extends QueryPack {
 
   private val N = 3
+  // Bloom config for decontam_bloom: 16 Kbit × 3 hashes ≈ 27 bits per
+  // eval gram at sf0.01 (~600 grams) — per-gram FP ≈ 0.1%, so a handful
+  // of docs are flagged purely by false positives and the
+  // n_bloom/n_exact honesty gap is exercised, not just asserted.
+  // Production sizing is the same rule (≈10+ bits per benchmark gram):
+  // the filter stays KBs–MBs while the exact gram set grows with the
+  // suite.
+  private val M = 16384
+  private val KH = 3
+
+  /** hash32: first 8 md5 nibbles as integer (exact fold) — mirrors
+    * TextFunctions.hash32. */
+  private def dHash32(s: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), i -> " +
+      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -43,6 +58,20 @@ object DecontamQueries extends QueryPack {
           docs.filter($"doc_id" % 41 =!= 0),
           docs.filter($"doc_id" % 41 === 0), n = N)
         .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // Bounded-state contamination audit: an m-bit Bloom filter of the
+    // eval grams replaces the full gram set; n_bloom >= n_exact per doc,
+    // the gap = false positives (config-bounded state, conservative
+    // errors). The corpus side is scan → project → filter — zero
+    // shuffle.
+    "decontam_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Decontaminate.bloomAudit(
+          docs.filter($"doc_id" % 41 =!= 0),
+          docs.filter($"doc_id" % 41 === 0), n = N, m = M, kh = KH)
         .orderBy($"doc_id")
     })
   )
@@ -81,6 +110,38 @@ object DecontamQueries extends QueryPack {
          |)
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id % 41 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the seed-prefixed position family ("s:gram" → hash32 mod
+    // M), the distinct filter build, and the all-kh-positions probe.
+    "decontam_bloom" ->
+      s"""WITH $gramCtes,
+         |bloom AS (
+         |  SELECT DISTINCT
+         |    ${dHash32("CAST(s AS VARCHAR) || ':' || gram")} % $M AS pos
+         |  FROM ev CROSS JOIN range(1, ${KH + 1}) r(s)
+         |), trs AS (
+         |  SELECT doc_id, gram,
+         |    ${dHash32("CAST(s AS VARCHAR) || ':' || gram")} % $M AS pos
+         |  FROM tr CROSS JOIN range(1, ${KH + 1}) r(s)
+         |), hit AS (
+         |  SELECT doc_id, gram FROM trs JOIN bloom USING (pos)
+         |  GROUP BY doc_id, gram HAVING count(*) = $KH
+         |), ex AS (
+         |  SELECT doc_id, gram FROM tr JOIN ev USING (gram)
+         |), base AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr
+         |  GROUP BY doc_id
+         |)
+         |SELECT base.doc_id, base.n_grams,
+         |  CAST(coalesce(hb.c, 0) AS BIGINT) AS n_bloom,
+         |  CAST(coalesce(he.c, 0) AS BIGINT) AS n_exact
+         |FROM base
+         |LEFT JOIN (SELECT doc_id, count(*) AS c FROM hit GROUP BY doc_id) hb
+         |  USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id) he
+         |  USING (doc_id)
+         |WHERE coalesce(hb.c, 0) > 0
          |ORDER BY doc_id""".stripMargin
   )
 }

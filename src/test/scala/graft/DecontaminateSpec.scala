@@ -87,4 +87,40 @@ class DecontaminateSpec extends SparkSpec {
       assert(!streamed.contains(10L) && streamed.contains(11L))
     } finally q.stop()
   }
+
+  test("bloomAudit: no false negatives, n_bloom >= n_exact, exact column matches overlap") {
+    val train = df(
+      10L -> "alpha beta gamma delta",
+      11L -> "epsilon zeta eta theta iota",
+      12L -> "one two three alpha beta gamma",
+      13L -> "clean words only here nothing shared")
+    val eval = df(100L -> "alpha beta gamma delta epsilon")
+    val audit = Decontaminate.bloomAudit(train, eval, n = 3, m = 4096, kh = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every truly contaminated doc must be flagged (Bloom never misses)
+    val exact = Decontaminate.overlap(train, eval, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(audit.keySet))
+    // per-row invariants: n_grams >= n_bloom >= n_exact, and the exact
+    // column agrees with the overlap operator (0 when unflagged there)
+    audit.foreach { case (id, (grams, bloom, ex)) =>
+      assert(grams >= bloom && bloom >= ex, s"doc $id: $grams/$bloom/$ex")
+      assert(ex === exact.getOrElse(id, 0L), s"doc $id exact mismatch")
+    }
+  }
+
+  test("bloomAudit plan: corpus side is scan -> project -> filter, no exchange, no sort-merge join") {
+    val train = df(10L -> "alpha beta gamma delta", 11L -> "epsilon zeta eta")
+    val eval = df(100L -> "alpha beta gamma")
+    val plan = Decontaminate.bloomAudit(train, eval, n = 3, m = 4096, kh = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // both single-row frames arrive as broadcast nested-loop joins; the
+    // corpus segment ABOVE the first join must be exchange-free (the
+    // eval side's distinct/collect_set aggregations may shuffle)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val corpus = plan.substring(0, plan.indexOf("BroadcastExchange"))
+    assert(!corpus.contains("ShuffleExchange"), plan)
+  }
 }
