@@ -16,6 +16,12 @@ object AdvancedQueries extends QueryPack {
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(20, 4))
 
+  /** hash32: first 8 md5 nibbles as integer (exact fold) — mirrors
+    * TextFunctions.hash32. */
+  private def dHash32(s: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), i -> " +
+      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CUBE over two dims (all 2^2 grouping combinations).
@@ -29,6 +35,35 @@ object AdvancedQueries extends QueryPack {
           coalesce($"o_orderpriority", lit("ALL")).as("prio"),
           $"n", $"total")
         .orderBy($"st", $"prio")
+    }),
+
+    // Quantile SKETCH: exact percentiles over a deterministic fixed-
+    // size uniform sample (the 2000 smallest rows by hash32 of the
+    // primary key — a bottom-k-by-hash sample, the distributed cousin
+    // of KMV). The sample side is TakeOrderedAndProject: per-partition
+    // s-row heaps + one s-row merge, state bounded by CONFIG — the
+    // 100 TB quantile path. The full-table exact percentiles ride
+    // along as the honesty columns (like kmv_est vs n_exact); at
+    // production scale you keep only the sample estimate.
+    "sample_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select(
+        $"l_extendedprice".as("x"),
+        graft.functions.TextFunctions.hash32(
+          concat_ws(":", $"l_orderkey", $"l_linenumber")).as("h"),
+        $"l_orderkey", $"l_linenumber")
+      val samp = li.orderBy($"h", $"l_orderkey", $"l_linenumber").limit(2000)
+      val est = samp.agg(
+        round(expr("percentile(x, 0.1)"), 4).as("est_p10"),
+        round(expr("percentile(x, 0.5)"), 4).as("est_p50"),
+        round(expr("percentile(x, 0.9)"), 4).as("est_p90"),
+        round(expr("percentile(x, 0.99)"), 4).as("est_p99"))
+      val exact = li.agg(
+        round(expr("percentile(x, 0.1)"), 4).as("exact_p10"),
+        round(expr("percentile(x, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(x, 0.9)"), 4).as("exact_p90"),
+        round(expr("percentile(x, 0.99)"), 4).as("exact_p99"))
+      est.crossJoin(exact)
     }),
 
     // Exact percentiles (linear interpolation) per order status.
@@ -190,6 +225,29 @@ object AdvancedQueries extends QueryPack {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY st, prio""".stripMargin,
+
+    "sample_quantiles" ->
+      s"""WITH k AS (
+         |  SELECT l_extendedprice AS x,
+         |    ${dHash32("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} AS h,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem
+         |), samp AS (
+         |  SELECT x FROM k ORDER BY h, l_orderkey, l_linenumber LIMIT 2000
+         |), e AS (
+         |  SELECT round(quantile_cont(x, 0.1), 4) AS est_p10,
+         |         round(quantile_cont(x, 0.5), 4) AS est_p50,
+         |         round(quantile_cont(x, 0.9), 4) AS est_p90,
+         |         round(quantile_cont(x, 0.99), 4) AS est_p99
+         |  FROM samp
+         |), f AS (
+         |  SELECT round(quantile_cont(x, 0.1), 4) AS exact_p10,
+         |         round(quantile_cont(x, 0.5), 4) AS exact_p50,
+         |         round(quantile_cont(x, 0.9), 4) AS exact_p90,
+         |         round(quantile_cont(x, 0.99), 4) AS exact_p99
+         |  FROM k
+         |)
+         |SELECT * FROM e CROSS JOIN f""".stripMargin,
 
     "percentiles" ->
       """SELECT o_orderstatus,

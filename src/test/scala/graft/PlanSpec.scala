@@ -13,6 +13,11 @@ class PlanSpec extends SparkSpec {
     assert(plan("knn_single").contains("TakeOrderedAndProject"))
   }
 
+  test("sample_quantiles: the hash-sample is TakeOrderedAndProject, never a global sort") {
+    val p = plan("sample_quantiles")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q1_agg pushes the shipdate filter into the parquet scan") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
