@@ -27,6 +27,40 @@ object RetrievalQueries extends QueryPack {
     "bm25_topk" -> ((s, dir) =>
       Bm25.topK(Tables.documents(s, dir), terms, k = 15)),
 
+    // Pseudo-relevance feedback (RM3-lite, Lavrenko/Croft relevance
+    // models): BM25 top-10 seeds a feedback set; its non-query terms
+    // are weighted tfsum·idf (×1e6-quantized — integer inputs, one ln,
+    // total order (w desc, term)); the top-5 expansion terms join the
+    // query and the corpus is re-scored. Scale shape: the feedback set
+    // is API-bounded (10 docs), its vocabulary broadcast back to filter
+    // the corpus term explode (the corpus only ever shuffles matched
+    // (doc, term) rows — same as bm25_topk); the ≤5-term expansion is a
+    // driver list like the MMR shortlist, bounded by CONFIG. Both
+    // scoring passes are the oracle-verified Bm25 operator.
+    "bm25_prf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val seed = Bm25.topK(docs, terms, k = 10).select($"doc_id")
+      val fb = docs.join(broadcast(seed), "doc_id")
+        .select(graft.functions.TextFunctions.tokens($"text").as("t"))
+        .select(explode($"t").as("term"))
+        .filter(!$"term".isin(terms: _*))
+        .groupBy($"term").agg(count(lit(1)).as("tfsum"))
+      val cdf = docs
+        .select(graft.functions.TextFunctions.distinctTokens($"text").as("dt"))
+        .select(explode($"dt").as("term"))
+        .join(broadcast(fb.select($"term")), "term")
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val expansion = fb.join(cdf, "term").crossJoin(broadcast(stats))
+        .select($"term", round($"tfsum" *
+          log(lit(1.0) + (($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))) *
+          lit(1e6)).cast("long").as("w"))
+        .orderBy($"w".desc, $"term").limit(5)
+        .select($"term").as[String].collect().toSeq
+      Bm25.topK(docs, terms ++ expansion, k = 15)
+    }),
+
     // TF-IDF cosine top-15 — the vector-space complement to BM25: true
     // cosine needs every doc's norm over its FULL term vector, so this
     // exercises the corpus-wide inverted-index build (one posting-list
@@ -158,6 +192,64 @@ object RetrievalQueries extends QueryPack {
          |)
          |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
          |FROM terms GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Replays both scoring passes plus the expansion selection: seed
+    // top-10, feedback tf, candidate df, tfsum·idf ×1e6 weights, top-5
+    // (w desc, term) cut, union with the query, re-score, top-15.
+    "bm25_prf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, len(string_split($dNorm, ' ')) AS dl,
+         |         unnest(string_split($dNorm, ' ')) AS term
+         |  FROM documents
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(len(string_split($dNorm, ' '))) AS sumdl
+         |  FROM documents
+         |), f0 AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf
+         |  FROM tok WHERE term IN ($termsSql)
+         |  GROUP BY doc_id, term, dl
+         |), d0 AS (
+         |  SELECT term, count(*) AS df FROM f0 GROUP BY term
+         |), t0 AS (
+         |  SELECT f0.doc_id, CAST(round(
+         |    ln(1e0 + ((s.n - d.df + 5e-1) / (d.df + 5e-1))) *
+         |    ((f0.tf * 2.2e0) / (f0.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (f0.dl / (s.sumdl / s.n))))) *
+         |    1e6) AS BIGINT) AS ts
+         |  FROM f0 JOIN d0 d USING (term) CROSS JOIN stats s
+         |), seed AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+         |    FROM t0 GROUP BY doc_id)
+         |  ORDER BY score DESC, doc_id LIMIT 10
+         |), fb AS (
+         |  SELECT term, count(*) AS tfsum FROM tok JOIN seed USING (doc_id)
+         |  WHERE term NOT IN ($termsSql) GROUP BY term
+         |), cdf AS (
+         |  SELECT tok.term, count(DISTINCT tok.doc_id) AS df
+         |  FROM tok JOIN fb USING (term) GROUP BY tok.term
+         |), wexp AS (
+         |  SELECT fb.term, CAST(round(fb.tfsum *
+         |    ln(1e0 + ((s.n - c.df + 5e-1) / (c.df + 5e-1))) * 1e6) AS BIGINT) AS w
+         |  FROM fb JOIN cdf c USING (term) CROSS JOIN stats s
+         |), qx AS (
+         |  SELECT term FROM (SELECT term, w FROM wexp ORDER BY w DESC, term LIMIT 5)
+         |  UNION SELECT unnest([$termsSql]) AS term
+         |), f AS (
+         |  SELECT doc_id, term, dl, count(*) AS tf
+         |  FROM tok WHERE term IN (SELECT term FROM qx)
+         |  GROUP BY doc_id, term, dl
+         |), dfr AS (
+         |  SELECT term, count(*) AS df FROM f GROUP BY term
+         |), t1 AS (
+         |  SELECT f.doc_id, CAST(round(
+         |    ln(1e0 + ((s.n - d.df + 5e-1) / (d.df + 5e-1))) *
+         |    ((f.tf * 2.2e0) / (f.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (f.dl / (s.sumdl / s.n))))) *
+         |    1e6) AS BIGINT) AS ts
+         |  FROM f JOIN dfr d USING (term) CROSS JOIN stats s
+         |)
+         |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+         |FROM t1 GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     "tfidf_topk" -> {

@@ -71,4 +71,43 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("PRF expansion surfaces a doc that shares no query term with the query") {
+    // "spark" docs consistently co-occur with "shuffle"; doc 5 mentions
+    // ONLY "shuffle". Plain BM25 for "spark" cannot retrieve doc 5;
+    // after feedback expansion picks up "shuffle", PRF must.
+    // "shuffle" must dominate tfsum·idf over the one-off singletons
+    // (tuning, spill, ...) whose idf is higher — hence twice per doc
+    val corpus = Seq(
+      (1L, "spark shuffle shuffle tuning"),
+      (2L, "spark shuffle shuffle partitions"),
+      (3L, "spark shuffle shuffle spill"),
+      (4L, "cooking pasta at home tonight"),
+      (5L, "shuffle service deep dive")).toDF("doc_id", "text")
+    val q = Seq("spark")
+    val plain = Bm25.topK(corpus, q, k = 5).collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(5L))
+    // replicate the bm25_prf recipe at small scale: seed top-3, top-1
+    // expansion term by tfsum·idf
+    val seed = Bm25.topK(corpus, q, k = 3).select($"doc_id")
+    val fb = corpus.join(broadcast(seed), "doc_id")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("term"))
+      .filter(!$"term".isin(q: _*))
+      .groupBy($"term").agg(count(lit(1)).as("tfsum"))
+    val cdf = corpus
+      .select(explode(graft.functions.TextFunctions.distinctTokens($"text")).as("term"))
+      .join(broadcast(fb.select($"term")), "term")
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n"))
+    val expansion = fb.join(cdf, "term").crossJoin(broadcast(stats))
+      .select($"term", round($"tfsum" *
+        log(lit(1.0) + (($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))) *
+        lit(1e6)).cast("long").as("w"))
+      .orderBy($"w".desc, $"term").limit(1)
+      .select($"term").as[String].collect().toSeq
+    assert(expansion === Seq("shuffle"))
+    val prf = Bm25.topK(corpus, q ++ expansion, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(prf.contains(5L))
+  }
 }
