@@ -176,10 +176,59 @@ object VectorQueries extends QueryPack {
           min($"norm").as("min_norm"),
           max($"norm").as("max_norm"))
         .orderBy($"label")
+    }),
+
+    // Top principal direction by power iteration (3 rounds, uniform
+    // start): the X·(Xᵀv)-free PCA form — no d×d covariance, one
+    // d-bounded shuffle per iteration, v a d-float driver round-trip.
+    // Every cross-row float sum is ×1e4-quantized; v re-enters each
+    // round as a 6-dp decimal cast to FLOAT so both engines fold
+    // identical bits (the ann_refined stabilization).
+    "embed_pc1" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Pca.pc1(Tables.embeddings(s, dir), dim = 64, iters = 3)
+        .orderBy($"dim")
     })
   )
 
+  /** One power-iteration round as DuckDB CTEs: consumes `vl$p` (scalar
+    * REAL list), defines `w$t`/`n$t`/`v$t`/`vl$t`. Mirrors Pca.pc1's
+    * quantization points exactly. */
+  private def pcaIter(t: Int, p: Int): String =
+    s"""y$t AS (
+       |  SELECT embedding, list_sum(list_transform(range(1, 65), j ->
+       |    CAST(embedding[j] AS DOUBLE) * CAST(vl[j] AS DOUBLE))) AS y
+       |  FROM embeddings CROSS JOIN vl$p
+       |), tm$t AS (
+       |  SELECT j - 1 AS i,
+       |    CAST(round(y * CAST(embedding[j] AS DOUBLE) * 1e4) AS BIGINT) AS q
+       |  FROM y$t CROSS JOIN range(1, 65) r(j)
+       |), w$t AS (
+       |  SELECT i, CAST(sum(q) AS BIGINT) AS wq FROM tm$t GROUP BY i
+       |), n$t AS (
+       |  SELECT sqrt(CAST(sum(CAST(wq AS HUGEINT) * wq) AS DOUBLE)) / 1e4 AS norm
+       |  FROM w$t
+       |), v$t AS (
+       |  SELECT i, CAST(round(wq / 1e4 / norm * 1e6) AS BIGINT) AS vq, norm
+       |  FROM w$t CROSS JOIN n$t
+       |), vl$t AS (
+       |  SELECT list(CAST(CAST(vq AS DOUBLE) / 1e6 AS REAL) ORDER BY i) AS vl
+       |  FROM v$t
+       |)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+
+    "embed_pc1" ->
+      s"""WITH vl0 AS (
+         |  SELECT list_transform(range(1, 65), j -> CAST(0.125 AS REAL)) AS vl
+         |),
+         |${pcaIter(1, 0)},
+         |${pcaIter(2, 1)},
+         |${pcaIter(3, 2)}
+         |SELECT CAST(i + 1 AS INTEGER) AS dim,
+         |  vq / 1e6 AS pc1,
+         |  CAST(CAST(round(norm * 1e3) AS BIGINT) AS DOUBLE) / 1e3 AS lambda
+         |FROM v3 ORDER BY dim""".stripMargin,
 
     "knn_single" ->
       s"""SELECT e.vec_id,
