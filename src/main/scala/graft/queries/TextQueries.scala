@@ -538,6 +538,53 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    // key = ln(u)/w with u = (hash32("wrs:"+id)+1)/2³² and w = n_chars
+    // — the one-pass distributed reservoir (top-k by key plans
+    // TakeOrderedAndProject: per-partition k-heaps, config-bounded
+    // state). Both engines compute the key with identical double ops on
+    // identical integer inputs, so the SELECTED SET is bit-determined;
+    // the emitted key is ×1e9-quantized for the value compare.
+    "sample_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val u = (hash32(concat(lit("wrs:"), $"doc_id".cast("string")))
+        .cast("double") + lit(1.0)) / lit(4294967296.0)
+      val key = log(u) / $"n_chars".cast("double")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", key.as("k"))
+        .orderBy($"k".desc, $"doc_id").limit(50)
+        .select($"doc_id", $"n_chars",
+          round($"k" * lit(1e9)).cast("long").as("key_q"))
+        .orderBy($"doc_id")
+    }),
+
+    // Temperature-based language rebalancing (XLM-R α=0.5 resampling,
+    // arXiv:1911.02116 §3) APPLIED: per-lang budgets k_l =
+    // ⌊√c_l·K / Σ√c⌋ in exact integers (√ terms ×1e6-quantized before
+    // the lang-bounded denominator sum), then the k_l docs with the
+    // smallest (md5, id) rank per lang are kept — fully deterministic
+    // thinning, the application step domain_mix only computed weights
+    // for. Per-lang rank is a lang-partitioned window (the grouped_topk
+    // shape).
+    "lang_balance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .select($"lang", $"c",
+          round(sqrt($"c".cast("double")) * lit(1e6)).cast("long").as("sq"))
+      val denom = counts.agg(sum($"sq").as("denom"))
+      val budgets = counts.crossJoin(broadcast(denom))
+        .select($"lang", $"c", expr("sq * 300L div denom").as("k_l"))
+      val ranked = docs.select($"doc_id", $"lang",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang")
+            .orderBy(md5($"doc_id".cast("string")), $"doc_id")).as("rn"))
+      ranked.join(broadcast(budgets), "lang")
+        .filter($"rn" <= $"k_l")
+        .select($"doc_id", $"lang", $"k_l")
+        .orderBy($"doc_id")
+    }),
+
     // Repetition quality signals (the public Gopher-rule shape, Rae et
     // al. 2021, arXiv:2112.11446 §A1.1), both defined as true [0,1]
     // OCCURRENCE fractions over shingle positions:
@@ -1172,6 +1219,36 @@ object TextQueries extends QueryPack {
          |               WHEN 'es' THEN bucket < 2
          |               ELSE true END
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars,
+         |    ln(CAST(${dHash32("'wrs:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         |       / 4294967296e0) / CAST(n_chars AS DOUBLE) AS k
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars, CAST(round(k * 1e9) AS BIGINT) AS key_q
+         |FROM (SELECT * FROM k ORDER BY k DESC, doc_id LIMIT 50)
+         |ORDER BY doc_id""".stripMargin,
+
+    "lang_balance" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS c,
+         |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+         |  FROM documents GROUP BY lang
+         |), d AS (
+         |  SELECT sum(sq) AS denom FROM c
+         |), b AS (
+         |  SELECT lang, (sq * 300) // denom AS k_l FROM c CROSS JOIN d
+         |), r AS (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents
+         |)
+         |SELECT r.doc_id, r.lang, CAST(b.k_l AS BIGINT) AS k_l
+         |FROM r JOIN b USING (lang)
+         |WHERE r.rn <= b.k_l
+         |ORDER BY r.doc_id""".stripMargin,
 
     // word shingles mirror wordShingles exactly: space-joined slices;
     // range(1, n) is empty when n <= 1, matching the short-doc guard
