@@ -188,17 +188,25 @@ object Decontaminate {
         .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("mp"))
         .select(transform(sequence(lit(0), lit(nwords - 1)),
           i => coalesce(element_at(col("mp"), i.cast("long")), lit(0L))).as("bloom")))
-    val evset = broadcast(
-      evalGrams.agg(sort_array(collect_set(col("gram"))).as("evset")))
+    // exact hits via the [[overlap]] broadcast join — NOT a per-row
+    // array_intersect against a broadcast gram array: Spark rebuilds
+    // the intersect hash set per ROW, which cost 12 s of forced compute
+    // at sf0.1 (~5000 rows × a 6000-gram set). The overlap counts are
+    // contamination-bounded, so they come back as a broadcast left
+    // join; the corpus still never shuffles.
+    val exact = overlap(train, eval, n, textCol, idCol)
+      .withColumnRenamed("n_overlap", "n_exact")
     train.select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), gramsOfTokens(col("toks"), n).as("gs"))
-      .crossJoin(bloom).crossJoin(evset)
+      .crossJoin(bloom)
       .select(col(idCol),
         size(col("gs")).cast("long").as("n_grams"),
         size(filter(col("gs"), g =>
           forall(bloomPositions(g, m, kh),
-            p => bitTest(col("bloom"), p)))).cast("long").as("n_bloom"),
-        size(array_intersect(col("gs"), col("evset"))).cast("long").as("n_exact"))
+            p => bitTest(col("bloom"), p)))).cast("long").as("n_bloom"))
       .filter(col("n_bloom") > 0)
+      .join(broadcast(exact), Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), col("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 }
