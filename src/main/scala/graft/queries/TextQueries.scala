@@ -538,6 +538,39 @@ object TextQueries extends QueryPack {
         .orderBy($"doc_id")
     }),
 
+    // PMI collocation extraction (word2vec/phrase-mining prep, Church &
+    // Hanks 1990): pmi(a,b) = ln(p(ab)/(p(a)p(b))) over adjacent
+    // bigrams, c_ab >= 5 noise floor, top-20 under a total order. All
+    // counts are exact integers from two shuffles (bigram, unigram);
+    // corpus totals broadcast as single rows; the one ln sees a double
+    // ratio built from integers in a fixed association order,
+    // ×1e6-quantized. Shingles persist before the generator (round-8
+    // convention) and feed both explodes from one cache.
+    "pmi_top" -> ((s, dir) => {
+      import s.implicits._
+      val shingled = Tables.documents(s, dir)
+        .select(tokens($"text").as("tok"))
+        .select(wordShingles($"tok", 2).as("sh"), $"tok")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = shingled.select(explode($"sh").as("g"))
+      val toks = shingled.select(explode($"tok").as("t"))
+      val c2 = grams.groupBy($"g").agg(count(lit(1)).as("c_ab"))
+      val c1 = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+      val nb = grams.agg(count(lit(1)).as("n_bi"))
+      val nu = toks.agg(count(lit(1)).as("n_uni"))
+      c2.filter($"c_ab" >= 5)
+        .withColumn("a", substring_index($"g", " ", 1))
+        .withColumn("b", substring_index($"g", " ", -1))
+        .join(c1.select($"t".as("a"), $"c".as("c_a")), Seq("a"))
+        .join(c1.select($"t".as("b"), $"c".as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select($"g", $"c_ab",
+          round(log((($"c_ab".cast("double") * $"n_uni") * $"n_uni") /
+            (($"n_bi".cast("double") * $"c_a") * $"c_b")) * lit(1e6))
+            .cast("long").as("pmi_q"))
+        .orderBy($"pmi_q".desc, $"g").limit(20)
+    }),
+
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
     // key = ln(u)/w with u = (hash32("wrs:"+id)+1)/2³² and w = n_chars
     // — the one-pass distributed reservoir (top-k by key plans
@@ -1219,6 +1252,33 @@ object TextQueries extends QueryPack {
          |               WHEN 'es' THEN bucket < 2
          |               ELSE true END
          |ORDER BY doc_id""".stripMargin,
+
+    "pmi_top" ->
+      s"""WITH t AS (
+         |  SELECT string_split($dNorm, ' ') AS tk FROM documents
+         |), sh AS (
+         |  SELECT list_transform(range(1, len(tk)), i ->
+         |    array_to_string(tk[i:i+1], ' ')) AS sh, tk
+         |  FROM t
+         |), g AS (
+         |  SELECT unnest(sh) AS g FROM sh
+         |), u AS (
+         |  SELECT unnest(tk) AS t FROM sh
+         |), c2 AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c_ab FROM g GROUP BY g
+         |), c1 AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY t
+         |), nb AS (SELECT count(*) AS n_bi FROM g
+         |), nu AS (SELECT count(*) AS n_uni FROM u)
+         |SELECT c2.g, c2.c_ab,
+         |  CAST(round(ln(((CAST(c2.c_ab AS DOUBLE) * nu.n_uni) * nu.n_uni) /
+         |    ((CAST(nb.n_bi AS DOUBLE) * ca.c) * cb.c)) * 1e6) AS BIGINT) AS pmi_q
+         |FROM c2
+         |JOIN c1 ca ON ca.t = string_split(c2.g, ' ')[1]
+         |JOIN c1 cb ON cb.t = string_split(c2.g, ' ')[-1]
+         |CROSS JOIN nb CROSS JOIN nu
+         |WHERE c2.c_ab >= 5
+         |ORDER BY pmi_q DESC, g LIMIT 20""".stripMargin,
 
     "sample_weighted" ->
       s"""WITH k AS (
