@@ -74,4 +74,29 @@ class SketchSpec extends SparkSpec {
       .orderBy($"r", $"b").collect().toSeq
     assert(a === b)
   }
+
+  test("cms runs AS A STREAM with bounded state: complete-mode table == batch sketch of the union") {
+    // the d·w cell bound is exactly what makes the sketch streaming-
+    // legal: the groupBy(r, b).count state cannot exceed d·w rows no
+    // matter how long the stream runs — a full vocab count would grow
+    // without bound. Two micro-batches, then parity vs one batch pass.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (0 until 300).map(i => s"w${i % 31}")
+    val batch2 = (0 until 200).map(i => s"w${i % 17}")
+    val mem = MemoryStream[String]
+    val q = Sketch.cmsTable(mem.toDF().toDF("v"), "v")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Sketch.cmsTable((batch1 ++ batch2).toDF("v"), "v")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.size <= 4 * 256)
+    } finally q.stop()
+  }
 }
