@@ -69,13 +69,13 @@ object TextQueries extends QueryPack {
     * hash family): shingle hash32s → H families (a_j·h+b_j mod p) →
     * r-row band buckets → candidate pairs → exact-jaccard verify. */
   private def dMinhashPipeline(shingleExpr: String, numHashes: Int, bands: Int,
-      threshold: Double): String = {
+      threshold: Double, source: String = "documents"): String = {
     val r = numHashes / bands
     val estFloor = math.max(0.0, threshold - 0.15)
     val bucket = (0 until r).map(k => s"CAST(sg[$r*b+${k + 1}] AS VARCHAR)")
       .mkString(" || ':' || ")
     s"""WITH t AS (
-       |  SELECT doc_id, $shingleExpr AS sh FROM documents
+       |  SELECT doc_id, $shingleExpr AS sh FROM $source
        |), hsh AS (
        |  SELECT doc_id, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
        |), sig AS (
@@ -536,6 +536,39 @@ object TextQueries extends QueryPack {
           Map("en" -> 4, "es" -> 2), outOf = 8, salt = "mix"))
         .select($"doc_id", $"lang")
         .orderBy($"doc_id")
+    }),
+
+    // LSH RECALL honesty metric (the dedup mirror of ann_recall): on a
+    // deterministic 1/5 sample, ground truth = ALL pairs with exact
+    // set-Jaccard >= 0.8 (sample-bounded quadratic via a broadcast
+    // nested-loop — the same honesty-oracle pattern as dedup_simhash's
+    // full-quadratic check), found = the production minhash pipeline at
+    // the dedup_minhash config. Emits n_true / n_found / n_hit and the
+    // integer recall — the un-audited side of the banding tradeoff
+    // (precision is est-gate + exact-verify by construction).
+    "dedup_minhash_recall" -> ((s, dir) => {
+      import s.implicits._
+      val sample = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+      val found = Dedup.minhashNearDups(sample,
+          shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
+        .select($"id1", $"id2")
+      val ts = sample.select($"doc_id", array_distinct(tokens($"text")).as("ts"))
+      val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
+        .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2",
+          size(array_intersect($"t1", $"t2")).cast("long").as("i"),
+          size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
+      val truth = pairs
+        .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
+        .select($"id1", $"id2")
+      val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select($"n_true", $"n_found", $"n_hit",
+          when($"n_true" === 0L, lit(1000000L))
+            .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
     }),
 
     // PMI collocation extraction (word2vec/phrase-mining prep, Church &
@@ -1252,6 +1285,36 @@ object TextQueries extends QueryPack {
          |               WHEN 'es' THEN bucket < 2
          |               ELSE true END
          |ORDER BY doc_id""".stripMargin,
+
+    // truth = sample-quadratic exact Jaccard; found = the full minhash
+    // pipeline replayed on the same sample (nested-CTE subquery)
+    "dedup_minhash_recall" ->
+      s"""WITH ts AS (
+         |  SELECT doc_id, $dTok AS ts
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), p AS (
+         |  SELECT a.doc_id AS id1, c.doc_id AS id2,
+         |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
+         |    CAST(len(a.ts) AS BIGINT) AS s1, CAST(len(c.ts) AS BIGINT) AS s2
+         |  FROM ts a JOIN ts c ON a.doc_id < c.doc_id
+         |), truth AS (
+         |  SELECT id1, id2 FROM p
+         |  WHERE CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE) >= 0.8
+         |), found AS (
+         |  SELECT id1, id2 FROM (
+         |    ${dMinhashPipeline(dTok, 12, 4, 0.8,
+                "(SELECT * FROM documents WHERE doc_id % 5 = 0)")}
+         |  )
+         |), hit AS (
+         |  SELECT truth.id1, truth.id2 FROM truth JOIN found USING (id1, id2)
+         |)
+         |SELECT CAST(t.c AS BIGINT) AS n_true, CAST(f.c AS BIGINT) AS n_found,
+         |  CAST(h.c AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN t.c = 0 THEN 1000000
+         |            ELSE (h.c * 1000000) // t.c END AS BIGINT) AS recall_q
+         |FROM (SELECT count(*) AS c FROM truth) t,
+         |     (SELECT count(*) AS c FROM found) f,
+         |     (SELECT count(*) AS c FROM hit) h""".stripMargin,
 
     "pmi_top" ->
       s"""WITH t AS (
