@@ -571,6 +571,38 @@ object TextQueries extends QueryPack {
             .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
     }),
 
+    // The banding KNOB measured: same truth set, three LSH configs —
+    // (12,4) r=3 (the production default), (24,8) r=3 with more bands,
+    // (12,6) r=2 — recall rises as r falls / bands rise, at more
+    // candidate-join work. One row per config; the table a user reads
+    // before picking the tradeoff.
+    "dedup_minhash_tradeoff" -> ((s, dir) => {
+      import s.implicits._
+      val sample = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+      val ts = sample.select($"doc_id", array_distinct(tokens($"text")).as("ts"))
+      val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
+        .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
+        .filter($"id1" < $"id2")
+        .select($"id1", $"id2",
+          size(array_intersect($"t1", $"t2")).cast("long").as("i"),
+          size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
+      val truth = pairs
+        .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
+        .select($"id1", $"id2")
+      Seq((12, 4), (24, 8), (12, 6)).map { case (nh, nb) =>
+        val found = Dedup.minhashNearDups(sample,
+            shingleN = 1, numHashes = nh, bands = nb, threshold = 0.8)
+          .select($"id1", $"id2")
+        val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(lit(nh.toLong).as("num_hashes"), lit(nb.toLong).as("bands"),
+            $"n_true", $"n_hit",
+            when($"n_true" === 0L, lit(1000000L))
+              .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
+      }.reduce(_ unionByName _).orderBy($"num_hashes", $"bands")
+    }),
+
     // PMI collocation extraction (word2vec/phrase-mining prep, Church &
     // Hanks 1990): pmi(a,b) = ln(p(ab)/(p(a)p(b))) over adjacent
     // bigrams, c_ab >= 5 noise floor, top-20 under a total order. All
@@ -1315,6 +1347,41 @@ object TextQueries extends QueryPack {
          |FROM (SELECT count(*) AS c FROM truth) t,
          |     (SELECT count(*) AS c FROM found) f,
          |     (SELECT count(*) AS c FROM hit) h""".stripMargin,
+
+    "dedup_minhash_tradeoff" -> {
+      val sampleSrc = "(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+      def cfgRow(nh: Int, nb: Int) =
+        s"""SELECT CAST($nh AS BIGINT) AS num_hashes, CAST($nb AS BIGINT) AS bands,
+           |  CAST(t.c AS BIGINT) AS n_true, CAST(h.c AS BIGINT) AS n_hit,
+           |  CAST(CASE WHEN t.c = 0 THEN 1000000
+           |            ELSE (h.c * 1000000) // t.c END AS BIGINT) AS recall_q
+           |FROM (SELECT count(*) AS c FROM truth) t,
+           |     (SELECT count(*) AS c FROM (
+           |        SELECT truth.id1 FROM truth JOIN (
+           |          SELECT id1, id2 FROM (
+           |            ${dMinhashPipeline(dTok, nh, nb, 0.8, sampleSrc)}
+           |          )
+           |        ) f USING (id1, id2)
+           |     )) h""".stripMargin
+      s"""WITH ts AS (
+         |  SELECT doc_id, $dTok AS ts
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), p AS (
+         |  SELECT a.doc_id AS id1, c.doc_id AS id2,
+         |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
+         |    CAST(len(a.ts) AS BIGINT) AS s1, CAST(len(c.ts) AS BIGINT) AS s2
+         |  FROM ts a JOIN ts c ON a.doc_id < c.doc_id
+         |), truth AS (
+         |  SELECT id1, id2 FROM p
+         |  WHERE CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE) >= 0.8
+         |)
+         |${cfgRow(12, 4)}
+         |UNION ALL
+         |${cfgRow(24, 8)}
+         |UNION ALL
+         |${cfgRow(12, 6)}
+         |ORDER BY num_hashes, bands""".stripMargin
+    },
 
     "pmi_top" ->
       s"""WITH t AS (
