@@ -539,32 +539,41 @@ object TextQueries extends QueryPack {
     }),
 
     // LSH RECALL honesty metric (the dedup mirror of ann_recall): on a
-    // deterministic 1/5 sample, ground truth = ALL pairs with exact
-    // set-Jaccard >= 0.8 (sample-bounded quadratic via a broadcast
-    // nested-loop — the same honesty-oracle pattern as dedup_simhash's
-    // full-quadratic check), found = the production minhash pipeline at
-    // the dedup_minhash config. Emits n_true / n_found / n_hit and the
+    // deterministic 1/10 sample, ground truth = ALL pairs with exact
+    // set-Jaccard >= 0.8 over hash32'd token sets (sample-bounded
+    // quadratic via a broadcast nested-loop — the dedup_simhash
+    // honesty-oracle pattern; int intersects keep the quadratic cheap,
+    // and a hash collision can only merge tokens, 2^-32 per pair, same
+    // in both engines), found = the production minhash pipeline at the
+    // dedup_minhash config. Emits n_true / n_found / n_hit and the
     // integer recall — the un-audited side of the banding tradeoff
     // (precision is est-gate + exact-verify by construction).
     "dedup_minhash_recall" -> ((s, dir) => {
       import s.implicits._
-      val sample = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+      val sample = Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
       val found = Dedup.minhashNearDups(sample,
           shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
         .select($"id1", $"id2")
-      val ts = sample.select($"doc_id", array_distinct(tokens($"text")).as("ts"))
+      val ts = sample.select($"doc_id",
+        transform(array_distinct(tokens($"text")), t => hash32(t)).as("ts"))
       val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
         .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
         .filter($"id1" < $"id2")
         .select($"id1", $"id2",
           size(array_intersect($"t1", $"t2")).cast("long").as("i"),
           size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
+      // truth and found each feed two consumers — persist so the
+      // sample-quadratic and the pipeline run ONCE (6.7 → ~2.5 s at
+      // sf0.1 benched)
       val truth = pairs
         .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
         .select($"id1", $"id2")
-      val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val foundP = found
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = truth.join(foundP, Seq("id1", "id2"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(foundP.agg(count(lit(1)).as("n_found")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select($"n_true", $"n_found", $"n_hit",
           when($"n_true" === 0L, lit(1000000L))
@@ -578,17 +587,20 @@ object TextQueries extends QueryPack {
     // before picking the tradeoff.
     "dedup_minhash_tradeoff" -> ((s, dir) => {
       import s.implicits._
-      val sample = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
-      val ts = sample.select($"doc_id", array_distinct(tokens($"text")).as("ts"))
+      val sample = Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
+      val ts = sample.select($"doc_id",
+        transform(array_distinct(tokens($"text")), t => hash32(t)).as("ts"))
       val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
         .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
         .filter($"id1" < $"id2")
         .select($"id1", $"id2",
           size(array_intersect($"t1", $"t2")).cast("long").as("i"),
           size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
+      // ONE truth materialization feeds all three config branches
       val truth = pairs
         .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
         .select($"id1", $"id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Seq((12, 4), (24, 8), (12, 6)).map { case (nh, nb) =>
         val found = Dedup.minhashNearDups(sample,
             shingleN = 1, numHashes = nh, bands = nb, threshold = 0.8)
@@ -1322,8 +1334,8 @@ object TextQueries extends QueryPack {
     // pipeline replayed on the same sample (nested-CTE subquery)
     "dedup_minhash_recall" ->
       s"""WITH ts AS (
-         |  SELECT doc_id, $dTok AS ts
-         |  FROM documents WHERE doc_id % 5 = 0
+         |  SELECT doc_id, list_transform($dTok, t -> ${dHash32("t")}) AS ts
+         |  FROM documents WHERE doc_id % 10 = 0
          |), p AS (
          |  SELECT a.doc_id AS id1, c.doc_id AS id2,
          |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
@@ -1335,7 +1347,7 @@ object TextQueries extends QueryPack {
          |), found AS (
          |  SELECT id1, id2 FROM (
          |    ${dMinhashPipeline(dTok, 12, 4, 0.8,
-                "(SELECT * FROM documents WHERE doc_id % 5 = 0)")}
+                "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}
          |  )
          |), hit AS (
          |  SELECT truth.id1, truth.id2 FROM truth JOIN found USING (id1, id2)
@@ -1349,7 +1361,7 @@ object TextQueries extends QueryPack {
          |     (SELECT count(*) AS c FROM hit) h""".stripMargin,
 
     "dedup_minhash_tradeoff" -> {
-      val sampleSrc = "(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+      val sampleSrc = "(SELECT * FROM documents WHERE doc_id % 10 = 0)"
       def cfgRow(nh: Int, nb: Int) =
         s"""SELECT CAST($nh AS BIGINT) AS num_hashes, CAST($nb AS BIGINT) AS bands,
            |  CAST(t.c AS BIGINT) AS n_true, CAST(h.c AS BIGINT) AS n_hit,
@@ -1364,8 +1376,8 @@ object TextQueries extends QueryPack {
            |        ) f USING (id1, id2)
            |     )) h""".stripMargin
       s"""WITH ts AS (
-         |  SELECT doc_id, $dTok AS ts
-         |  FROM documents WHERE doc_id % 5 = 0
+         |  SELECT doc_id, list_transform($dTok, t -> ${dHash32("t")}) AS ts
+         |  FROM documents WHERE doc_id % 10 = 0
          |), p AS (
          |  SELECT a.doc_id AS id1, c.doc_id AS id2,
          |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
