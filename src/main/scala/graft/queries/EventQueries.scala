@@ -54,6 +54,27 @@ object EventQueries extends QueryPack {
           sum(dec2($"value")).cast("double").as("total_value"))
         .filter($"n_events" >= 5)
         .orderBy($"user_id")
+    }),
+
+    // Cohort retention matrix: users grouped by first-activity week
+    // (ISO Monday truncation), counted distinct per week offset — the
+    // standard product-analytics grid. Two natural shuffles (per-user
+    // min on user_id; the cohort/offset count) and one equi-join back
+    // on user_id — co-partitioned with the table's natural key at any
+    // scale. All integers/dates.
+    "events_cohorts" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val firstWeek = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cohort_ts"))
+      ev.join(firstWeek, "user_id")
+        .select($"user_id", $"cohort_ts",
+          (datediff(date_trunc("week", $"ts"), $"cohort_ts") / 7)
+            .cast("long").as("week_offset"))
+        .groupBy($"cohort_ts", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .select($"cohort_ts".cast("date").as("cohort"), $"week_offset", $"n_users")
+        .orderBy($"cohort", $"week_offset")
     })
   )
 
@@ -213,6 +234,23 @@ object EventQueries extends QueryPack {
         |FROM events
         |GROUP BY user_id
         |HAVING count(*) >= 5
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // both sides week-truncate to Mondays, so the day diff is an exact
+    // multiple of 7 — the /7 division is exact in either engine
+    "events_cohorts" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+        |  FROM events GROUP BY user_id
+        |), j AS (
+        |  SELECT e.user_id, fw.cohort_ts,
+        |    CAST(date_diff('day', fw.cohort_ts, date_trunc('week', e.ts)) / 7
+        |      AS BIGINT) AS week_offset
+        |  FROM events e JOIN fw USING (user_id)
+        |)
+        |SELECT CAST(cohort_ts AS DATE) AS cohort, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY cohort_ts, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin
   )
 }
