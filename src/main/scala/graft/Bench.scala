@@ -99,13 +99,7 @@ object Bench {
 
     probeOnce("warmup")
     val probeFirst = probeOnce("first")
-    // Optional comma-separated subset for local perf iteration; the
-    // driver leaves this unset and benches everything (same contract as
-    // Verify's GRAFT_ONLY).
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val results = SparkEntry.selectedQueries.map { case (name, fn) =>
       timed(s"$name warmup")(fn(spark, sfDir).count())
       name -> timed(s"$name measured")(fn(spark, sfDir).count())
     }

@@ -42,4 +42,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap
+
+  /** Queries name-sorted and filtered by the optional comma-separated
+    * GRAFT_ONLY env var — the single definition of the local-iteration
+    * subset contract shared by Verify, Bench, and ProfileForced (the
+    * driver leaves the var unset and gets everything). */
+  def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    queries.toSeq.sortBy(_._1).filter { case (n, _) => only.forall(_.contains(n)) }
+  }
 }

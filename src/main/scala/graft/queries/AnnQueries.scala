@@ -257,9 +257,7 @@ object AnnQueries extends QueryPack {
        |  ) WHERE rn = 1""".stripMargin
 
   /** hash32 fragment (same as TextQueries): first 8 md5 nibbles, exact fold. */
-  private def dHash32(s: String): String =
-    s"CAST(list_sum(list_transform(range(1,9), i -> " +
-      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+  import graft.queries.DuckSql.dHash32
 
   /** Shared CTEs for the random-projection queries (mirrors Ann.rpPlanes
     * / rpProject / the shortlist stage of rpSearch): ±1 sign planes from

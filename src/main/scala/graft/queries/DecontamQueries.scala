@@ -30,11 +30,7 @@ object DecontamQueries extends QueryPack {
   private val M = 16384
   private val KH = 3
 
-  /** hash32: first 8 md5 nibbles as integer (exact fold) — mirrors
-    * TextFunctions.hash32. */
-  private def dHash32(s: String): String =
-    s"CAST(list_sum(list_transform(range(1,9), i -> " +
-      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+  import graft.queries.DuckSql.dHash32
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -19,3 +19,15 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
 }
+
+/** Shared DuckDB SQL fragments used by multiple packs' oracles. One
+  * definition per hash family — four packs replay `hash32`, and a
+  * drifted copy would silently break oracle parity for the stale pack. */
+object DuckSql {
+
+  /** hash32: first 8 md5 nibbles as integer (exact fold) — mirrors
+    * graft.functions.TextFunctions.hash32 / expressions.Hash32. */
+  def dHash32(s: String): String =
+    s"CAST(list_sum(list_transform(range(1,9), i -> " +
+      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+}

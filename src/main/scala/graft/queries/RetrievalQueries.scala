@@ -41,11 +41,16 @@ object RetrievalQueries extends QueryPack {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val seed = Bm25.topK(docs, terms, k = 10).select($"doc_id")
+      // fb feeds TWO consumers (cdf's broadcast filter and the weight
+      // join) — persisted so the seed top-10 pass and the feedback
+      // tokenize/aggregate run once, not twice (Spark reuses exchanges,
+      // not arbitrary common subtrees)
       val fb = docs.join(broadcast(seed), "doc_id")
         .select(graft.functions.TextFunctions.tokens($"text").as("t"))
         .select(explode($"t").as("term"))
         .filter(!$"term".isin(terms: _*))
         .groupBy($"term").agg(count(lit(1)).as("tfsum"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cdf = docs
         .select(graft.functions.TextFunctions.distinctTokens($"text").as("dt"))
         .select(explode($"dt").as("term"))

@@ -25,10 +25,7 @@ object TextQueries extends QueryPack {
   private def dJac(a: String, b: String): String =
     s"(len(list_filter($a, x -> list_contains($b, x))) * 1.0 / " +
       s"(len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x)))))"
-  /** hash32: first 8 md5 nibbles as integer (exact fold) */
-  private def dHash32(s: String): String =
-    s"CAST(list_sum(list_transform(range(1,9), i -> " +
-      s"(strpos('0123456789abcdef', md5($s)[i:i]) - 1) * 16^(8-i))) AS BIGINT)"
+  import graft.queries.DuckSql.dHash32
 
   /** hash56: first 14 md5 nibbles as integer. The fold stays in BIGINT —
     * a double-arithmetic sum would round past 2^53. */
@@ -162,6 +159,32 @@ object TextQueries extends QueryPack {
        |       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
        |FROM sh a JOIN sh c ON a.doc_id < c.doc_id
        |WHERE bit_count(xor(a.simhash, c.simhash)) <= 6""".stripMargin
+
+  /** Sample-quadratic LSH ground truth shared by dedup_minhash_recall /
+    * dedup_minhash_tradeoff: the deterministic 1/10 sample and its
+    * PERSISTED set of exact-Jaccard >= 0.8 pairs over hash32'd distinct
+    * token sets (int intersects keep the quadratic cheap; a collision
+    * merges tokens identically in both engines). ONE definition so both
+    * honesty metrics measure the same truth set. */
+  private def lshTruth(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val sample = Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
+    val ts = sample.select($"doc_id",
+      array_distinct(
+        transform(array_distinct(tokens($"text")), t => hash32(t))).as("ts"))
+    val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
+      .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
+      .filter($"id1" < $"id2")
+      .select($"id1", $"id2",
+        size(array_intersect($"t1", $"t2")).cast("long").as("i"),
+        size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
+    val truth = pairs
+      .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
+      .select($"id1", $"id2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (sample, truth)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -550,26 +573,13 @@ object TextQueries extends QueryPack {
     // (precision is est-gate + exact-verify by construction).
     "dedup_minhash_recall" -> ((s, dir) => {
       import s.implicits._
-      val sample = Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
-      val found = Dedup.minhashNearDups(sample,
-          shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
-        .select($"id1", $"id2")
-      val ts = sample.select($"doc_id",
-        transform(array_distinct(tokens($"text")), t => hash32(t)).as("ts"))
-      val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
-        .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
-        .filter($"id1" < $"id2")
-        .select($"id1", $"id2",
-          size(array_intersect($"t1", $"t2")).cast("long").as("i"),
-          size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
-      // truth and found each feed two consumers — persist so the
+      // truth and found each feed two consumers — persisted so the
       // sample-quadratic and the pipeline run ONCE (6.7 → ~2.5 s at
       // sf0.1 benched)
-      val truth = pairs
-        .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
+      val (sample, truth) = lshTruth(s, dir)
+      val foundP = Dedup.minhashNearDups(sample,
+          shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
         .select($"id1", $"id2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val foundP = found
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hit = truth.join(foundP, Seq("id1", "id2"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
@@ -587,20 +597,8 @@ object TextQueries extends QueryPack {
     // before picking the tradeoff.
     "dedup_minhash_tradeoff" -> ((s, dir) => {
       import s.implicits._
-      val sample = Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
-      val ts = sample.select($"doc_id",
-        transform(array_distinct(tokens($"text")), t => hash32(t)).as("ts"))
-      val pairs = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
-        .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
-        .filter($"id1" < $"id2")
-        .select($"id1", $"id2",
-          size(array_intersect($"t1", $"t2")).cast("long").as("i"),
-          size($"t1").cast("long").as("s1"), size($"t2").cast("long").as("s2"))
       // ONE truth materialization feeds all three config branches
-      val truth = pairs
-        .filter($"i".cast("double") / ($"s1" + $"s2" - $"i").cast("double") >= 0.8)
-        .select($"id1", $"id2")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (sample, truth) = lshTruth(s, dir)
       Seq((12, 4), (24, 8), (12, 6)).map { case (nh, nb) =>
         val found = Dedup.minhashNearDups(sample,
             shingleN = 1, numHashes = nh, bands = nb, threshold = 0.8)
@@ -887,6 +885,24 @@ object TextQueries extends QueryPack {
        |)""".stripMargin
 
   private[queries] def duckTwoLevelCtes: String = duckTwoLevelCtesProbed(1)
+
+  /** Shared oracle CTEs for the LSH honesty metrics: the 1/10 sample's
+    * hashed distinct token sets, all ordered pairs, and the exact
+    * >= 0.8 truth set — ONE definition so both oracles replay the same
+    * truth the Spark-side lshTruth builds. Ends after `truth`. */
+  private val dLshTruthCtes: String =
+    s"""ts AS (
+       |  SELECT doc_id, list_distinct(list_transform($dTok, t -> ${dHash32("t")})) AS ts
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), p AS (
+       |  SELECT a.doc_id AS id1, c.doc_id AS id2,
+       |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
+       |    CAST(len(a.ts) AS BIGINT) AS s1, CAST(len(c.ts) AS BIGINT) AS s2
+       |  FROM ts a JOIN ts c ON a.doc_id < c.doc_id
+       |), truth AS (
+       |  SELECT id1, id2 FROM p
+       |  WHERE CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE) >= 0.8
+       |)""".stripMargin
 
   def oracle: Map[String, String] = Map(
 
@@ -1333,18 +1349,7 @@ object TextQueries extends QueryPack {
     // truth = sample-quadratic exact Jaccard; found = the full minhash
     // pipeline replayed on the same sample (nested-CTE subquery)
     "dedup_minhash_recall" ->
-      s"""WITH ts AS (
-         |  SELECT doc_id, list_transform($dTok, t -> ${dHash32("t")}) AS ts
-         |  FROM documents WHERE doc_id % 10 = 0
-         |), p AS (
-         |  SELECT a.doc_id AS id1, c.doc_id AS id2,
-         |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
-         |    CAST(len(a.ts) AS BIGINT) AS s1, CAST(len(c.ts) AS BIGINT) AS s2
-         |  FROM ts a JOIN ts c ON a.doc_id < c.doc_id
-         |), truth AS (
-         |  SELECT id1, id2 FROM p
-         |  WHERE CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE) >= 0.8
-         |), found AS (
+      s"""WITH $dLshTruthCtes, found AS (
          |  SELECT id1, id2 FROM (
          |    ${dMinhashPipeline(dTok, 12, 4, 0.8,
                 "(SELECT * FROM documents WHERE doc_id % 10 = 0)")}
@@ -1375,18 +1380,7 @@ object TextQueries extends QueryPack {
            |          )
            |        ) f USING (id1, id2)
            |     )) h""".stripMargin
-      s"""WITH ts AS (
-         |  SELECT doc_id, list_transform($dTok, t -> ${dHash32("t")}) AS ts
-         |  FROM documents WHERE doc_id % 10 = 0
-         |), p AS (
-         |  SELECT a.doc_id AS id1, c.doc_id AS id2,
-         |    CAST(len(list_filter(a.ts, x -> list_contains(c.ts, x))) AS BIGINT) AS i,
-         |    CAST(len(a.ts) AS BIGINT) AS s1, CAST(len(c.ts) AS BIGINT) AS s2
-         |  FROM ts a JOIN ts c ON a.doc_id < c.doc_id
-         |), truth AS (
-         |  SELECT id1, id2 FROM p
-         |  WHERE CAST(i AS DOUBLE) / CAST(s1 + s2 - i AS DOUBLE) >= 0.8
-         |)
+      s"""WITH $dLshTruthCtes
          |${cfgRow(12, 4)}
          |UNION ALL
          |${cfgRow(24, 8)}

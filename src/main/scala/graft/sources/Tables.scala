@@ -107,18 +107,22 @@ object Tables {
     "orders" -> ordersSchema,
     "lineitem" -> lineitemSchema)
 
-  /** Footer-inferred ts type per events.parquet path: LongType means the
-    * legacy NANOS encoding (surfaced as raw int64 under nanosAsLong);
-    * anything else is the MICROS encoding, readable as a timestamp. */
+  /** Footer-inferred ts type per events.parquet (path, mtime): LongType
+    * means the legacy NANOS encoding (surfaced as raw int64 under
+    * nanosAsLong); anything else is the MICROS encoding, readable as a
+    * timestamp. Keyed on mtime so an in-JVM regeneration of the file
+    * with the other encoding re-probes instead of reading through a
+    * stale branch. */
   private val eventsTsEncoding =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), DataType]()
 
   /** Read one testdata table with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       val path = s"$sfDir/events.parquet"
-      val tsType = eventsTsEncoding.computeIfAbsent(path,
-        p => spark.read.parquet(p).schema("ts").dataType)
+      val mtime = new java.io.File(path).lastModified()
+      val tsType = eventsTsEncoding.computeIfAbsent((path, mtime),
+        { case (p, _) => spark.read.parquet(p).schema("ts").dataType })
       if (tsType == LongType)
         spark.read.schema(eventsSchema).parquet(path)
           .withColumn("ts",

@@ -120,7 +120,10 @@ class DecontaminateSpec extends SparkSpec {
     // corpus segment ABOVE the first join must be exchange-free (the
     // eval side's distinct/collect_set aggregations may shuffle)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // shuffle nodes render as "Exchange hashpartitioning" (see
+    // BucketingSpec) — "ShuffleExchange" never appears in plan strings,
+    // so asserting on it would be vacuous
     val corpus = plan.substring(0, plan.indexOf("BroadcastExchange"))
-    assert(!corpus.contains("ShuffleExchange"), plan)
+    assert(!corpus.contains("Exchange hashpartitioning"), plan)
   }
 }
