@@ -147,6 +147,32 @@ object MiscQueries extends QueryPack {
         .groupBy($"query_id")
         .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
         .orderBy($"query_id")
+    }),
+
+    // The nprobe KNOB measured (the ANN mirror of
+    // dedup_minhash_tradeoff): one summary row per nprobe against ONE
+    // persisted exact top-10 set — total hits and the exact-integer
+    // aggregate recall. Recall rises toward 1e6 as probing widens; the
+    // table a user reads before trading probe work for recall.
+    "ann_recall_tradeoff" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val exact = graft.operators.Knn.batchTopK(e, q, 10)
+        .select($"query_id", $"vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      val cents = Ann.seedCentroids(e, 8)
+      Seq(1, 2, 4).map { np =>
+        val ivf = Ann.search(e, cents, q, k = 10, nprobe = np)
+          .select($"query_id", $"vec_id")
+        exact.join(ivf, Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(denom))
+          .select(lit(np.toLong).as("nprobe"), $"n_hits",
+            expr("n_hits * 1000000L div n_exact").as("recall_q"))
+      }.reduce(_ unionByName _).orderBy($"nprobe")
     })
   )
 
@@ -273,6 +299,59 @@ object MiscQueries extends QueryPack {
          |                   AND exact.vec_id = ivf.vec_id
          |GROUP BY exact.query_id
          |ORDER BY exact.query_id""".stripMargin
+    },
+
+    "ann_recall_tradeoff" -> {
+      val duckCentroids =
+        "SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8"
+      def row(np: Int) =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST(x.n_hits AS BIGINT) AS n_hits,
+           |  CAST((x.n_hits * 1000000) // x.n_exact AS BIGINT) AS recall_q
+           |FROM (
+           |  WITH queries AS (
+           |    SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 16
+           |  ), exact AS (
+           |    SELECT query_id, vec_id FROM (
+           |      SELECT q.query_id, e.vec_id,
+           |        row_number() OVER (PARTITION BY q.query_id
+           |          ORDER BY ${duckL2sq("e.embedding", "q.qvec")}, e.vec_id) AS rnk
+           |      FROM embeddings e CROSS JOIN queries q
+           |    ) WHERE rnk <= 10
+           |  ), assigned AS (
+           |    SELECT vec_id, cell FROM (
+           |      SELECT e.vec_id, c.cell,
+           |        row_number() OVER (PARTITION BY e.vec_id
+           |          ORDER BY ${duckL2sq("e.embedding", "c.centroid")}, c.cell) AS rn
+           |      FROM embeddings e CROSS JOIN ($duckCentroids) c
+           |    ) WHERE rn = 1
+           |  ), probed AS (
+           |    SELECT query_id, qvec, cell FROM (
+           |      SELECT q.query_id, q.qvec, c.cell,
+           |        row_number() OVER (PARTITION BY q.query_id
+           |          ORDER BY ${duckL2sq("q.qvec", "c.centroid")}, c.cell) AS crn
+           |      FROM queries q CROSS JOIN ($duckCentroids) c
+           |    ) WHERE crn <= $np
+           |  ), ivf AS (
+           |    SELECT query_id, vec_id FROM (
+           |      SELECT p.query_id, e.vec_id,
+           |        row_number() OVER (PARTITION BY p.query_id
+           |          ORDER BY ${duckL2sq("e.embedding", "p.qvec")}, e.vec_id) AS rnk
+           |      FROM probed p
+           |      JOIN assigned a ON a.cell = p.cell
+           |      JOIN embeddings e ON e.vec_id = a.vec_id
+           |    ) WHERE rnk <= 10
+           |  )
+           |  SELECT (SELECT count(*) FROM exact JOIN ivf
+           |            ON exact.query_id = ivf.query_id
+           |           AND exact.vec_id = ivf.vec_id) AS n_hits,
+           |         (SELECT count(*) FROM exact) AS n_exact
+           |) x""".stripMargin
+      s"""${row(1)}
+         |UNION ALL
+         |${row(2)}
+         |UNION ALL
+         |${row(4)}
+         |ORDER BY nprobe""".stripMargin
     }
   )
 }
