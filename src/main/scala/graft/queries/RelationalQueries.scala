@@ -56,6 +56,34 @@ object RelationalQueries extends QueryPack {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // RFM segmentation (classic CRM scoring): per-customer recency /
+    // frequency / monetary quartiles via ntile under TOTAL orders
+    // (metric, custkey) — deterministic bucket boundaries in both
+    // engines (ntile gives the remainder to the leading buckets in
+    // standard SQL, same rule in Spark and DuckDB). Monetary sums go
+    // through exact decimals. The global ntile sort is customer-
+    // bounded; at 100 TB the same segmentation uses broadcast
+    // percentile cut points instead of a global window (the
+    // sample_quantiles path).
+    "customer_rfm" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(dec2($"o_totalprice")).cast("double").as("monetary"))
+      byCust.select($"o_custkey", $"frequency", $"monetary",
+          ntile(4).over(Window.orderBy($"last_order", $"o_custkey"))
+            .cast("long").as("r_q"),
+          ntile(4).over(Window.orderBy($"frequency", $"o_custkey"))
+            .cast("long").as("f_q"),
+          ntile(4).over(Window.orderBy($"monetary", $"o_custkey"))
+            .cast("long").as("m_q"))
+        .withColumn("segment", $"r_q" * 100 + $"f_q" * 10 + $"m_q")
+        .orderBy($"o_custkey")
+    }),
+
     // TPC-H Q3-style: two fact joins + small filtered dim broadcast;
     // revenue top-10 per order.
     "q3_join" -> ((s, dir) => {
@@ -214,6 +242,23 @@ object RelationalQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "customer_rfm" ->
+      """SELECT o_custkey, frequency, monetary, r_q, f_q, m_q,
+        |  CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment
+        |FROM (
+        |  SELECT o_custkey, frequency, monetary,
+        |    CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_q,
+        |    CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_q,
+        |    CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
+        |  FROM (
+        |    SELECT o_custkey, max(o_orderdate) AS last_order,
+        |      CAST(count(*) AS BIGINT) AS frequency,
+        |      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        |    FROM orders GROUP BY o_custkey
+        |  )
+        |)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
