@@ -120,9 +120,20 @@ object Bench {
     try spark.stop() catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""probe_first":$probeFirst,"probe_last":$probeLast,""" +
       s""""gc":$gcs,"gc_total":$gcTotal,""" +
-      s""""failed":${failed.size},"sf":"$sfDir"}""")
+      s""""failed":${failed.size},"sf":"$sfDir"}"""
+    // the one-line metric JSON outgrew the driver's stdout tail capture
+    // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it
+    // to a stable file so per-query numbers survive any tail size
+    try {
+      val out = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
+    println(json)
   }
 }

@@ -46,9 +46,22 @@ object SparkEntry {
   /** Queries name-sorted and filtered by the optional comma-separated
     * GRAFT_ONLY env var — the single definition of the local-iteration
     * subset contract shared by Verify, Bench, and ProfileForced (the
-    * driver leaves the var unset and gets everything). */
+    * driver leaves the var unset and gets everything). A set-but-useless
+    * GRAFT_ONLY fails fast: an empty value or names matching no query
+    * would otherwise produce a partial BENCH/CORRECTNESS artifact that
+    * looks complete (ADVICE r8). */
   def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      require(names.nonEmpty,
+        "GRAFT_ONLY is set but names no queries — unset it or list query names")
+      val unknown = names -- queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      System.err.println(
+        s"[graft] GRAFT_ONLY active: ${names.toSeq.sorted.mkString(", ")}")
+    }
     queries.toSeq.sortBy(_._1).filter { case (n, _) => only.forall(_.contains(n)) }
   }
 }

@@ -107,22 +107,25 @@ object Tables {
     "orders" -> ordersSchema,
     "lineitem" -> lineitemSchema)
 
-  /** Footer-inferred ts type per events.parquet (path, mtime): LongType
-    * means the legacy NANOS encoding (surfaced as raw int64 under
-    * nanosAsLong); anything else is the MICROS encoding, readable as a
-    * timestamp. Keyed on mtime so an in-JVM regeneration of the file
-    * with the other encoding re-probes instead of reading through a
-    * stale branch. */
+  /** Footer-inferred ts type per events.parquet (path, mtime, length):
+    * LongType means the legacy NANOS encoding (surfaced as raw int64
+    * under nanosAsLong); anything else is the MICROS encoding, readable
+    * as a timestamp. Keyed on (mtime, length) so an in-JVM regeneration
+    * with the other encoding re-probes even when it lands inside mtime
+    * granularity (ADVICE r8); keyed per path with stale entries evicted,
+    * so the map is bounded by the number of distinct paths. */
   private val eventsTsEncoding =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), DataType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataType)]()
 
   /** Read one testdata table with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       val path = s"$sfDir/events.parquet"
-      val mtime = new java.io.File(path).lastModified()
-      val tsType = eventsTsEncoding.computeIfAbsent((path, mtime),
-        { case (p, _) => spark.read.parquet(p).schema("ts").dataType })
+      val f = new java.io.File(path)
+      val (mtime, len) = (f.lastModified(), f.length())
+      val tsType = eventsTsEncoding.compute(path, (p, prev) =>
+        if (prev != null && prev._1 == mtime && prev._2 == len) prev
+        else (mtime, len, spark.read.parquet(p).schema("ts").dataType))._3
       if (tsType == LongType)
         spark.read.schema(eventsSchema).parquet(path)
           .withColumn("ts",

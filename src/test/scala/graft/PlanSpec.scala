@@ -127,6 +127,33 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("no query in the suite plans a data-cardinality single-partition window") {
+    // `X OVER (ORDER BY …)` with no PARTITION BY funnels every row
+    // through ONE task — the classic global-window scale-killer (VERDICT
+    // r8: customer_rfm). A global window is acceptable only when its
+    // input is bounded by construction:
+    //  - its order key is a spark_partition_id column (the distributed
+    //    prefix-scan offsets frame: one row per partition, cluster-sized
+    //    — Packing.manifest / Rank.withGlobalRank), or
+    //  - a GlobalLimit sits below it (the frame is a ≤k-row top-k, e.g.
+    //    hybrid_rrf's two 50-row rank branches).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          !w.orderSpec.exists(_.child.references.exists(a =>
+            a.name == "__pid" || a.name == "pid")) &&
+          w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => w
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"data-cardinality single-partition window in: $offenders")
+  }
+
   test("ann_refined: Lloyd steps are join-free (row-local assignment)") {
     val p = plan("ann_refined")
     // each refine step = row-local argmin + two aggregations; the only
