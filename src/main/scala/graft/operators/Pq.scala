@@ -102,6 +102,73 @@ object Pq {
     PqModel(m, subDim, sample.length, codebooks)
   }
 
+  /** Lloyd-refined PQ training — FAISS `IndexPQ`'s k-means per subspace
+    * (Jégou 2011 §IV), under the oracle-stable quantization protocol of
+    * [[Ann.refine]]/`ann_refined`: each iteration assigns every vector's
+    * subspace slice to its nearest sub-centroid (row-local argmin — the
+    * same expression [[encodeCol]] compiles), takes per-(subspace, code,
+    * component) means (ONE distributed aggregation whose group count is
+    * m×ks×subDim — bounded by the model, never by N), and QUANTIZES each
+    * mean to round(·, 6) → float so both engines hand the next iteration
+    * bit-identical codebooks (double mean summation-order sensitivity
+    * ~1e-13 ≪ the 1e-6 grid). Codes with no assigned vectors keep their
+    * previous centroid (the k-means empty-cluster rule both engines
+    * replay). Driver traffic per iteration is the m×ks×subDim mean table
+    * — model-sized by construction. */
+  def trainRefined(vectors: DataFrame, m: Int, ks: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
+    require(iters >= 0, "iters must be >= 0")
+    var model = train(vectors, m, ks, idCol, embCol)
+    (1 to iters).foreach { _ => model = refineStep(vectors, model, embCol) }
+    model
+  }
+
+  /** One Lloyd step over all m subspaces in one aggregation: codes are
+    * materialized in their own projection (never inside the generator —
+    * the recurring per-output-row re-evaluation trap), components
+    * posexploded once, grouped on (subspace, code, component). */
+  private def refineStep(vectors: DataFrame, model: PqModel,
+      embCol: String): PqModel = {
+    val sd = model.subDim
+    val comp = vectors
+      .select(col(embCol).as("__e"), encodeCol(col(embCol), model).as("__codes"))
+      .select(col("__codes"), posexplode(col("__e")).as(Seq("p0", "v")))
+    val means = comp
+      .select(expr(s"p0 div $sd").cast("int").as("s"),
+        element_at(col("__codes"), (expr(s"p0 div $sd") + 1).cast("int")).as("j"),
+        expr(s"p0 % $sd").cast("int").as("sp"),
+        col("v"))
+      .groupBy(col("s"), col("j"), col("sp"))
+      .agg(round(avg(col("v").cast("double")), 6).cast("float").as("mq"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getFloat(3))
+      .toMap
+    val refined = (0 until model.m).map { s =>
+      (0 until model.ks).map { j =>
+        if (means.contains((s, j, 0)))
+          Array.tabulate(sd)(sp => means((s, j, sp)))
+        else model.codebooks(s)(j)
+      }
+    }
+    PqModel(model.m, sd, model.ks, refined)
+  }
+
+  /** Row-local ×1e6-integer quantization error of a vector against its
+    * own nearest sub-codes: Σ_s round(min_j l2sq(slice_s, cb[s][j]) ×
+    * 1e6) — the k-means objective as an EXACT integer, so the corpus sum
+    * is summation-order-free on both engines. The honesty metric a
+    * codebook upgrade must strictly improve (Lloyd steps are
+    * non-increasing in exactly this quantity). */
+  def distortionCol(emb: Column, model: PqModel): Column =
+    (0 until model.m).map { s =>
+      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
+        struct(l2sq(slice(emb, s * model.subDim + 1, model.subDim), lit(c)).as("dist"),
+          lit(j).as("code"))
+      }
+      val best = if (scored.size == 1) scored.head else least(scored: _*)
+      round(best.getField("dist") * lit(1e6)).cast("long")
+    }.reduce(_ + _)
+
   /** Row-local PQ code array: element s = argmin_j of
     * l2sq(slice_s(emb), codebooks(s)(j)), ties to the lower code —
     * lexicographic struct `least` IS the (distance, code) argmin, the
@@ -147,6 +214,22 @@ object Pq {
   def adcCol(codes: Column, lutQ: Seq[Seq[Long]]): Column =
     (0 until lutQ.size).map { s =>
       element_at(lit(lutQ(s).toArray), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Engine-side ADC against a query COLUMN (not a driver-built LUT):
+    * per subspace, the fold-ordered l2sq from the query's slice to the
+    * corpus row's ASSIGNED sub-centroid (two array lookups into the
+    * codebook literal), ×1e6 integer-quantized and summed — the batch
+    * form of [[adcCol]] for scoring a broadcast query SET in one pass
+    * (the `knn_batch` shape: corpus never shuffles, per-query top-k via
+    * BottomK map-side heaps). Value-identical to the LUT path on the
+    * same (codes, query). */
+  def adcBatchCol(codes: Column, qvec: Column, model: PqModel): Column =
+    (0 until model.m).map { s =>
+      val cbLit = typedlit(model.codebooks(s).map(_.toSeq))
+      round(l2sq(slice(qvec, s * model.subDim + 1, model.subDim),
+        element_at(cbLit, (element_at(codes, s + 1) + 1).cast("int"))) * lit(1e6))
+        .cast("long")
     }.reduce(_ + _)
 
   /** ADC top-k over an encoded corpus: (id, adc) ascending by

@@ -78,39 +78,61 @@ object AnnQueries extends QueryPack {
     }),
 
     // Product quantization, end to end: train (16 md5-spread sample
-    // rows → 8 sub-codebooks), encode the corpus to 8-byte codes, ADC
+    // rows → 8 sub-codebooks, then TWO Lloyd k-means steps per subspace
+    // under the ann_refined quantization protocol — the FAISS IndexPQ
+    // training, Jégou 2011 §IV), encode the corpus to 8-byte codes, ADC
     // top-10 for query vec 0. The oracle replays the identical train /
-    // encode / LUT / sum pipeline, so the whole compression path is
-    // value-checked: LUT entries are ×1e6 integer-quantized (the FAISS
-    // fast-scan move) making the per-vector sum EXACT integer math —
-    // no float summation order anywhere past the (deterministic,
-    // row-local) LUT and argmin compares.
+    // refine / encode / LUT / sum pipeline, so the whole compression
+    // path is value-checked: LUT entries are ×1e6 integer-quantized
+    // (the FAISS fast-scan move) making the per-vector sum EXACT
+    // integer math — no float summation order anywhere past the
+    // (deterministic, row-local) LUT and argmin compares.
     "ann_pq" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val model = Pq.train(e, m = 8, ks = 16)
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
       val q = e.filter($"vec_id" === 0L).select($"embedding")
         .head.getSeq[Float](0).toArray
       Pq.adcTopK(Pq.encode(e, model), model, q, k = 10)
     }),
 
-    // Honesty metric for the approximation: |PQ top-10 ∩ exact top-10|
-    // for the same query — recall@10 × 10 as one integer row. Both
-    // engines compute both rankings and intersect, so the metric itself
-    // is exact even though what it measures is approximate.
+    // Codebook-training honesty rows (tradeoff-table style): recall@10
+    // hits over a fixed 10-query panel AND the ×1e6-integer corpus
+    // quantization error, for the raw 16-sample codebook vs the same
+    // codebook after two Lloyd steps, at identical m×ks code bytes.
+    // Lloyd steps are non-increasing in exactly the distortion quantity
+    // and the panel recall shows the recall-per-byte gain the FAISS
+    // IndexPQ training buys (26 → 36 hits at sf0.01; a SINGLE query's
+    // recall@10 is noise — it can move either way while the codebook
+    // strictly improves, which is why the panel is the metric).
+    "ann_pq_refine_gain" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      def row(variant: String, model: Pq.PqModel): DataFrame = {
+        val hits = AnnQueries.pqPanelHits(s, e, model)
+        val dist = e.agg(sum(Pq.distortionCol($"embedding", model))
+          .as("distortion_q"))
+        hits.crossJoin(broadcast(dist))
+          .select(lit(variant).as("variant"), $"hits", $"distortion_q")
+      }
+      row("sample", Pq.train(e, m = 8, ks = 16))
+        .unionAll(row("lloyd2", Pq.trainRefined(e, m = 8, ks = 16, iters = 2)))
+        .orderBy($"variant")
+    }),
+
+    // Honesty metric for the approximation: Σ over the 10-query panel
+    // of |PQ top-10 ∩ exact top-10| — recall@10 over 100 slots as one
+    // integer row. Both engines compute both rankings and intersect, so
+    // the metric itself is exact even though what it measures is
+    // approximate. One distributed pass per side: queries broadcast,
+    // batch ADC / exact distances scored in-row, per-query top-10 via
+    // BottomK map-side heaps (the knn_batch shape — corpus never
+    // shuffles).
     "ann_pq_recall" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val model = Pq.train(e, m = 8, ks = 16)
-      val q = e.filter($"vec_id" === 0L).select($"embedding")
-        .head.getSeq[Float](0).toArray
-      val pq10 = Pq.adcTopK(Pq.encode(e, model), model, q, k = 10)
-        .select($"vec_id")
-      val exact10 = e
-        .select($"vec_id", graft.functions.VectorFunctions.l2sq(
-          $"embedding", lit(q)).as("d"))
-        .orderBy($"d", $"vec_id").limit(10).select($"vec_id")
-      pq10.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+      AnnQueries.pqPanelHits(s, e, model)
     }),
 
     // The practical PQ serving pipeline (FAISS IVFADC + refine): ADC
@@ -121,7 +143,7 @@ object AnnQueries extends QueryPack {
     "ann_pq_rerank" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val model = Pq.train(e, m = 8, ks = 16)
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
       val q = e.filter($"vec_id" === 0L).select($"embedding")
         .head.getSeq[Float](0).toArray
       Pq.adcTopKRerank(Pq.encode(e, model), e, model, q, r = 50, k = 10)
@@ -168,7 +190,7 @@ object AnnQueries extends QueryPack {
     "ann_ivfpq" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val model = Pq.train(e, m = 8, ks = 16)
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
       val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
       val q = e.filter($"vec_id" === 0L).select($"embedding")
         .head.getSeq[Float](0).toArray
@@ -245,6 +267,68 @@ object AnnQueries extends QueryPack {
     })
   )
 
+  /** The fixed recall panel: 10 spread query ids (single-query recall@10
+    * is noise — a strictly better codebook can lose one query's hits). */
+  private val panelIds: Seq[Long] =
+    Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+
+  /** Σ over the panel of |ADC top-10 ∩ exact top-10|, as one integer
+    * row. One distributed pass per ranking: the 10-query panel is
+    * broadcast, ADC/exact scores are computed in-row against it, and
+    * per-query top-10s come from BottomK map-side heaps — the corpus
+    * never shuffles (the `knn_batch` shape). */
+  private[queries] def pqPanelHits(s: SparkSession,
+      e: DataFrame, model: Pq.PqModel): DataFrame = {
+    import s.implicits._
+    import graft.expressions.BottomK.bottomK
+    val qs = e.filter($"vec_id".isin(panelIds: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    def top10(scored: DataFrame): DataFrame = scored
+      .groupBy($"qid")
+      .agg(bottomK($"score", $"vec_id".cast("long"), 10).as("topk"))
+      .select($"qid", explode($"topk").as("hit"))
+      .select($"qid", $"hit.id".as("vec_id"))
+    val pq10 = top10(Pq.encode(e, model).crossJoin(broadcast(qs))
+      .select($"qid", $"vec_id",
+        Pq.adcBatchCol($"codes", $"qv", model).cast("double").as("score")))
+    val exact10 = top10(e.crossJoin(broadcast(qs))
+      .select($"qid", $"vec_id",
+        graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score")))
+    pq10.join(exact10, Seq("qid", "vec_id")).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Panel + per-query exact top-10 CTEs (mirrors [[pqPanelHits]]'s
+    * exact side). */
+  private def duckPanelBase: String =
+    s"""qs AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id IN (${panelIds.mkString(",")})
+       |), exact10p AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN qs q) WHERE rn <= 10
+       |)""".stripMargin
+
+  /** Per-(query, subspace) LUT over `cb`, batch integer ADC against
+    * `codes`, per-query ADC top-10 (mirrors [[pqPanelHits]]'s PQ side —
+    * the LUT join and the in-row codebook lookup are the same sum). */
+  private def duckPanelTopCtes(cb: String, codes: String, sfx: String): String =
+    s"""lutp$sfx AS (
+       |  SELECT q.qid, c.s, c.j,
+       |    CAST(round(${duckL2sq("list_slice(q.qv, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
+       |  FROM $cb c CROSS JOIN qs q
+       |), adcsp$sfx AS (
+       |  SELECT l.qid, co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
+       |  FROM $codes co JOIN lutp$sfx l ON l.s = co.s AND l.j = co.code
+       |  GROUP BY l.qid, co.vec_id
+       |), pq10p$sfx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |    FROM adcsp$sfx) WHERE rn <= 10
+       |)""".stripMargin
+
   private val duckCentroids =
     "SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8"
 
@@ -288,12 +372,65 @@ object AnnQueries extends QueryPack {
        |  ) WHERE srn <= 50
        |)""".stripMargin
 
-  /** Shared CTE prefix replaying the PQ pipeline (`Pq.train` / `encode`
-    * / `lut` / ADC): 16 md5-spread sample rows sliced into 8
-    * sub-codebooks, per-(vector, subspace) argmin codes, a ×1e6
-    * integer-quantized LUT for query vec 0, and the exact BIGINT ADC
-    * sum per vector. */
-  private def duckPqCtes: String =
+  /** The per-(vector, subspace) argmin-code / query-LUT / integer-ADC
+    * tail of the PQ oracle, parameterized by the codebook CTE it scores
+    * against (mirrors `Pq.encodeCol` / `Pq.lut` / `Pq.adcCol`). Assumes
+    * a `q(qv)` CTE is already defined. */
+  private def duckAdcTail(cb: String, sfx: String): String =
+    s"""codes$sfx AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT e.vec_id, c.s, c.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.s
+       |        ORDER BY ${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")}, c.j) AS rn
+       |    FROM embeddings e CROSS JOIN $cb c
+       |  ) WHERE rn = 1
+       |), lut$sfx AS (
+       |  SELECT c.s, c.j,
+       |    CAST(round(${duckL2sq("list_slice(q.qv, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
+       |  FROM $cb c CROSS JOIN q
+       |), adcs$sfx AS (
+       |  SELECT co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
+       |  FROM codes$sfx co JOIN lut$sfx l ON l.s = co.s AND l.j = co.code
+       |  GROUP BY co.vec_id
+       |)""".stripMargin
+
+  /** One Lloyd refinement step of the PQ codebook (mirrors
+    * `Pq.refineStep`): assign every vector's slice to its nearest
+    * sub-centroid of `prev`, per-(subspace, code, component) double
+    * means, quantize round(·,6) → REAL — the `ann_refined` protocol —
+    * and keep the previous centroid for empty codes. */
+  private def duckPqRefine(i: Int, prev: String): String =
+    s"""codes_t$i AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT e.vec_id, c.s, c.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.s
+       |        ORDER BY ${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")}, c.j) AS rn
+       |    FROM embeddings e CROSS JOIN $prev c
+       |  ) WHERE rn = 1
+       |), mean$i AS (
+       |  SELECT co.s, co.code AS j, sp.sp,
+       |         avg(CAST(e.embedding[co.s*8 + sp.sp + 1] AS DOUBLE)) AS mv
+       |  FROM codes_t$i co JOIN embeddings e USING (vec_id)
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS sp) sp
+       |  GROUP BY co.s, co.code, sp.sp
+       |), cb$i AS (
+       |  SELECT c.s, c.j, COALESCE(m.cent, c.cent) AS cent
+       |  FROM $prev c LEFT JOIN (
+       |    SELECT s, j, list(CAST(round(mv, 6) AS REAL) ORDER BY sp) AS cent
+       |    FROM mean$i GROUP BY s, j
+       |  ) m ON m.s = c.s AND m.j = c.j
+       |)""".stripMargin
+
+  /** ×1e6-integer corpus quantization error of `codes` against `cb`
+    * (mirrors `Pq.distortionCol` summed): a scalar-subquery fragment. */
+  private def duckDistortion(cb: String, codes: String): String =
+    s"""SELECT CAST(sum(CAST(round(${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT)) AS BIGINT)
+       |   FROM $codes co JOIN embeddings e USING (vec_id)
+       |   JOIN $cb c ON c.s = co.s AND c.j = co.code""".stripMargin
+
+  /** The sample-seed codebook CTEs (mirrors `Pq.train`): 16 md5-spread
+    * sample rows sliced into 8 sub-codebooks, plus the query vector. */
+  private def duckPqSeedCtes: String =
     s"""cbrows AS (
        |  SELECT rn - 1 AS j, embedding FROM (
        |    SELECT embedding, row_number() OVER (
@@ -302,27 +439,24 @@ object AnnQueries extends QueryPack {
        |  ) WHERE rn <= 16
        |), subsp AS (
        |  SELECT CAST(unnest(range(0, 8)) AS INT) AS s
-       |), cb AS (
+       |), cb0 AS (
        |  SELECT sp.s, c.j, list_slice(c.embedding, sp.s*8 + 1, sp.s*8 + 8) AS cent
        |  FROM subsp sp CROSS JOIN cbrows c
-       |), codes AS (
-       |  SELECT vec_id, s, j AS code FROM (
-       |    SELECT e.vec_id, c.s, c.j,
-       |      row_number() OVER (PARTITION BY e.vec_id, c.s
-       |        ORDER BY ${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")}, c.j) AS rn
-       |    FROM embeddings e CROSS JOIN cb c
-       |  ) WHERE rn = 1
        |), q AS (
        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-       |), lut AS (
-       |  SELECT c.s, c.j,
-       |    CAST(round(${duckL2sq("list_slice(q.qv, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
-       |  FROM cb c CROSS JOIN q
-       |), adcs AS (
-       |  SELECT co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
-       |  FROM codes co JOIN lut l ON l.s = co.s AND l.j = co.code
-       |  GROUP BY co.vec_id
        |)""".stripMargin
+
+  /** Shared CTE prefix replaying the refined PQ pipeline
+    * (`Pq.trainRefined(iters = 2)` / `encode` / `lut` / ADC): sample
+    * seed codebooks, TWO Lloyd steps, then argmin codes, the ×1e6
+    * integer-quantized LUT for query vec 0, and the exact BIGINT ADC
+    * sum per vector — ending in `cb` / `codes` / `lut` / `adcs`. */
+  private def duckPqCtes: String =
+    s"""$duckPqSeedCtes,
+       |${duckPqRefine(1, "cb0")},
+       |${duckPqRefine(2, "cb1")},
+       |cb AS (SELECT * FROM cb2),
+       |${duckAdcTail("cb", "")}""".stripMargin
 
   /** Shared CTE prefix replaying the SQ8 pipeline (`Sq.train` /
     * `encode` / integer distance): per-dimension min/max bounds, the
@@ -443,15 +577,34 @@ object AnnQueries extends QueryPack {
          |SELECT vec_id, adc FROM adcs
          |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
 
+    // sample-codebook ADC chain (suffix 0, over cb0) alongside the
+    // refined chain; panel hits vs the shared exact top-10s plus the
+    // integer corpus distortion per variant — lloyd2 must come out
+    // better on both (26→36 hits, −25% distortion at sf0.01)
+    "ann_pq_refine_gain" ->
+      s"""WITH $duckPqCtes,
+         |${duckAdcTail("cb0", "0")},
+         |$duckPanelBase,
+         |${duckPanelTopCtes("cb0", "codes0", "0")},
+         |${duckPanelTopCtes("cb", "codes", "")}
+         |SELECT * FROM (
+         |  SELECT 'sample' AS variant,
+         |    (SELECT count(*) FROM pq10p0 p JOIN exact10p x
+         |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits,
+         |    (${duckDistortion("cb0", "codes0")}) AS distortion_q
+         |  UNION ALL
+         |  SELECT 'lloyd2' AS variant,
+         |    (SELECT count(*) FROM pq10p p JOIN exact10p x
+         |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits,
+         |    (${duckDistortion("cb", "codes")}) AS distortion_q
+         |) ORDER BY variant""".stripMargin,
+
     "ann_pq_recall" ->
       s"""WITH $duckPqCtes,
-         |pq10 AS (
-         |  SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT 10
-         |), exact10 AS (
-         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
-         |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
-         |)
-         |SELECT count(*) AS hits FROM pq10 JOIN exact10 USING (vec_id)""".stripMargin,
+         |$duckPanelBase,
+         |${duckPanelTopCtes("cb", "codes", "")}
+         |SELECT count(*) AS hits FROM pq10p p JOIN exact10p x
+         |ON p.qid = x.qid AND p.vec_id = x.vec_id""".stripMargin,
 
     "ann_rp" ->
       s"""WITH $duckRpCtes

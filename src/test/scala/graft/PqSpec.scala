@@ -209,6 +209,45 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("trainRefined: deterministic across runs; Lloyd steps strictly reduce distortion here") {
+    val m2 = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+    val again = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+    assert(m2.codebooks.flatten.map(_.toSeq) ===
+      again.codebooks.flatten.map(_.toSeq))
+    assert(m2.m === 8 && m2.subDim === 8 && m2.ks === 16)
+    def distortion(mod: Pq.PqModel): Long =
+      e.agg(sum(Pq.distortionCol($"embedding", mod))).head.getLong(0)
+    val d0 = distortion(model)
+    val d2 = distortion(m2)
+    // Lloyd is non-increasing in exactly this objective; on real data
+    // the first steps are strictly better (the refine-gain guarantee)
+    assert(d2 < d0, s"refined distortion $d2 !< sample distortion $d0")
+    // zero iterations degenerates to the raw sample codebook
+    val m0 = Pq.trainRefined(e, m = 8, ks = 16, iters = 0)
+    assert(m0.codebooks.flatten.map(_.toSeq) ===
+      model.codebooks.flatten.map(_.toSeq))
+  }
+
+  test("adcBatchCol equals the LUT path for every (vector, query) pair") {
+    val m2 = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+    val qs = e.filter($"vec_id".isin(0L, 5L, 9L))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val got = Pq.encode(e, m2).crossJoin(broadcast(qs))
+      .select($"qid", $"vec_id", Pq.adcBatchCol($"codes", $"qv", m2).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val queries = qs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val codesById = Pq.encode(e, m2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    queries.foreach { case (qid, qv) =>
+      val lutQ = Pq.lut(m2, qv)
+      codesById.foreach { case (id, codes) =>
+        val want = (0 until m2.m).map(s => lutQ(s)(codes(s))).sum
+        assert(got((qid, id)) === want, s"qid=$qid id=$id")
+      }
+    }
+  }
+
   test("l2sqLocal mirrors the engine kernel bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(20)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
