@@ -265,12 +265,95 @@ object Pq {
     * by its IVF cell AND compressed to PQ codes. Persist partitioned by
     * `cell`: probing prunes partitions (reads nprobe/K of the files)
     * and what it reads is 8-byte codes, not 256-byte floats — the two
-    * multiplicative wins of `faiss::IndexIVFPQ`, as storage layout. */
+    * multiplicative wins of `faiss::IndexIVFPQ`, as storage layout.
+    * This RAW-vector form codes the full embedding against a global
+    * codebook; [[encodeIvfResidual]] is the residual upgrade. */
   def encodeIvf(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
       model: PqModel,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     vectors.select(col(idCol), Ann.nearestCell(col(embCol), centroids).as("cell"),
       encodeCol(col(embCol), model).as("codes"))
+
+  /** Row-local residual `emb − centroid(cell)` as ARRAY<FLOAT>: each
+    * component is the EXACT double difference of two floats, cast back
+    * to float — bit-identical on any engine (and what a residual store
+    * persists). The centroid rides as one map literal (driver-sized by
+    * definition). */
+  def residualCol(emb: Column, cell: Column,
+      centroids: Seq[(Long, Array[Float])]): Column = {
+    val centMap = typedlit(centroids.map { case (k, v) => k -> v.toSeq }.toMap)
+    zip_with(emb, element_at(centMap, cell), (x, y) =>
+      (x.cast("double") - y.cast("double")).cast("float"))
+  }
+
+  /** (id, cell, resid): every vector's IVF cell and its residual — the
+    * frame residual training/encoding run over. Cell assignment and the
+    * subtraction are both row-local (zero shuffle). */
+  private def residualFrame(vectors: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      idCol: String, embCol: String): DataFrame =
+    vectors
+      .select(col(idCol), Ann.nearestCell(col(embCol), centroids).as("cell"),
+        col(embCol))
+      .withColumn("__resid", residualCol(col(embCol), col("cell"), centroids))
+
+  /** Train a (Lloyd-refined) PQ codebook on RESIDUALS — the
+    * `faiss::IndexIVFPQ` design (Jégou 2011 §IV-B): residuals of a
+    * well-spread corpus concentrate near the origin regardless of which
+    * cell they came from, so one m×ks codebook spends its codes on the
+    * local displacement, not on re-describing the coarse geometry the
+    * cell id already encodes — that is where the recall-per-byte gain
+    * comes from at equal code bytes. */
+  def trainResidual(vectors: DataFrame, centroids: Seq[(Long, Array[Float])],
+      m: Int, ks: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqModel =
+    trainRefined(
+      residualFrame(vectors, centroids, idCol, embCol)
+        .select(col(idCol), col("__resid").as(embCol)),
+      m, ks, iters, idCol, embCol)
+
+  /** Vectors → (id, cell, codes) with codes over the RESIDUAL (vector −
+    * cell centroid) — the `faiss::IndexIVFPQ` index layout. Same
+    * storage/pruning wins as [[encodeIvf]]; the codes just carry far
+    * more information per byte. */
+  def encodeIvfResidual(vectors: DataFrame,
+      centroids: Seq[(Long, Array[Float])], model: PqModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    residualFrame(vectors, centroids, idCol, embCol)
+      .select(col(idCol), col("cell"), encodeCol(col("__resid"), model).as("codes"))
+
+  /** Driver-side float residual of the query against one centroid (the
+    * same exact-double-diff → float cast as [[residualCol]]). */
+  private def queryResidual(query: Array[Float], cent: Array[Float]): Array[Float] =
+    Array.tabulate(query.length)(d => (query(d).toDouble - cent(d).toDouble).toFloat)
+
+  /** Residual IVF-PQ search: rank cells by centroid distance
+    * (driver-side over the driver-sized centroid table), then ONE scan
+    * of the `nprobe` probed cells' codes with a per-cell ADC: each
+    * probed cell gets its own LUT built against the QUERY'S RESIDUAL in
+    * that cell (q − centroid(cell)) — the `faiss::IndexIVFPQ` ADC — and
+    * the scan picks the branch by the row's cell (a when-chain of
+    * nprobe integer sums, still fully codegen'd and row-local). On a
+    * cell-partitioned store the isin filter is partition pruning. */
+  def ivfAdcTopKResidual(encodedIvf: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      model: PqModel, query: Array[Float], k: Int, nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val byCell = centroids.toMap
+    val probed = centroids
+      .map { case (cellId, c) => (l2sqLocal(query, c), cellId) }
+      .sorted.take(nprobe).map(_._2)
+    val luts = probed.map(cid => cid -> lut(model, queryResidual(query, byCell(cid))))
+    val adcCase = luts.tail.foldLeft(
+      when(col("cell") === lit(luts.head._1), adcCol(col("codes"), luts.head._2))) {
+      case (acc, (cid, l)) => acc.when(col("cell") === lit(cid), adcCol(col("codes"), l))
+    }
+    encodedIvf
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), adcCase.as("adc"))
+      .orderBy(col("adc"), col(idCol)).limit(k)
+  }
 
   /** IVF-PQ search: rank cells by centroid distance (driver-side — the
     * centroid table is driver-sized by definition, and [[l2sqLocal]] is

@@ -181,21 +181,98 @@ object AnnQueries extends QueryPack {
       rp10.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
     }),
 
-    // IVF-PQ — the two at-scale wins composed, `faiss::IndexIVFPQ` as
-    // storage layout: probe the 2 nearest of 8 IVF cells (partition
-    // pruning on a cell-partitioned store → the scan reads nprobe/K of
-    // the files) and what it reads is 8-byte PQ codes, not 256-byte
-    // floats. The oracle replays cell assignment, probe ranking, and
-    // the integer ADC pipeline end to end.
+    // IVF-PQ — the two at-scale wins composed, `faiss::IndexIVFPQ` end
+    // to end: a Lloyd-refined coarse quantizer (2 ann_refined-protocol
+    // steps — residuals only pay against ACTUAL cell means, see
+    // ann_ivfpq_residual_gain), probe the 2 nearest of 8 cells
+    // (partition pruning on a cell-partitioned store → the scan reads
+    // nprobe/K of the files), and what it reads is 8-byte PQ codes of
+    // the RESIDUAL (vector − cell centroid), trained with two Lloyd
+    // steps on residuals — the recall-per-byte design of Jégou 2011
+    // §IV-B. Each probed cell gets its own query-residual LUT; the scan
+    // is one pass with a per-cell when-chain of integer ADC sums. The
+    // oracle replays coarse refinement, assignment, residuals, residual
+    // training, probe ranking, and the per-cell integer ADC pipeline
+    // end to end.
     "ann_ivfpq" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
-      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
-      val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+      val cents = refinedCents(s, e)
+      val model = Pq.trainResidual(e, cents, m = 8, ks = 16, iters = 2)
       val q = e.filter($"vec_id" === 0L).select($"embedding")
         .head.getSeq[Float](0).toArray
-      Pq.ivfAdcTopK(Pq.encodeIvf(e, cents, model), cents, model, q,
-        k = 10, nprobe = 2)
+      Pq.ivfAdcTopKResidual(Pq.encodeIvfResidual(e, cents, model), cents,
+        model, q, k = 10, nprobe = 2)
+    }),
+
+    // Encoding honesty rows: RAW-vector IVF-PQ (global codebook over
+    // full vectors — the pre-round-9 form) vs RESIDUAL IVF-PQ at
+    // identical code bytes (m=8 × ks=16), identical Lloyd-refined
+    // cells, identical nprobe=2 probes, identical 4-iteration training
+    // budget. Three columns per variant: panel recall@10 vs the GLOBAL
+    // exact top-10 (capped by the shared nprobe probing, so it mostly
+    // ties), recall vs the exact top-10 WITHIN the probed cells (the
+    // encoding-isolated metric residual coding must win), and the
+    // corpus reconstruction distortion. Residuals concentrate near the
+    // origin, so the same 8 bytes describe the local displacement
+    // instead of re-describing the coarse geometry the cell id already
+    // carries (measured at sf0.01: hits_probed 45→47, distortion
+    // 278.0M→259.8M).
+    "ann_ivfpq_residual_gain" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = refinedCents(s, e)
+      val mRaw = Pq.trainRefined(e, m = 8, ks = 16, iters = 4)
+      val mRes = Pq.trainResidual(e, cents, m = 8, ks = 16, iters = 4)
+      val qs = panelQs(s, e)
+      // per-query probed cells, driver-side over the driver-sized
+      // centroid table (the same ranking ivfAdcTopK* applies)
+      val probePairs = e.filter($"vec_id".isin(panelIds: _*))
+        .select($"vec_id", $"embedding").collect().toSeq
+        .flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Float](1).toArray
+          cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+            .sorted.take(2).map { case (_, cid) => (qid, cid) }
+        }
+      val probeQ = probePairs.toDF("qid", "cell").join(qs, "qid")
+      val exact10 = panelExact10(s, e, qs)
+      // candidate cells are codebook-independent: one shared
+      // probed-cells exact baseline for both variants
+      val exactProbed = top10(s, e
+        .select($"vec_id", Ann.nearestCell($"embedding", cents).as("cell"),
+          $"embedding")
+        .join(broadcast(probeQ), "cell")
+        .select($"qid", $"vec_id",
+          graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score")))
+      def row(variant: String, scored: DataFrame, dist: DataFrame): DataFrame = {
+        val t = top10(s, scored).persist()
+        val hits = t.join(exact10, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+        val hitsP = t.join(exactProbed, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits_probed"))
+        hits.crossJoin(broadcast(hitsP)).crossJoin(broadcast(dist))
+          .select(lit(variant).as("variant"), $"hits", $"hits_probed",
+            $"distortion_q")
+      }
+      val rawScored = Pq.encodeIvf(e, cents, mRaw)
+        .join(broadcast(probeQ), "cell")
+        .select($"qid", $"vec_id",
+          Pq.adcBatchCol($"codes", $"qv", mRaw).cast("double").as("score"))
+      val rawDist = e.agg(sum(Pq.distortionCol($"embedding", mRaw))
+        .as("distortion_q"))
+      val resScored = Pq.encodeIvfResidual(e, cents, mRes)
+        .join(broadcast(probeQ), "cell")
+        .select($"qid", $"vec_id",
+          Pq.adcBatchCol($"codes", Pq.residualCol($"qv", $"cell", cents), mRes)
+            .cast("double").as("score"))
+      val resDist = e
+        .select(Pq.residualCol($"embedding",
+          Ann.nearestCell($"embedding", cents), cents).as("r"))
+        .agg(sum(Pq.distortionCol($"r", mRes)).as("distortion_q"))
+      row("raw", rawScored, rawDist)
+        .unionAll(row("residual", resScored, resDist))
+        .orderBy($"variant")
     }),
 
     // Scalar quantization (SQ8, FAISS QT_8bit): per-dimension affine
@@ -272,6 +349,50 @@ object AnnQueries extends QueryPack {
   private val panelIds: Seq[Long] =
     Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
 
+  /** Lloyd-refined coarse centroids — the `ann_refined` two-step
+    * protocol (round-6 → float quantization per step so the oracle
+    * replays bit-identically), collected as the driver-sized centroid
+    * table the IVF-PQ queries quantize against. */
+  private[queries] def refinedCents(s: SparkSession,
+      e: DataFrame): Seq[(Long, Array[Float])] = {
+    import s.implicits._
+    val r1 = Ann.refine(e, Ann.seedCentroids(e, 8))
+      .select($"cell", transform($"centroid", m => round(m, 6)).as("centroid"))
+    val r2 = Ann.refine(e, r1)
+      .select($"cell", transform($"centroid", m => round(m, 6)).as("centroid"))
+    Ann.collectCentroids(r2)
+  }
+
+  /** The panel as a (qid, qv) frame — always broadcast to the scoring
+    * pass. */
+  private def panelQs(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    e.filter($"vec_id".isin(panelIds: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+  }
+
+  /** Per-query top-10 of a (qid, vec_id, score) frame via BottomK
+    * map-side heaps (ties (score, vec_id)) → (qid, vec_id). */
+  private def top10(s: SparkSession, scored: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.expressions.BottomK.bottomK
+    scored
+      .groupBy($"qid")
+      .agg(bottomK($"score", $"vec_id".cast("long"), 10).as("topk"))
+      .select($"qid", explode($"topk").as("hit"))
+      .select($"qid", $"hit.id".as("vec_id"))
+  }
+
+  /** Per-query EXACT top-10 over the full corpus (the recall
+    * denominator both quantization variants are judged against). */
+  private def panelExact10(s: SparkSession, e: DataFrame,
+      qs: DataFrame): DataFrame = {
+    import s.implicits._
+    top10(s, e.crossJoin(broadcast(qs))
+      .select($"qid", $"vec_id",
+        graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score")))
+  }
+
   /** Σ over the panel of |ADC top-10 ∩ exact top-10|, as one integer
     * row. One distributed pass per ranking: the 10-query panel is
     * broadcast, ADC/exact scores are computed in-row against it, and
@@ -280,21 +401,12 @@ object AnnQueries extends QueryPack {
   private[queries] def pqPanelHits(s: SparkSession,
       e: DataFrame, model: Pq.PqModel): DataFrame = {
     import s.implicits._
-    import graft.expressions.BottomK.bottomK
-    val qs = e.filter($"vec_id".isin(panelIds: _*))
-      .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    def top10(scored: DataFrame): DataFrame = scored
-      .groupBy($"qid")
-      .agg(bottomK($"score", $"vec_id".cast("long"), 10).as("topk"))
-      .select($"qid", explode($"topk").as("hit"))
-      .select($"qid", $"hit.id".as("vec_id"))
-    val pq10 = top10(Pq.encode(e, model).crossJoin(broadcast(qs))
+    val qs = panelQs(s, e)
+    val pq10 = top10(s, Pq.encode(e, model).crossJoin(broadcast(qs))
       .select($"qid", $"vec_id",
         Pq.adcBatchCol($"codes", $"qv", model).cast("double").as("score")))
-    val exact10 = top10(e.crossJoin(broadcast(qs))
-      .select($"qid", $"vec_id",
-        graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score")))
-    pq10.join(exact10, Seq("qid", "vec_id")).agg(count(lit(1)).as("hits"))
+    pq10.join(panelExact10(s, e, qs), Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("hits"))
   }
 
   /** Panel + per-query exact top-10 CTEs (mirrors [[pqPanelHits]]'s
@@ -332,13 +444,47 @@ object AnnQueries extends QueryPack {
   private val duckCentroids =
     "SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8"
 
-  private val duckAssigned =
+  /** Row-local argmin cell assignment against an arbitrary centroid
+    * relation (name or parenthesized subquery). */
+  private def duckAssign(centSrc: String): String =
     s"""SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${duckL2sq("e.embedding", "c.centroid")}, c.cell) AS rn
-       |    FROM embeddings e CROSS JOIN ($duckCentroids) c
+       |    FROM embeddings e CROSS JOIN $centSrc c
        |  ) WHERE rn = 1""".stripMargin
+
+  private val duckAssigned = duckAssign(s"($duckCentroids)")
+
+  /** Lloyd-refined coarse centroids (the `ann_refined` protocol, reused
+    * as the IVF-PQ coarse quantizer): seed assignment → per-(cell, pos)
+    * double means → round(·,6) → REAL, twice — ending in
+    * `rcents(cell, centroid)`. Residuals against ACTUAL cell means is
+    * what makes residual PQ encoding pay (`faiss::IndexIVFPQ` trains
+    * its coarse quantizer the same way); against raw seed vectors the
+    * residuals carry as much energy as the vectors themselves
+    * (measured: distortion 374.6M vs 269.1M at sf0.01). */
+  private def duckRefinedCents: String =
+    s"""ra1 AS (
+       |  $duckAssigned
+       |), rpos AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS pos
+       |), rm1 AS (
+       |  SELECT a.cell, p.pos, avg(CAST(e.embedding[p.pos] AS DOUBLE)) AS m
+       |  FROM ra1 a JOIN embeddings e USING (vec_id) CROSS JOIN rpos p
+       |  GROUP BY a.cell, p.pos
+       |), rr1 AS (
+       |  SELECT cell, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS centroid
+       |  FROM rm1 GROUP BY cell
+       |), ra2 AS (
+       |  ${duckAssign("rr1")}
+       |), rm2 AS (
+       |  SELECT a.cell, p.pos, avg(CAST(e.embedding[p.pos] AS DOUBLE)) AS m
+       |  FROM ra2 a JOIN embeddings e USING (vec_id) CROSS JOIN rpos p
+       |  GROUP BY a.cell, p.pos
+       |), rcents AS (
+       |  SELECT cell, list(CAST(round(m, 6) AS REAL) ORDER BY pos) AS centroid
+       |  FROM rm2 GROUP BY cell
+       |)""".stripMargin
 
   /** hash32 fragment (same as TextQueries): first 8 md5 nibbles, exact fold. */
   import graft.queries.DuckSql.dHash32
@@ -372,19 +518,27 @@ object AnnQueries extends QueryPack {
        |  ) WHERE srn <= 50
        |)""".stripMargin
 
-  /** The per-(vector, subspace) argmin-code / query-LUT / integer-ADC
-    * tail of the PQ oracle, parameterized by the codebook CTE it scores
-    * against (mirrors `Pq.encodeCol` / `Pq.lut` / `Pq.adcCol`). Assumes
-    * a `q(qv)` CTE is already defined. */
-  private def duckAdcTail(cb: String, sfx: String): String =
+  /** Per-(vector, subspace) argmin codes of `src` (a (vec_id,
+    * embedding) relation) against codebook `cb` (mirrors
+    * `Pq.encodeCol`). */
+  private def duckCodes(cb: String, sfx: String,
+      src: String = "embeddings"): String =
     s"""codes$sfx AS (
        |  SELECT vec_id, s, j AS code FROM (
        |    SELECT e.vec_id, c.s, c.j,
        |      row_number() OVER (PARTITION BY e.vec_id, c.s
        |        ORDER BY ${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")}, c.j) AS rn
-       |    FROM embeddings e CROSS JOIN $cb c
+       |    FROM $src e CROSS JOIN $cb c
        |  ) WHERE rn = 1
-       |), lut$sfx AS (
+       |)""".stripMargin
+
+  /** The argmin-code / query-LUT / integer-ADC tail of the PQ oracle,
+    * parameterized by the codebook CTE it scores against (mirrors
+    * `Pq.encodeCol` / `Pq.lut` / `Pq.adcCol`). Assumes a `q(qv)` CTE is
+    * already defined. */
+  private def duckAdcTail(cb: String, sfx: String,
+      src: String = "embeddings"): String =
+    s"""${duckCodes(cb, sfx, src)}, lut$sfx AS (
        |  SELECT c.s, c.j,
        |    CAST(round(${duckL2sq("list_slice(q.qv, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
        |  FROM $cb c CROSS JOIN q
@@ -395,38 +549,76 @@ object AnnQueries extends QueryPack {
        |)""".stripMargin
 
   /** One Lloyd refinement step of the PQ codebook (mirrors
-    * `Pq.refineStep`): assign every vector's slice to its nearest
+    * `Pq.refineStep`): assign every `src` vector's slice to its nearest
     * sub-centroid of `prev`, per-(subspace, code, component) double
     * means, quantize round(·,6) → REAL — the `ann_refined` protocol —
-    * and keep the previous centroid for empty codes. */
-  private def duckPqRefine(i: Int, prev: String): String =
-    s"""codes_t$i AS (
+    * and keep the previous centroid for empty codes. Produces
+    * `cb$tag$i`. */
+  private def duckPqRefine(i: Int, prev: String,
+      src: String = "embeddings", tag: String = ""): String =
+    s"""codes_t$tag$i AS (
        |  SELECT vec_id, s, j AS code FROM (
        |    SELECT e.vec_id, c.s, c.j,
        |      row_number() OVER (PARTITION BY e.vec_id, c.s
        |        ORDER BY ${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")}, c.j) AS rn
-       |    FROM embeddings e CROSS JOIN $prev c
+       |    FROM $src e CROSS JOIN $prev c
        |  ) WHERE rn = 1
-       |), mean$i AS (
+       |), mean$tag$i AS (
        |  SELECT co.s, co.code AS j, sp.sp,
        |         avg(CAST(e.embedding[co.s*8 + sp.sp + 1] AS DOUBLE)) AS mv
-       |  FROM codes_t$i co JOIN embeddings e USING (vec_id)
+       |  FROM codes_t$tag$i co JOIN $src e USING (vec_id)
        |  CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS sp) sp
        |  GROUP BY co.s, co.code, sp.sp
-       |), cb$i AS (
+       |), cb$tag$i AS (
        |  SELECT c.s, c.j, COALESCE(m.cent, c.cent) AS cent
        |  FROM $prev c LEFT JOIN (
        |    SELECT s, j, list(CAST(round(mv, 6) AS REAL) ORDER BY sp) AS cent
-       |    FROM mean$i GROUP BY s, j
+       |    FROM mean$tag$i GROUP BY s, j
        |  ) m ON m.s = c.s AND m.j = c.j
        |)""".stripMargin
 
   /** ×1e6-integer corpus quantization error of `codes` against `cb`
-    * (mirrors `Pq.distortionCol` summed): a scalar-subquery fragment. */
-  private def duckDistortion(cb: String, codes: String): String =
+    * over `src` (mirrors `Pq.distortionCol` summed): a scalar-subquery
+    * fragment. */
+  private def duckDistortion(cb: String, codes: String,
+      src: String = "embeddings"): String =
     s"""SELECT CAST(sum(CAST(round(${duckL2sq("list_slice(e.embedding, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT)) AS BIGINT)
-       |   FROM $codes co JOIN embeddings e USING (vec_id)
+       |   FROM $codes co JOIN $src e USING (vec_id)
        |   JOIN $cb c ON c.s = co.s AND c.j = co.code""".stripMargin
+
+  /** Residual IVF-PQ training CTEs (mirrors `Pq.trainResidual` /
+    * `encodeIvfResidual` against the `centSrc` coarse quantizer): cell
+    * assignment, the exact-float residual frame (its residual column
+    * NAMED `embedding` so every train/encode fragment applies verbatim
+    * with src = resid), md5-spread seed codebooks over residuals,
+    * `iters` Lloyd steps, residual codes. Assumes `subsp` is already
+    * defined; produces `assigned` / `resid` / `cbr` / `codesr`. */
+  private def duckResidCtes(centSrc: String = s"($duckCentroids)",
+      iters: Int = 2): String = {
+    val chain = (1 to iters)
+      .map(i => duckPqRefine(i, if (i == 1) "cbr0" else s"cbr${i - 1}", "resid", "r"))
+      .mkString(",\n")
+    s"""assigned AS (
+       |  ${duckAssign(centSrc)}
+       |), resid AS (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(range(1, 65), d ->
+       |      CAST(CAST(e.embedding[d] AS DOUBLE) - CAST(c.centroid[d] AS DOUBLE) AS REAL)) AS embedding
+       |  FROM embeddings e JOIN assigned a USING (vec_id)
+       |  JOIN $centSrc c ON c.cell = a.cell
+       |), cbrowsr AS (
+       |  SELECT rn - 1 AS j, embedding FROM (
+       |    SELECT embedding, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
+       |    FROM resid
+       |  ) WHERE rn <= 16
+       |), cbr0 AS (
+       |  SELECT sp.s, c.j, list_slice(c.embedding, sp.s*8 + 1, sp.s*8 + 8) AS cent
+       |  FROM subsp sp CROSS JOIN cbrowsr c
+       |), $chain,
+       |cbr AS (SELECT * FROM cbr$iters),
+       |${duckCodes("cbr", "r", "resid")}""".stripMargin
+  }
 
   /** The sample-seed codebook CTEs (mirrors `Pq.train`): 16 md5-spread
     * sample rows sliced into 8 sub-codebooks, plus the query vector. */
@@ -483,6 +675,17 @@ object AnnQueries extends QueryPack {
        |  FROM sqcodes c JOIN sqq q USING (d)
        |  GROUP BY c.vec_id
        |)""".stripMargin
+
+  /** Mark every CTE in an assembled PQ oracle MATERIALIZED: DuckDB
+    * re-inlines plain CTEs per reference, and the residual/refine
+    * chains (codes → codebook → residuals → coarse centroids) nest
+    * deeply enough that re-inlining goes exponential — the
+    * ann_ivfpq_residual_gain oracle OOM'd before this. Every CTE here
+    * is small (≤ corpus × m rows), so forcing materialization is pure
+    * win. CTE definitions are the only " AS (" occurrences in these
+    * strings (derived tables are "FROM (", scalar subqueries
+    * "(SELECT"). */
+  private def mat(sql: String): String = sql.replace(" AS (", " AS MATERIALIZED (")
 
   def oracle: Map[String, String] = Map(
 
@@ -572,16 +775,16 @@ object AnnQueries extends QueryPack {
          |  round(CAST(CAST(round(m, 6) AS REAL) AS DOUBLE), 4) + 0.0 AS comp
          |FROM m2 ORDER BY cell, pos""".stripMargin,
 
-    "ann_pq" ->
+    "ann_pq" -> mat(
       s"""WITH $duckPqCtes
          |SELECT vec_id, adc FROM adcs
-         |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin),
 
     // sample-codebook ADC chain (suffix 0, over cb0) alongside the
     // refined chain; panel hits vs the shared exact top-10s plus the
     // integer corpus distortion per variant — lloyd2 must come out
     // better on both (26→36 hits, −25% distortion at sf0.01)
-    "ann_pq_refine_gain" ->
+    "ann_pq_refine_gain" -> mat(
       s"""WITH $duckPqCtes,
          |${duckAdcTail("cb0", "0")},
          |$duckPanelBase,
@@ -597,14 +800,14 @@ object AnnQueries extends QueryPack {
          |    (SELECT count(*) FROM pq10p p JOIN exact10p x
          |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits,
          |    (${duckDistortion("cb", "codes")}) AS distortion_q
-         |) ORDER BY variant""".stripMargin,
+         |) ORDER BY variant""".stripMargin),
 
-    "ann_pq_recall" ->
+    "ann_pq_recall" -> mat(
       s"""WITH $duckPqCtes,
          |$duckPanelBase,
          |${duckPanelTopCtes("cb", "codes", "")}
          |SELECT count(*) AS hits FROM pq10p p JOIN exact10p x
-         |ON p.qid = x.qid AND p.vec_id = x.vec_id""".stripMargin,
+         |ON p.qid = x.qid AND p.vec_id = x.vec_id""".stripMargin),
 
     "ann_rp" ->
       s"""WITH $duckRpCtes
@@ -629,29 +832,125 @@ object AnnQueries extends QueryPack {
          |)
          |SELECT count(*) AS hits FROM rp10 JOIN exact10 USING (vec_id)""".stripMargin,
 
-    "ann_pq_rerank" ->
+    "ann_pq_rerank" -> mat(
       s"""WITH $duckPqCtes,
          |shortlist AS (
          |  SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT 50
          |)
          |SELECT e.vec_id, round(${duckL2sq("e.embedding", "q.qv")}, 4) AS distance
          |FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN q
-         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin,
+         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin),
 
-    "ann_ivfpq" ->
-      s"""WITH $duckPqCtes,
-         |assigned AS (
-         |  $duckAssigned
+    "ann_ivfpq" -> mat(
+      s"""WITH subsp AS (
+         |  SELECT CAST(unnest(range(0, 8)) AS INT) AS s
+         |), $duckRefinedCents,
+         |${duckResidCtes("rcents")},
+         |q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
          |), probe AS (
          |  SELECT cell FROM (
          |    SELECT c.cell, row_number() OVER (
          |      ORDER BY ${duckL2sq("q.qv", "c.centroid")}, c.cell) AS crn
-         |    FROM ($duckCentroids) c CROSS JOIN q
+         |    FROM rcents c CROSS JOIN q
          |  ) WHERE crn <= 2
+         |), qres AS (
+         |  SELECT c.cell, list_transform(range(1, 65), d ->
+         |      CAST(CAST(q.qv[d] AS DOUBLE) - CAST(c.centroid[d] AS DOUBLE) AS REAL)) AS qr
+         |  FROM rcents c JOIN probe USING (cell) CROSS JOIN q
+         |), lutr AS (
+         |  SELECT p.cell, c.s, c.j,
+         |    CAST(round(${duckL2sq("list_slice(p.qr, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
+         |  FROM cbr c CROSS JOIN qres p
+         |), adcr AS (
+         |  SELECT co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
+         |  FROM codesr co JOIN assigned a USING (vec_id)
+         |  JOIN lutr l ON l.cell = a.cell AND l.s = co.s AND l.j = co.code
+         |  GROUP BY co.vec_id
          |)
-         |SELECT a.vec_id, a.adc
-         |FROM adcs a JOIN assigned s2 USING (vec_id) JOIN probe p ON p.cell = s2.cell
-         |ORDER BY a.adc, a.vec_id LIMIT 10""".stripMargin,
+         |SELECT vec_id, adc FROM adcr
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+
+    // raw chain at 4 Lloyd steps (cb3/cb4 extend the shared cb2) and
+    // residual chain at 4 steps, both over the SAME refined cells;
+    // per-query probed cells, per-variant restricted integer ADC, hits
+    // vs the global exact top-10s, hits vs the probed-cells exact
+    // top-10s (the encoding-isolated metric), reconstruction distortion
+    "ann_ivfpq_residual_gain" -> mat(
+      s"""WITH $duckPqSeedCtes,
+         |${duckPqRefine(1, "cb0")},
+         |${duckPqRefine(2, "cb1")},
+         |${duckPqRefine(3, "cb2")},
+         |${duckPqRefine(4, "cb3")},
+         |cbx AS (SELECT * FROM cb4),
+         |${duckCodes("cbx", "x")},
+         |$duckRefinedCents,
+         |${duckResidCtes("rcents", 4)},
+         |$duckPanelBase,
+         |probep AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckL2sq("q.qv", "c.centroid")}, c.cell) AS crn
+         |    FROM rcents c CROSS JOIN qs q
+         |  ) WHERE crn <= 2
+         |), exactprobed AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, e.vec_id, row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM embeddings e JOIN assigned a USING (vec_id)
+         |    JOIN probep p ON p.cell = a.cell
+         |    JOIN qs q ON q.qid = p.qid
+         |  ) WHERE rn <= 10
+         |), lutpx AS (
+         |  SELECT q.qid, c.s, c.j,
+         |    CAST(round(${duckL2sq("list_slice(q.qv, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
+         |  FROM cbx c CROSS JOIN qs q
+         |), adcivfraw AS (
+         |  SELECT l.qid, co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
+         |  FROM codesx co JOIN assigned a USING (vec_id)
+         |  JOIN probep p ON p.cell = a.cell
+         |  JOIN lutpx l ON l.qid = p.qid AND l.s = co.s AND l.j = co.code
+         |  GROUP BY l.qid, co.vec_id
+         |), ivf10raw AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+         |    FROM adcivfraw) WHERE rn <= 10
+         |), qresp AS (
+         |  SELECT p.qid, p.cell, list_transform(range(1, 65), d ->
+         |      CAST(CAST(q.qv[d] AS DOUBLE) - CAST(c.centroid[d] AS DOUBLE) AS REAL)) AS qr
+         |  FROM probep p JOIN qs q USING (qid)
+         |  JOIN rcents c ON c.cell = p.cell
+         |), lutrp AS (
+         |  SELECT p.qid, p.cell, c.s, c.j,
+         |    CAST(round(${duckL2sq("list_slice(p.qr, c.s*8 + 1, c.s*8 + 8)", "c.cent")} * 1e6) AS BIGINT) AS dq
+         |  FROM cbr c CROSS JOIN qresp p
+         |), adcivfres AS (
+         |  SELECT l.qid, co.vec_id, CAST(sum(l.dq) AS BIGINT) AS adc
+         |  FROM codesr co JOIN assigned a USING (vec_id)
+         |  JOIN lutrp l ON l.cell = a.cell AND l.s = co.s AND l.j = co.code
+         |  GROUP BY l.qid, co.vec_id
+         |), ivf10res AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+         |    FROM adcivfres) WHERE rn <= 10
+         |)
+         |SELECT * FROM (
+         |  SELECT 'raw' AS variant,
+         |    (SELECT count(*) FROM ivf10raw p JOIN exact10p x
+         |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits,
+         |    (SELECT count(*) FROM ivf10raw p JOIN exactprobed x
+         |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits_probed,
+         |    (${duckDistortion("cbx", "codesx")}) AS distortion_q
+         |  UNION ALL
+         |  SELECT 'residual' AS variant,
+         |    (SELECT count(*) FROM ivf10res p JOIN exact10p x
+         |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits,
+         |    (SELECT count(*) FROM ivf10res p JOIN exactprobed x
+         |       ON p.qid = x.qid AND p.vec_id = x.vec_id) AS hits_probed,
+         |    (${duckDistortion("cbr", "codesr", "resid")}) AS distortion_q
+         |) ORDER BY variant""".stripMargin),
 
     "ann_sq" ->
       s"""WITH $duckSqCtes

@@ -248,6 +248,41 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: residuals are exact float math; search equals a driver replay") {
+    val cents = Seq(0L, 1L, 2L, 3L).map { c =>
+      c -> e.filter($"vec_id" === c).select($"embedding")
+        .head.getSeq[Float](0).toArray
+    }
+    val mRes = Pq.trainResidual(e, cents, m = 8, ks = 16, iters = 1)
+    val enc = Pq.encodeIvfResidual(e, cents, mRes)
+    val got = Pq.ivfAdcTopKResidual(enc, cents, mRes, query, k = 5, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // driver replay: assign each vector (nearest of 4 cells, ties to the
+    // lower cell), residual-encode, ADC against the query's per-cell
+    // residual LUT, keep the 2 probed cells, ascending (adc, id)
+    val byId = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cellOf(v: Array[Float]): Long =
+      cents.map { case (c, ce) => (Pq.l2sqLocal(v, ce), c) }.min._2
+    val probed = cents.map { case (c, ce) => (Pq.l2sqLocal(query, ce), c) }
+      .sorted.take(2).map(_._2).toSet
+    val codesById = enc.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    val centMap = cents.toMap
+    val want = byId.toSeq.flatMap { case (id, v) =>
+      val cell = cellOf(v)
+      if (!probed.contains(cell)) None else {
+        val qres = Array.tabulate(query.length)(d =>
+          (query(d).toDouble - centMap(cell)(d).toDouble).toFloat)
+        val lutQ = Pq.lut(mRes, qres)
+        val (encCell, codes) = codesById(id)
+        assert(encCell === cell, s"cell mismatch for $id")
+        Some(id -> (0 until mRes.m).map(s => lutQ(s)(codes(s))).sum)
+      }
+    }.sortBy { case (id, adc) => (adc, id) }.take(5)
+    assert(got.toSeq === want)
+  }
+
   test("l2sqLocal mirrors the engine kernel bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(20)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
