@@ -97,6 +97,60 @@ object VectorStore {
       .outputMode("append")
       .start()
 
+  /** Compact a cell-partitioned store in place: every `cell=` directory
+    * holding more than `maxFilesPerCell` parquet files is rewritten as
+    * ⌈bytes / targetFileBytes⌉ files (values unchanged); smaller cells
+    * are untouched. Streaming appends ([[appendStream]]*) land one file
+    * set per micro-batch per cell, so a long-running ingest accumulates
+    * small files until scan PLANNING dominates scan work — the
+    * reference's persist-per-mutation cost
+    * (`src/index/vector_shard.cc:101-106`) reborn as a small-files
+    * problem. Returns (cell, filesBefore, filesAfter) per compacted
+    * cell.
+    *
+    * Contract: run against a QUIESCED store (stop the streaming query
+    * first — the snapshot-maintenance window of the lambda split this
+    * store already documents). The streaming sink's `_spark_metadata`
+    * transaction log is retired as part of compaction: batch readers
+    * prefer the log over a physical listing and would otherwise keep
+    * resolving the deleted pre-compaction files. The compacted store is
+    * a plain parquet snapshot — resume ingest into a fresh directory +
+    * checkpoint (or rebuild from the durable mutation log), exactly the
+    * reference's reload-from-snapshot lifecycle. */
+  def compact(spark: SparkSession, path: String, maxFilesPerCell: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaLog = new Path(root, "_spark_metadata")
+    if (fs.exists(metaLog)) fs.delete(metaLog, true)
+    val cells = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    cells.toSeq.flatMap { cdir =>
+      val dataFiles = fs.listStatus(cdir.getPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (dataFiles.length <= maxFilesPerCell) None
+      else {
+        val nOut = math.max(1,
+          math.ceil(dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        val tmp = new Path(root, s"_compact_tmp_${cdir.getPath.getName}")
+        // rewrite values unchanged: read ONLY this cell's files (the
+        // partition column lives in the directory name, not the rows)
+        spark.read.parquet(cdir.getPath.toString)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(tmp.toString)
+        dataFiles.foreach(f => fs.delete(f.getPath, false))
+        val moved = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        moved.zipWithIndex.foreach { case (f, i) =>
+          fs.rename(f.getPath, new Path(cdir.getPath, s"compact-$i.parquet"))
+        }
+        fs.delete(tmp, true)
+        Some((cdir.getPath.getName, dataFiles.length, moved.length))
+      }
+    }
+  }
+
   /** [[appendStream]] for an IVF-PQ store: upserts are cell-assigned AND
     * PQ-encoded in the same row-local micro-batch projection, so the
     * store ingests 8-byte codes (not raw vectors) and stays probe-able

@@ -233,4 +233,53 @@ class IntegrationSpec extends SparkSpec {
       assert(multiShard, "expected at least one cross-shard duplicate id")
     } finally q.stop()
   }
+
+  test("compact: N micro-batches of streaming appends → bounded files, identical probes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Pq
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-compact")
+    val cents = Seq(0L -> Array(0f, 0f), 1L -> Array(10f, 10f))
+    val corpus = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val m2 = Pq.train(corpus, m = 2, ks = 2)
+    val mem = MemoryStream[(String, Long, Seq[Float])]
+    val q = VectorStore.appendStreamIvfPq(
+      mem.toDF().toDF("op", "vec_id", "embedding"), cents, m2,
+      s"$dir/store", s"$dir/ckpt")
+    try {
+      // 6 micro-batches, each landing a file set in both cells
+      (0 until 6).foreach { b =>
+        mem.addData(
+          ("UPSERT", b * 2L + 10, Seq(0.1f + b, 0.2f)),
+          ("UPSERT", b * 2L + 11, Seq(9.5f, 9.5f - b)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def cellFiles(cell: Int): Int =
+      new java.io.File(s"$dir/store/cell=$cell").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(cellFiles(0) >= 6 && cellFiles(1) >= 6, "appends should accumulate files")
+    val before = spark.read.parquet(s"$dir/store").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Int](r.fieldIndex("codes")))).sortBy(_._1).toSeq
+    val report = VectorStore.compact(spark, s"$dir/store", maxFilesPerCell = 2)
+    assert(report.map(_._1).toSet === Set("cell=0", "cell=1"))
+    assert(report.forall { case (_, b, a) => b >= 6 && a == 1 })
+    assert(cellFiles(0) === 1 && cellFiles(1) === 1)
+    assert(!new java.io.File(s"$dir/store/_spark_metadata").exists,
+      "the streaming sink log must be retired with the files it indexes")
+    val after = spark.read.parquet(s"$dir/store").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Int](r.fieldIndex("codes")))).sortBy(_._1).toSeq
+    assert(after === before, "compaction must not change a single value")
+    // the probe path still prunes to one partition directory and ranks
+    // identically over the compacted 8-byte codes
+    val probe = Pq.ivfAdcTopK(
+      spark.read.parquet(s"$dir/store"), cents, m2,
+      Array(0.1f, 0.2f), k = 3, nprobe = 1)
+    assert(probe.collect().map(_.getLong(0)).nonEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
