@@ -1019,9 +1019,38 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       numHashes: Int = 12,
-      bands: Int = 4,
-      threshold: Double = 0.9): DataFrame = {
-    val rowsPerBand = numHashes / bands
+      threshold: Double = 0.9): DataFrame =
+    // CONTAINMENT-calibrated banding: one band PER HASH (r=1, b=12) —
+    // the r=1 end of the banding spectrum, which is the correct
+    // operating point for containment. A high-containment pair's
+    // JACCARD falls with size asymmetry (C=0.9 at ratio ρ ⇒ J ≥
+    // 0.9/(1+ρ−0.9)), and the dedup_minhash-style (b=4, r=3) bands
+    // lose exactly those pairs: measured on the 1/10 sample truth,
+    // (4,3) banding recalls 54.7% (sf0.01) / 64.5% (sf0.1) of true
+    // C ≥ 0.9 pairs, r=1 banding 100% / 99.8%
+    // (dedup_containment_recall pins this). Any pair matching a 3-row
+    // band matches each constituent single-hash band, so r=1
+    // candidates strictly contain the old set — this is a pure recall
+    // upgrade paid for in candidate volume, which the rep-level
+    // collapse keeps linear on duplicate-heavy corpora. A full
+    // LSH-Ensemble (Zhu 2016) size-stratification would re-tighten r
+    // within same-size strata to shed candidates; at measured ~100%
+    // recall and bounded volume it is a cost knob, not a recall one.
+    containmentPairsBanded(docs, textCol, idCol, numHashes,
+      bands = numHashes, rowsPerBand = 1, threshold)
+
+  /** [[containmentPairs]] under an explicit (bands, rowsPerBand) —
+    * the honesty-metric hook (`dedup_containment_recall` compares the
+    * retired (4,3) banding against the shipped r=1 form on the same
+    * truth set). */
+  private[graft] def containmentPairsBanded(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     // Identical-set collapse (the minhashRepPairs stages): containment
     // is a function of the token SETS alone, so rep-level verification
     // + member expansion is provably output-identical to the naive form

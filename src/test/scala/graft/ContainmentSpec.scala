@@ -47,8 +47,9 @@ class ContainmentSpec extends SparkSpec {
             graft.functions.TextFunctions.tokens($"text")),
             s => graft.functions.TextFunctions.hash32(s)), 12).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the shipped containment-calibrated banding: one band per hash
     def bands(sig: Seq[Long]): Seq[String] =
-      (0 until 4).map(b => (0 until 3).map(r => sig(b * 3 + r)).mkString(":"))
+      (0 until 12).map(b => sig(b).toString)
     val ids = hs.keys.toSeq.sorted
     val expected = (for {
       i <- ids; j <- ids if i < j
