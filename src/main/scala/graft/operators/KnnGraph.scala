@@ -67,6 +67,154 @@ object KnnGraph {
         col("col.distance").as("distance"))
   }
 
+  /** Deterministic pseudo-random ring edges: nodes ordered by
+    * (md5(id), id) — a reproducible shuffle both engines can replay —
+    * and each node pointed at its next `m` successors (modular). This
+    * is the RANDOM INITIALIZATION NN-Descent requires: the block-local
+    * [[build]] graph is closed under neighbor-of-neighbor expansion
+    * (every 2-hop candidate stays inside the block), so descent from it
+    * alone can never create a cross-block edge — measured: 0 of 2000
+    * edges changed. The md5 ring crosses blocks by construction and is
+    * connected, giving descent the long-range raw material (and the
+    * search walk an escape route). The global rank comes from
+    * [[Rank.withGlobalRank]] — no single-partition window. */
+  def ringInit(vectors: DataFrame, m: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(m > 0, "m must be positive")
+    val ids = vectors.select(col(idCol)).distinct()
+    val ranked = Rank.withGlobalRank(ids, "rn",
+      md5(col(idCol).cast("string")), col(idCol))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val tgt = ranked.select(col("rn").as("trn"), col(idCol).as("nbr_id"))
+    ranked
+      .crossJoin(broadcast(n))
+      .select(col(idCol), explode(lit((1 to m).toArray)).as("j"),
+        col("rn"), col("__n"))
+      .withColumn("trn", pmod(col("rn") - 1 + col("j"), col("__n")) + 1)
+      .join(tgt, "trn")
+      .filter(col(idCol) =!= col("nbr_id"))
+      .select(col(idCol), col("nbr_id"))
+  }
+
+  /** One NN-Descent refinement round (Dong/Charikar/Li, WWW 2011): a
+    * node's new neighbor candidates are its current neighbors, its
+    * REVERSE neighbors, and its neighbors' neighbors — "a neighbor of a
+    * neighbor is likely a neighbor" — re-ranked to the best m. Start it
+    * from [[build]] ∪ [[ringInit]] (see [[buildSearchGraph]]): descent
+    * only explores the 2-hop closure of its input, so it needs the
+    * random cross-block edges to stitch blocks together; from the
+    * block-local graph alone it is a no-op. Distributed shape:
+    * candidate expansion is two self-joins of the m-degree edge list
+    * (≤ N·(2m + m²) candidate pairs — degree-bounded, never N²), one
+    * distinct, one distance projection, and the BottomK
+    * partial-aggregated heap per node. */
+  def nnDescentRound(vectors: DataFrame, graph: DataFrame, m: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(m > 0, "m must be positive")
+    val edges = graph.select(col(idCol).as("u"), col("nbr_id").as("w"))
+    val rev = edges.select(col("w").as("u"), col("u").as("w"))
+    val hop2 = edges.as("a")
+      .join(edges.select(col("u").as("v"), col("w").as("w2")), col("w") === col("v"))
+      .select(col("u"), col("w2").as("w"))
+    val cand = edges.union(rev).union(hop2)
+      .filter(col("u") =!= col("w")).distinct()
+    val ev = vectors.select(col(idCol).as("u"), col(embCol).as("ue"))
+    val ew = vectors.select(col(idCol).as("w"), col(embCol).as("we"))
+    cand.join(ev, "u").join(ew, "w")
+      .select(col("u"), col("w"), l2sq(col("ue"), col("we")).as("d"))
+      .groupBy(col("u"))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("d"), col("w").cast("long"), m).as("nbrs"))
+      .select(col("u"), posexplode(col("nbrs")))
+      .select(col("u").as(idCol),
+        (col("pos") + 1).cast("int").as("nbr_rank"),
+        col("col.id").as("nbr_id"),
+        col("col.distance").as("distance"))
+  }
+
+  /** The search-ready graph: block-local exact kNN edges ([[build]] —
+    * high precision, no recall across blocks) ∪ md5-ring edges
+    * ([[ringInit]] — random long links), then `rounds` NN-Descent
+    * rounds converging toward the TRUE kNN graph, with the ring edges
+    * re-unioned at the end as permanent long links (the NSW insight:
+    * greedy search needs both short precise edges and long escape
+    * edges; descent alone would prune the long ones away). Degree ≤
+    * m + ringM per node. */
+  def buildSearchGraph(vectors: DataFrame, m: Int, ringM: Int = 2,
+      rounds: Int = 2, targetBlock: Int = 64,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    // each round reads its input three ways (edges, reversed, 2-hop
+    // self-join): localCheckpoint per round — persist alone truncates
+    // RECOMPUTE but not the LOGICAL plan, which grows 3^rounds across
+    // the self-referencing chain and OOMs the driver during analysis
+    // (the Dedup CC-rounds lesson). Callers own block cleanup.
+    val ring = ringInit(vectors, ringM, idCol).localCheckpoint(true)
+    var g = build(vectors, m, targetBlock, 1, idCol, embCol)
+      .select(col(idCol), col("nbr_id"))
+      .union(ring)
+    (1 to rounds).foreach { _ =>
+      g = nnDescentRound(vectors, g, m, idCol, embCol)
+        .select(col(idCol), col("nbr_id"))
+        .localCheckpoint(true)
+    }
+    g.union(ring).distinct()
+  }
+
+  /** Batched greedy beam search over a prebuilt neighbor graph — the
+    * HNSW/NN-Descent serving shape, for a broadcast query SET in one
+    * plan: per hop, the candidate pool is the current beam plus the
+    * graph neighbors of every beam member; exact distances re-rank the
+    * pool and the best `beam` survive (ties (distance, id) — fully
+    * deterministic). After `hops` rounds the best k of the final beam
+    * are the answer. Per (query, hop) the pool is ≤ beam·(degree+1)
+    * rows — bounded by parameters, never by N — and every join
+    * broadcasts the (queries × beam)-row frontier, so the corpus and
+    * the graph never shuffle. `seeds` = (qid, cand) starting points
+    * (typically the IVF-probe cells' seed vectors — the coarse route
+    * into the right region, after which the graph walk takes over).
+    * Returns (qid, idCol, distance, rank ≤ k). */
+  def beamSearch(vectors: DataFrame, graph: DataFrame, queries: DataFrame,
+      seeds: DataFrame, beam: Int, hops: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(beam > 0 && hops >= 0 && k > 0, "beam/hops/k must be positive")
+    import graft.expressions.BottomK.bottomK
+    val e = vectors.select(col(idCol).as("cand"), col(embCol).as("ce"))
+    val g = graph.select(col(idCol).as("cand"), col("nbr_id"))
+    // (qid, cand) -> per-qid best `width` as (qid, cand, d)
+    def rerank(pool: DataFrame, width: Int): DataFrame =
+      pool.distinct()
+        .join(e, "cand")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("cand"), l2sq(col("ce"), col("qv")).as("d"))
+        .groupBy(col("qid"))
+        .agg(bottomK(col("d"), col("cand").cast("long"), width).as("topw"))
+        .select(col("qid"), posexplode(col("topw")))
+        .select(col("qid"), col("col.id").as("cand"), col("col.distance").as("d"))
+    // each hop consumes the previous frontier TWICE (kept + expanded):
+    // localCheckpoint per hop — without it the plan re-derives the
+    // whole graph-build subtree 2^hops times (observed: a 9 GB JVM
+    // pinned for half an hour at hops=5), and persist alone still grows
+    // the LOGICAL tree exponentially through analysis. The frontier is
+    // queries × beam rows — checkpointing it is free. Callers own
+    // block cleanup (Dedup convention).
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    var frontier = pin(rerank(seeds.select(col("qid"), col("cand")), beam))
+    (1 to hops).foreach { _ =>
+      // the graph is the big side — the (queries × beam)-row frontier
+      // carries the broadcast hint
+      val expanded = g.join(broadcast(frontier), "cand")
+        .select(col("qid"), col("nbr_id").as("cand"))
+      frontier = pin(rerank(frontier.select(col("qid"), col("cand"))
+        .union(expanded), beam))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("cand"))
+    rerank(frontier.select(col("qid"), col("cand")), k)
+      .select(col("qid"), col("cand").as(idCol), col("d").as("distance"),
+        row_number().over(w).cast("long").as("rank"))
+  }
+
   /** The full SemDeDup decision (arXiv:2303.09540 §3): build the k-NN
     * graph, keep edges closer than `maxL2Sq`, collapse chains with
     * connected components, and keep ONE representative (the minimum id)

