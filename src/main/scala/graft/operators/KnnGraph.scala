@@ -149,14 +149,20 @@ object KnnGraph {
     // RECOMPUTE but not the LOGICAL plan, which grows 3^rounds across
     // the self-referencing chain and OOMs the driver during analysis
     // (the Dedup CC-rounds lesson). Callers own block cleanup.
-    val ring = ringInit(vectors, ringM, idCol).localCheckpoint(true)
+    // The checkpointed edge frames are m·N rows; coalesce(1) before
+    // each pin so the ~10 eager checkpoint jobs and every stage reading
+    // them run 1 task instead of spark.sql.shuffle.partitions tasks —
+    // values are partition-independent (joins/distinct/BottomK heaps),
+    // only scheduling overhead changes. At a true 100 TB graph the
+    // coalesce width is the knob; the structure stays.
+    val ring = ringInit(vectors, ringM, idCol).coalesce(1).localCheckpoint(true)
     var g = build(vectors, m, targetBlock, 1, idCol, embCol)
       .select(col(idCol), col("nbr_id"))
       .union(ring)
     (1 to rounds).foreach { _ =>
       g = nnDescentRound(vectors, g, m, idCol, embCol)
         .select(col(idCol), col("nbr_id"))
-        .localCheckpoint(true)
+        .coalesce(1).localCheckpoint(true)
     }
     g.union(ring).distinct()
   }
@@ -198,7 +204,8 @@ object KnnGraph {
     // the LOGICAL tree exponentially through analysis. The frontier is
     // queries × beam rows — checkpointing it is free. Callers own
     // block cleanup (Dedup convention).
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // frontier is queries × beam rows — one partition is its shape
+    def pin(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
     var frontier = pin(rerank(seeds.select(col("qid"), col("cand")), beam))
     (1 to hops).foreach { _ =>
       // the graph is the big side — the (queries × beam)-row frontier

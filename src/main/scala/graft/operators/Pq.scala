@@ -153,13 +153,28 @@ object Pq {
     PqModel(model.m, sd, model.ks, refined)
   }
 
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+  private def unwrap(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def cbSeq(model: PqModel): Seq[Seq[Seq[Float]]] =
+    model.codebooks.map(_.map(_.toSeq))
+
   /** Row-local ×1e6-integer quantization error of a vector against its
     * own nearest sub-codes: Σ_s round(min_j l2sq(slice_s, cb[s][j]) ×
     * 1e6) — the k-means objective as an EXACT integer, so the corpus sum
     * is summation-order-free on both engines. The honesty metric a
     * codebook upgrade must strictly improve (Lloyd steps are
-    * non-increasing in exactly this quantity). */
+    * non-increasing in exactly this quantity). Backed by the native
+    * [[graft.expressions.PqDistortion]] loop kernel — the inline tree
+    * (m×ks struct/least nodes compiled per job; measured 2 MiB task
+    * binaries and seconds of data-independent driver overhead) stays
+    * below as the executable spec PqSpec asserts equality against. */
   def distortionCol(emb: Column, model: PqModel): Column =
+    bridge(graft.expressions.PqDistortion(unwrap(emb), cbSeq(model)))
+
+  /** Inline-expression executable spec of [[distortionCol]]. */
+  def distortionColInline(emb: Column, model: PqModel): Column =
     (0 until model.m).map { s =>
       val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
         struct(l2sq(slice(emb, s * model.subDim + 1, model.subDim), lit(c)).as("dist"),
@@ -170,11 +185,18 @@ object Pq {
     }.reduce(_ + _)
 
   /** Row-local PQ code array: element s = argmin_j of
-    * l2sq(slice_s(emb), codebooks(s)(j)), ties to the lower code —
-    * lexicographic struct `least` IS the (distance, code) argmin, the
+    * l2sq(slice_s(emb), codebooks(s)(j)), ties to the lower code.
+    * Backed by the native [[graft.expressions.PqEncode]] loop kernel
+    * (one node, codebook as a referenced float[][][]); the inline
+    * struct-`least` tree below is the executable spec. */
+  def encodeCol(emb: Column, model: PqModel): Column =
+    bridge(graft.expressions.PqEncode(unwrap(emb), cbSeq(model)))
+
+  /** Inline-expression executable spec of [[encodeCol]]: lexicographic
+    * struct `least` IS the (distance, code) argmin, the
     * [[Ann.nearestCellInline]] pattern per subspace. m×ks inline struct
     * nodes — bounded by the model, never by the corpus. */
-  def encodeCol(emb: Column, model: PqModel): Column =
+  def encodeColInline(emb: Column, model: PqModel): Column =
     array((0 until model.m).map { s =>
       val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
         struct(l2sq(slice(emb, s * model.subDim + 1, model.subDim), lit(c)).as("dist"),
@@ -223,8 +245,14 @@ object Pq {
     * form of [[adcCol]] for scoring a broadcast query SET in one pass
     * (the `knn_batch` shape: corpus never shuffles, per-query top-k via
     * BottomK map-side heaps). Value-identical to the LUT path on the
-    * same (codes, query). */
+    * same (codes, query). Backed by the native
+    * [[graft.expressions.PqAdcBatch]] loop kernel; the inline tree below
+    * is the executable spec. */
   def adcBatchCol(codes: Column, qvec: Column, model: PqModel): Column =
+    bridge(graft.expressions.PqAdcBatch(unwrap(codes), unwrap(qvec), cbSeq(model)))
+
+  /** Inline-expression executable spec of [[adcBatchCol]]. */
+  def adcBatchColInline(codes: Column, qvec: Column, model: PqModel): Column =
     (0 until model.m).map { s =>
       val cbLit = typedlit(model.codebooks(s).map(_.toSeq))
       round(l2sq(slice(qvec, s * model.subDim + 1, model.subDim),

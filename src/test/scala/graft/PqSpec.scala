@@ -283,6 +283,57 @@ class PqSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("native PQ kernels equal their inline executable specs (codegen and interpreted)") {
+    // the three loop kernels vs the m×ks struct-least trees they
+    // replace, over the real corpus — both engine paths
+    def parity(): Unit = {
+      val rows = e.select($"vec_id",
+          Pq.encodeCol($"embedding", model).as("k_codes"),
+          Pq.encodeColInline($"embedding", model).as("s_codes"),
+          Pq.distortionCol($"embedding", model).as("k_dist"),
+          Pq.distortionColInline($"embedding", model).as("s_dist"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"codes diverge for ${r.getLong(0)}")
+        assert(r.getLong(3) === r.getLong(4), s"distortion diverges for ${r.getLong(0)}")
+      }
+      val adc = Pq.encode(e, model)
+        .select($"vec_id", lit(query).cast("array<float>").as("qv"), $"codes")
+        .select($"vec_id",
+          Pq.adcBatchCol($"codes", $"qv", model).as("k_adc"),
+          Pq.adcBatchColInline($"codes", $"qv", model).as("s_adc"))
+        .collect()
+      adc.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"adc diverges for ${r.getLong(0)}"))
+    }
+    parity()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try parity() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // structurally identical kernels compare equal (Seq-held codebooks,
+    // the SignLshBucket convention) so CSE/canonicalization dedupe them
+    locally {
+      val child = org.apache.spark.sql.graftbridge.ColumnBridge.expression($"embedding")
+      val cb1 = model.codebooks.map(_.map(_.toSeq))
+      val cb2 = model.codebooks.map(_.map(_.map(identity).toSeq)) // distinct instances
+      val k1 = graft.expressions.PqEncode(child, cb1)
+      val k2 = graft.expressions.PqEncode(child, cb2)
+      assert(k1 === k2 && k1.semanticEquals(k2))
+    }
+    // kernel edges: null input and wrong-width input are NULL rows
+    val edges = Seq((1L, None: Option[Seq[Float]]), (2L, Some(Seq(1f, 2f))))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .select(Pq.encodeCol($"embedding", model).as("c"),
+        Pq.distortionCol($"embedding", model).as("d"))
+      .collect()
+    edges.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("l2sqLocal mirrors the engine kernel bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(20)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
