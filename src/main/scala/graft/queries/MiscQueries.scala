@@ -173,6 +173,19 @@ object MiscQueries extends QueryPack {
           .select(lit(np.toLong).as("nprobe"), $"n_hits",
             expr("n_hits * 1000000L div n_exact").as("recall_q"))
       }.reduce(_ unionByName _).orderBy($"nprobe")
+    }),
+
+    // Edit-distance similarity self-join (PassJoin, PVLDB 2011): record
+    // pair counts per exact Levenshtein distance 0..2 over part names.
+    // The Spark side never goes quadratic — collapse to distinct
+    // strings, pigeonhole segment index/probe join (recall 1.0 by
+    // construction), exact verify on candidates, multiplicity products —
+    // while the oracle value-checks it with the quadratic truth.
+    "simjoin_edit" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SimJoin.editPairCounts(Tables.part(s, dir), "p_name", k = 2)
+        .select($"dist".cast("long").as("dist"), $"pairs")
+        .orderBy($"dist")
     })
   )
 
@@ -352,6 +365,21 @@ object MiscQueries extends QueryPack {
          |UNION ALL
          |${row(4)}
          |ORDER BY nprobe""".stripMargin
-    }
+    },
+
+    // Quadratic truth for the PassJoin result: every key-ordered record
+    // pair within Levenshtein 2 (the length filter only prunes pairs the
+    // distance bound already excludes). MATERIALIZED — DuckDB 1.0
+    // re-inlines plain CTEs per reference (BASELINE.md r9 lesson).
+    "simjoin_edit" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a JOIN part b
+        |    ON a.p_partkey < b.p_partkey
+        |   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |)
+        |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS pairs
+        |FROM d WHERE dist <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
