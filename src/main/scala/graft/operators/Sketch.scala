@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.expressions.BottomK.bottomK
-import graft.functions.TextFunctions.hash32
+import graft.functions.TextFunctions.{hash32, hash56}
 
 /** Mergeable cardinality sketches. The production alternative to
   * `count(DISTINCT x)` at 100 TB is a SKETCH — bounded state per group,
@@ -50,6 +50,59 @@ object Sketch {
       .select(col(groupCol), col("n_exact"),
         when(col("n_exact") < k, col("n_exact").cast("double"))
           .otherwise(est).as("kmv_est"))
+  }
+
+  /** HyperLogLog register sketch (Flajolet/Fusy/Gandouet/Meunier 2007)
+    * in a fully DETERMINISTIC form — the constant-state sibling of
+    * [[kmvDistinct]]: 64 registers per group regardless of cardinality,
+    * merged by MAX (so map-side partial aggregation collapses each
+    * task's slice to ≤ 64 rows per group before the shuffle — the
+    * mergeability HLL is famous for, and why it beats KMV's k values
+    * when groups are huge).
+    *
+    * All register math is exact integers over the portable hash56:
+    * register = h & 63, rank = leading zeros of the remaining 50-bit
+    * field + 1 (= 51 − bitlen(h >> 6), computed as the length of the
+    * binary string — no float log anywhere), harmonic denominator kept
+    * as the EXACT long Σ 2^(51 − M_j) (empty registers contribute
+    * 2^51). The only float op is the final single division
+    * 709·2^63 / 1000·harm_q — one IEEE-exact-rounded op on exactly
+    * representable inputs, bit-identical in any engine. Spark's builtin
+    * `approx_count_distinct` is HLL++ with implementation-defined
+    * internals — unusable under a value-equality oracle, which is why
+    * this sketch exists (same reason as KMV).
+    *
+    * Returns (group, regs_used, harm_q, est_hll, n_exact): the raw
+    * estimate next to the exact truth, honesty-metric style. The
+    * low-range linear-counting correction is deliberately omitted — it
+    * needs ln(), which libm does not guarantee bit-identical across
+    * engines; below ~2.5·m use [[kmvDistinct]] or the exact count the
+    * output already carries. */
+  def hllDistinct(pairs: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val regs = pairs
+      .select(col(groupCol), col(valueCol)).distinct()
+      .select(col(groupCol), hash56(col(valueCol)).as("h"))
+      .select(col(groupCol),
+        col("h").bitwiseAND(lit(63L)).as("idx"),
+        shiftright(col("h"), 6).as("rest"))
+      .select(col(groupCol), col("idx"),
+        when(col("rest") === 0L, lit(51))
+          .otherwise(lit(51) - length(bin(col("rest")))).as("rank"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(count(lit(1)).as("nv"), max(col("rank")).as("mr"))
+    regs
+      .groupBy(col(groupCol))
+      .agg(sum(col("nv")).as("n_exact"),
+        count(lit(1)).as("regs_used"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mr AS INT))")).as("obs"))
+      .select(col(groupCol), col("regs_used"),
+        (col("obs") + (lit(64L) - col("regs_used")) * lit(2251799813685248L))
+          .as("harm_q"),
+        col("n_exact"))
+      .select(col(groupCol), col("regs_used"), col("harm_q"),
+        round(lit(709.0) * pow(lit(2.0), lit(63.0)) /
+          col("harm_q").cast("double") / lit(1000.0), 2).as("est_hll"),
+        col("n_exact"))
   }
 
   /** Count-min sketch (Cormode/Muthukrishnan 2005) of a value stream:

@@ -367,6 +367,21 @@ object TextQueries extends QueryPack {
         .orderBy($"source")
     }),
 
+    // HyperLogLog distinct sketch (the CONSTANT-state sibling of
+    // distinct_kmv): 64 max-merged integer registers per event type
+    // over portable-hash56 ranks — no float log anywhere; the one
+    // float op is the final exact-input division. Estimate lands
+    // within HLL's ~13% band (m=64) of the exact count the output
+    // carries alongside, honesty-metric style.
+    "distinct_hll" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sketch.hllDistinct(
+          Tables.events(s, dir).select($"event_type",
+            $"event_id".cast("string").as("v")),
+          "event_type", "v")
+        .orderBy($"event_type")
+    }),
+
     // Count-min sketch heavy-hitter counts: 4×256 integer cells (the
     // bounded-state frequency table vs a full vocab shuffle), probed
     // for the exact top-16 tokens — estimate ≥ exact by construction,
@@ -1056,6 +1071,41 @@ object TextQueries extends QueryPack {
          |  CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
          |       ELSE round(270582939648 / h64, 4) END AS kmv_est
          |FROM agg ORDER BY source""".stripMargin,
+
+    // mirrors Sketch.hllDistinct: register = h & 63, rank = 51 −
+    // bitlen(h >> 6) via binary-string length (rank 51 on a zero
+    // field), per-register MAX, exact-long harmonic sum with empty
+    // registers at 2^51, one final division on exactly representable
+    // doubles (709·2^63 is a 10-bit mantissa)
+    "distinct_hll" ->
+      """WITH dv AS MATERIALIZED (
+        |  SELECT DISTINCT event_type, CAST(event_id AS VARCHAR) AS v FROM events
+        |), h AS MATERIALIZED (
+        |  SELECT event_type, CAST(list_sum(list_transform(range(1,15), i ->
+        |    CAST(strpos('0123456789abcdef', md5(v)[i:i]) - 1 AS BIGINT) *
+        |    CAST(16^(14-i) AS BIGINT))) AS BIGINT) AS h
+        |  FROM dv
+        |), r AS (
+        |  SELECT event_type, h & 63 AS idx,
+        |    CASE WHEN (h >> 6) = 0 THEN 51
+        |         ELSE 51 - length(bin(h >> 6)) END AS rank
+        |  FROM h
+        |), m AS (
+        |  SELECT event_type, idx, count(*) AS nv, max(rank) AS mr
+        |  FROM r GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, CAST(sum(nv) AS BIGINT) AS n_exact,
+        |    CAST(count(*) AS BIGINT) AS regs_used,
+        |    CAST(sum(CAST(1 AS BIGINT) << (51 - mr)) AS BIGINT) AS obs
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT event_type, regs_used,
+        |  obs + (64 - regs_used) * 2251799813685248 AS harm_q,
+        |  round(CAST(709 AS DOUBLE) * power(CAST(2 AS DOUBLE), 63) /
+        |    CAST(obs + (64 - regs_used) * 2251799813685248 AS DOUBLE) /
+        |    CAST(1000 AS DOUBLE), 2) AS est_hll,
+        |  n_exact
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // mirrors Sketch.cmsTable/cmsEstimate: row-salted hash32 buckets,
     // exact integer cell counts, min over the 4 rows per probe

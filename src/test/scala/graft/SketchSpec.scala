@@ -45,6 +45,38 @@ class SketchSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("hll: engine registers/estimate equal a driver-side replay; error in band; " +
+      "partitioning-invariant") {
+    val n = 2000
+    val pairs = (0 until n).map(i => ("g", s"val_$i")).toDF("g", "v")
+    val row = Sketch.hllDistinct(pairs, "g", "v").collect().head
+    val (regsUsed, harmQ, est, nExact) =
+      (row.getLong(1), row.getLong(2), row.getDouble(3), row.getLong(4))
+    // driver replay with the same hash56 (first 14 md5 nibbles)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h56(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(7).map(b => f"${b & 0xff}%02x").mkString, 16)
+    val regs = (0 until n).map(i => h56(s"val_$i")).distinct
+      .groupBy(h => (h & 63L))
+      .view.mapValues(_.map { h =>
+        val rest = h >> 6
+        if (rest == 0L) 51 else 51 - java.lang.Long.toBinaryString(rest).length
+      }.max).toMap
+    val harm = regs.values.map(mr => 1L << (51 - mr)).sum +
+      (64 - regs.size) * 2251799813685248L
+    val wantEst = BigDecimal(709.0 * math.pow(2.0, 63) / harm.toDouble / 1000.0)
+      .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nExact === n.toLong)
+    assert(regsUsed === regs.size.toLong)
+    assert(harmQ === harm)
+    assert(est === wantEst)
+    // within 4 standard errors (1.04/sqrt(64) = 13% each)
+    assert(math.abs(est - n) < 4 * 0.13 * n, s"est $est vs $n")
+    // max-merged registers are partitioning-invariant
+    val many = Sketch.hllDistinct(pairs.repartition(13), "g", "v").collect().head
+    assert(many.getLong(2) === harmQ && many.getDouble(3) === est)
+  }
+
   test("cms: every row partitions the full stream; estimates dominate exact " +
       "counts even under forced collisions (tiny w)") {
     val n = 300
