@@ -406,6 +406,27 @@ object AnnQueries extends QueryPack {
       graft.operators.KnnGraph.semanticComponents(
           Tables.embeddings(s, dir), m = 3, maxL2Sq = 1.45)
         .orderBy($"vec_id")
+    }),
+
+    // K-means clustering as a first-class surface (the corpus-curation
+    // view of the ann_refined machinery): per cluster after two
+    // oracle-protocol Lloyd steps, the member count and the EXACT
+    // ×1e6-integer inertia Σ round(1e6·l2sq(x, centroid)) — the k-means
+    // objective as a summation-order-free long. Assignment and the
+    // distance are row-local (centroids ride as one map literal); the
+    // whole query is one scan + one 8-group aggregation.
+    "kmeans_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = refinedCents(s, e)
+      val centMap = typedlit(cents.map { case (k, v) => k -> v.toSeq }.toMap)
+      e.select(Ann.nearestCell($"embedding", cents).as("cell"),
+          graft.functions.VectorFunctions.l2sq(
+            $"embedding", element_at(centMap, $"cell")).as("d"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"),
+          sum(round($"d" * lit(1e6)).cast("long")).as("inertia_q"))
+        .orderBy($"cell")
     })
   )
 
@@ -1274,6 +1295,20 @@ object AnnQueries extends QueryPack {
          |)
          |SELECT e.vec_id, round(${duckL2sq("e.embedding", "q.qv")}, 4) AS distance
          |FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN q
-         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin
+         |ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10""".stripMargin,
+
+    // mirrors kmeans_clusters: two-step refined centroids, row-local
+    // argmin assignment, per-cluster count + exact ×1e6-integer inertia
+    "kmeans_clusters" -> mat(
+      s"""WITH $duckRefinedCents, ka AS (
+         |  ${duckAssign("rcents")}
+         |)
+         |SELECT ka.cell, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CAST(round(
+         |    ${duckL2sq("e.embedding", "c.centroid")} * 1000000) AS BIGINT))
+         |    AS BIGINT) AS inertia_q
+         |FROM ka JOIN embeddings e USING (vec_id)
+         |JOIN rcents c ON ka.cell = c.cell
+         |GROUP BY ka.cell ORDER BY ka.cell""".stripMargin)
   )
 }
