@@ -34,6 +34,45 @@ object TextQueries extends QueryPack {
       s"CAST(strpos('0123456789abcdef', md5($s)[i:i]) - 1 AS BIGINT) * " +
       s"CAST(16^(14-i) AS BIGINT))) AS BIGINT)"
 
+  /** One unrolled BPE round (mirrors Bpe.pairCounts/applyMerge): from
+    * vocabulary CTE `vin(w, cnt, syms)`, produce `b$i` (the argmax
+    * merge) and `v$i` (the merged vocabulary). Greedy non-overlapping
+    * application via match islands + offset parity — the Bpe scaladoc
+    * argument. v/b are MATERIALIZED: each feeds two consumers and
+    * DuckDB 1.0 re-inlines plain CTEs per reference (r9 lesson). */
+  private def dBpeRound(i: Int, vin: String): String =
+    s"""p$i AS (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT syms[j] AS a, syms[j + 1] AS b, cnt FROM (
+       |      SELECT w, cnt, syms, unnest(range(1, len(syms))) AS j FROM $vin))
+       |  GROUP BY a, b
+       |), b$i AS MATERIALIZED (
+       |  SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1
+       |), x$i AS (
+       |  SELECT w, cnt, syms, unnest(range(1, len(syms) + 1)) AS j FROM $vin
+       |), e$i AS (
+       |  SELECT x.w, x.cnt, x.j, x.syms[x.j] AS sym,
+       |    (x.j < len(x.syms) AND x.syms[x.j] = bb.a
+       |      AND x.syms[x.j + 1] = bb.b) AS ism,
+       |    bb.b AS bsym
+       |  FROM x$i x CROSS JOIN b$i bb
+       |), k$i AS (
+       |  SELECT w, cnt, j, sym, bsym,
+       |    (ism AND (j - min(j) OVER (PARTITION BY w, ism, isl)) % 2 = 0)
+       |      AS keepm
+       |  FROM (SELECT *,
+       |          j - row_number() OVER (PARTITION BY w, ism ORDER BY j) AS isl
+       |        FROM e$i)
+       |), v$i AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |    list(CASE WHEN keepm THEN sym || bsym ELSE sym END ORDER BY j)
+       |      AS syms
+       |  FROM (SELECT *,
+       |          lag(keepm, 1, FALSE) OVER (PARTITION BY w ORDER BY j) AS pk
+       |        FROM k$i)
+       |  WHERE NOT pk GROUP BY w, cnt
+       |)""".stripMargin
+
   /** Bigram-LM CTE prefix (mirrors NgramLm.bigramNll): ends in
     * `d(doc_id, n_bigrams, nll_q)`. Shared by quality_bigram and
     * quality_band. */
@@ -365,6 +404,20 @@ object TextQueries extends QueryPack {
       graft.operators.Sketch.kmvDistinct(
           sh.select($"source", explode($"gs").as("g")), "source", "g", k = 64)
         .orderBy($"source")
+    }),
+
+    // BPE merge learning (Sennrich 2016) — tokenizer TRAINING as a
+    // distributed operator: 3 rounds of {corpus-wide adjacent-pair
+    // counts over the vocabulary → argmax merge → windowed greedy
+    // application}. Each round's winner depends on every previous
+    // round's application, so the 3-row merge table value-checks the
+    // whole iterative loop. token_bpe remains the apply-side segmenter.
+    "bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      val v = graft.operators.Bpe.vocab(
+        Tables.documents(s, dir), tokens($"text"))
+      graft.operators.Bpe.learnedMerges(s, v, rounds = 3)
+        .orderBy($"round")
     }),
 
     // HyperLogLog distinct sketch (the CONSTANT-state sibling of
@@ -1071,6 +1124,22 @@ object TextQueries extends QueryPack {
          |  CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
          |       ELSE round(270582939648 / h64, 4) END AS kmv_est
          |FROM agg ORDER BY source""".stripMargin,
+
+    // mirrors Bpe.learnedMerges: char-split vocabulary, three unrolled
+    // count/argmax/apply rounds (dBpeRound), merge table out
+    "bpe_learn" ->
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |    list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+         |  FROM (SELECT unnest(string_split($dNorm, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |), ${dBpeRound(1, "v0")}, ${dBpeRound(2, "v1")}, ${dBpeRound(3, "v2")}
+         |SELECT 1 AS round, a AS sym_a, b AS sym_b, c AS cnt FROM b1
+         |UNION ALL
+         |SELECT 2 AS round, a AS sym_a, b AS sym_b, c AS cnt FROM b2
+         |UNION ALL
+         |SELECT 3 AS round, a AS sym_a, b AS sym_b, c AS cnt FROM b3
+         |ORDER BY round""".stripMargin,
 
     // mirrors Sketch.hllDistinct: register = h & 63, rank = 51 −
     // bitlen(h >> 6) via binary-string length (rank 51 on a zero
