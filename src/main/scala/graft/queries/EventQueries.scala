@@ -149,10 +149,40 @@ object EventQueries extends QueryPack {
           count_if($"o_totalprice" > 300000).as("n_over_300k"),
           count(lit(1)).as("n"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // Z-order (Morton) key over (user_id, intraday minute) — the
+    // multi-dimensional clustering key for data-skipping layouts
+    // (ZOrder.layoutBy; row-group pruning measured in ZOrderSpec).
+    // Exact integer bit interleave, value-checked per event.
+    "zorder_key" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          graft.operators.ZOrder.zvalue(
+            $"user_id", hour($"ts") * 60 + minute($"ts"), bits = 11)
+            .as("zkey"))
+        .orderBy($"event_id")
     })
   )
 
   def oracle: Map[String, String] = Map(
+
+    // mirrors ZOrder.zvalue: 11-bit masked interleave, bit i of a at
+    // position 2i, bit i of b at 2i+1, exact BIGINT shifts
+    "zorder_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 11), i ->
+        |    (((a >> CAST(i AS INT)) & 1) << CAST(2*i AS INT)) +
+        |    (((b >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT))))
+        |    AS BIGINT) AS zkey
+        |FROM (
+        |  SELECT event_id,
+        |    user_id & 2047 AS a,
+        |    (CAST(extract(hour FROM ts) AS BIGINT) * 60 +
+        |     CAST(extract(minute FROM ts) AS BIGINT)) & 2047 AS b
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "events_funnel" ->
       """SELECT user_id, first_view, first_click, first_purchase FROM (
