@@ -114,7 +114,38 @@ object RetrievalQueries extends QueryPack {
     // value-checked.
     "mmr_rerank" -> ((s, dir) =>
       graft.operators.Mmr.rerank(s, Tables.embeddings(s, dir),
-        RetrievalQueries.mmrQuery(s, dir), r = 20, k = 5, lambda = 0.7))
+        RetrievalQueries.mmrQuery(s, dir), r = 20, k = 5, lambda = 0.7)),
+
+    // Phrase retrieval over a POSITIONAL index: corpus statistics pick
+    // the most frequent trigram (shingle counts, ties lexicographic),
+    // then retrieval runs the inverted-index way — postings of the
+    // three terms FILTERED FIRST (at 100 TB you join three short
+    // posting lists, never re-shingle the corpus), aligned by
+    // position-arithmetic equi-joins. Per matching doc: occurrence
+    // count and first 0-based position.
+    "phrase_match" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.{tokens, wordShingles}
+      val tk = Tables.documents(s, dir).select($"doc_id", tokens($"text").as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = tk.select(explode(wordShingles($"tk", 3)).as("ph"))
+        .groupBy($"ph").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"ph").limit(1)
+      val t3 = top.select(split($"ph", " ").as("ws"))
+        .select(element_at($"ws", 1).as("w1"), element_at($"ws", 2).as("w2"),
+          element_at($"ws", 3).as("w3"))
+      val idx = tk.select($"doc_id", posexplode($"tk").as(Seq("pos", "term")))
+      val p1 = idx.join(broadcast(t3), $"term" === $"w1")
+        .select($"doc_id", $"pos")
+      val p2 = idx.join(broadcast(t3), $"term" === $"w2")
+        .select($"doc_id", ($"pos" - 1).as("pos"))
+      val p3 = idx.join(broadcast(t3), $"term" === $"w3")
+        .select($"doc_id", ($"pos" - 2).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos")).join(p3, Seq("doc_id", "pos"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_occ"), min($"pos").cast("long").as("first_pos"))
+        .orderBy($"doc_id")
+    })
   )
 
   /** Query vector 0 — shared by the Spark path and oracle builders. */
@@ -340,6 +371,24 @@ object RetrievalQueries extends QueryPack {
          |FROM lex l FULL OUTER JOIN vec v USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
-    "mmr_rerank" -> mmrOracle(k = 5)
+    "mmr_rerank" -> mmrOracle(k = 5),
+
+    // mirrors phrase_match: trigram stats pick the phrase, occurrence
+    // positions come from the same adjacency arithmetic (j 1-based
+    // here, first_pos reported 0-based like Spark's posexplode)
+    "phrase_match" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS t FROM documents
+         |), tri AS MATERIALIZED (
+         |  SELECT doc_id, j, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS ph
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS j
+         |        FROM tk WHERE len(t) >= 3)
+         |), top AS MATERIALIZED (
+         |  SELECT ph FROM tri GROUP BY ph ORDER BY count(*) DESC, ph LIMIT 1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |  CAST(min(j) - 1 AS BIGINT) AS first_pos
+         |FROM tri JOIN top USING (ph)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
