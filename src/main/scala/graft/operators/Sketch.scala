@@ -78,6 +78,25 @@ object Sketch {
     * needs ln(), which libm does not guarantee bit-identical across
     * engines; below ~2.5·m use [[kmvDistinct]] or the exact count the
     * output already carries. */
+  /** Raw HLL register table (group, idx, mr) with NO distinct collapse:
+    * max is idempotent, so duplicate values cannot move a register —
+    * the registers (hence the estimate) equal the distinct-input form.
+    * This is the shape a STREAM aggregates (complete/update mode, ≤ 64
+    * state rows per group forever — parity-tested in SketchSpec); it is
+    * also the mergeable artifact two corpora union by taking per-(group,
+    * idx) max. */
+  def hllRegisters(pairs: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    pairs
+      .select(col(groupCol), hash56(col(valueCol)).as("h"))
+      .select(col(groupCol),
+        col("h").bitwiseAND(lit(63L)).as("idx"),
+        shiftright(col("h"), 6).as("rest"))
+      .select(col(groupCol), col("idx"),
+        when(col("rest") === 0L, lit(51))
+          .otherwise(lit(51) - length(bin(col("rest")))).as("rank"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rank")).as("mr"))
+
   def hllDistinct(pairs: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val regs = pairs
       .select(col(groupCol), col(valueCol)).distinct()

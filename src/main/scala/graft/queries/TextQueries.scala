@@ -420,6 +420,19 @@ object TextQueries extends QueryPack {
         .orderBy($"round")
     }),
 
+    // The apply side of bpe_learn: the 20 most frequent words with
+    // their subword segmentation after the three learned merges —
+    // value-checks the merged VOCABULARY (bpe_learn checks the merge
+    // choices; this checks what they did to every word).
+    "bpe_segment" -> ((s, dir) => {
+      import s.implicits._
+      val v = graft.operators.Bpe.vocab(
+        Tables.documents(s, dir), tokens($"text"))
+      val (_, fin) = graft.operators.Bpe.learn(s, v, rounds = 3)
+      fin.select($"w", $"cnt", concat_ws(" ", $"syms").as("pieces"))
+        .orderBy($"cnt".desc, $"w").limit(20)
+    }),
+
     // HyperLogLog distinct sketch (the CONSTANT-state sibling of
     // distinct_kmv): 64 max-merged integer registers per event type
     // over portable-hash56 ranks — no float log anywhere; the one
@@ -1140,6 +1153,18 @@ object TextQueries extends QueryPack {
          |UNION ALL
          |SELECT 3 AS round, a AS sym_a, b AS sym_b, c AS cnt FROM b3
          |ORDER BY round""".stripMargin,
+
+    // mirrors bpe_segment: the same three unrolled rounds, reading the
+    // final merged vocabulary v3 instead of the merge table
+    "bpe_segment" ->
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |    list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+         |  FROM (SELECT unnest(string_split($dNorm, ' ')) AS w FROM documents)
+         |  GROUP BY w
+         |), ${dBpeRound(1, "v0")}, ${dBpeRound(2, "v1")}, ${dBpeRound(3, "v2")}
+         |SELECT w, cnt, array_to_string(syms, ' ') AS pieces
+         |FROM v3 ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
 
     // mirrors Sketch.hllDistinct: register = h & 63, rank = 51 −
     // bitlen(h >> 6) via binary-string length (rank 51 on a zero

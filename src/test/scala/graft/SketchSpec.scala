@@ -77,6 +77,28 @@ class SketchSpec extends SparkSpec {
     assert(many.getLong(2) === harmQ && many.getDouble(3) === est)
   }
 
+  test("hll registers stream with 64-rows-per-group state: complete-mode table " +
+      "== batch registers of the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Sketch.hllRegisters(mem.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_regs").start()
+    try {
+      val b1 = (0 until 400).map(i => (s"g${i % 2}", s"v$i"))
+      val b2 = (300 until 900).map(i => (s"g${i % 2}", s"v$i")) // overlap re-sends
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("hll_regs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val want = Sketch.hllRegisters((b1 ++ b2).toDF("g", "v"), "g", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === want)
+      assert(got.size <= 2 * 64)
+    } finally q.stop()
+  }
+
   test("cms: every row partitions the full stream; estimates dominate exact " +
       "counts even under forced collisions (tiny w)") {
     val n = 300
