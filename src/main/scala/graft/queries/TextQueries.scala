@@ -420,6 +420,21 @@ object TextQueries extends QueryPack {
         .orderBy($"round")
     }),
 
+    // EXACT Jaccard similarity self-join (prefix filtering, WWW 2007)
+    // over trigram sets — the recall-1.0-by-construction complement of
+    // the banded MinHash join: rarest-first prefixes generate a
+    // complete candidate set, exact intersection verifies, integer
+    // threshold test, no float and no probability anywhere.
+    "setjoin_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.wordShingles
+      val sets = Tables.documents(s, dir)
+        .select($"doc_id".as("id"),
+          array_distinct(wordShingles(tokens($"text"), 3)).as("tk"))
+      graft.operators.SetJoin.jaccardPairs(sets, num = 3, den = 5)
+        .orderBy($"id1", $"id2")
+    }),
+
     // The apply side of bpe_learn: the 20 most frequent words with
     // their subword segmentation after the three learned merges —
     // value-checks the merged VOCABULARY (bpe_learn checks the merge
@@ -1153,6 +1168,29 @@ object TextQueries extends QueryPack {
          |UNION ALL
          |SELECT 3 AS round, a AS sym_a, b AS sym_b, c AS cnt FROM b3
          |ORDER BY round""".stripMargin,
+
+    // quadratic truth for the prefix-filter join: every doc pair's
+    // exact trigram-set intersection, integer threshold i*5 >= u*3
+    "setjoin_jaccard" ->
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id, string_split($dNorm, ' ') AS t FROM documents
+         |), g AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |    j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS s
+         |  FROM tk WHERE len(t) >= 3
+         |)
+         |SELECT id1, id2, n_inter, n_union,
+         |  n_inter * 1000000 // n_union AS jaccard_q
+         |FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+         |      AS BIGINT) AS n_inter,
+         |    CAST(len(a.s) + len(b.s)
+         |      - len(list_filter(a.s, x -> list_contains(b.s, x)))
+         |      AS BIGINT) AS n_union
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |WHERE n_inter * 5 >= n_union * 3
+         |ORDER BY id1, id2""".stripMargin,
 
     // mirrors bpe_segment: the same three unrolled rounds, reading the
     // final merged vocabulary v3 instead of the merge table
