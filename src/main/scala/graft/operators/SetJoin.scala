@@ -38,15 +38,27 @@ object SetJoin {
 
   /** All unordered id pairs with Jaccard(tokSets) ≥ num/den:
     * (id1, id2, n_inter, n_union, jaccard_q). `sets` must be
-    * (id, tk: array<string>) with DISTINCT tokens per row. */
+    * (id, tk: array<string>) with DISTINCT tokens per row — and tk
+    * should be an attribute of a MATERIALIZED frame, not an inline
+    * shingle expression (the recurring inlined-HOF trap: an expression
+    * tree referenced inside a later lambda re-evaluates per element —
+    * measured 10.8 s of re-tokenization at sf0.1 before the barrier).
+    *
+    * Set elements travel as hash56 LONGS from here on (verify ships
+    * 8-byte elements, not strings; the oracle hashes identically, so
+    * counts replay exactly — the dedup-pipeline convention). */
   def jaccardPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
     val s = sets.select(col("id"), col("tk")).filter(size(col("tk")) > 0)
+      .select(col("id"),
+        array_distinct(transform(col("tk"),
+          t => graft.functions.TextFunctions.hash56(t))).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = s.select(explode(col("tk")).as("t"))
+    val freq = s.select(explode(col("hs")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-    // rarest-first total order: sort by (global count, token)
-    val ordered = s.select(col("id"), explode(col("tk")).as("t"))
+    // rarest-first total order: sort by (global count, hash)
+    val ordered = s.select(col("id"), explode(col("hs")).as("t"))
       .join(freq, "t")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("cnt"), col("t")))).as("ct"))
@@ -54,16 +66,26 @@ object SetJoin {
     val prefixLen = (size(col("ot")) - ceilFrac(size(col("ot")), num, den) + 1)
     val pref = ordered
       .select(col("id"), explode(slice(col("ot"), lit(1), prefixLen)).as("t"))
+    val sizes = s.select(col("id"), col("n"))
     val cand = pref.select(col("id").as("id1"), col("t"))
       .join(pref.select(col("id").as("id2"), col("t")), "t")
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
+      // length filter before the verify join: J >= t forces the sizes
+      // within a factor t of each other (|x| >= t|y| exactly because
+      // i <= |x| and u >= |y|) — exact integer test, prunes candidates
+      // before any array ships
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("n1") * den >= col("n2") * num &&
+        col("n2") * den >= col("n1") * num)
+      .select(col("id1"), col("id2"))
     cand
-      .join(s.select(col("id").as("id1"), col("tk").as("tk1")), "id1")
-      .join(s.select(col("id").as("id2"), col("tk").as("tk2")), "id2")
+      .join(s.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
+      .join(s.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("tk1"), col("tk2"))).cast("long").as("n_inter"),
-        (size(col("tk1")) + size(col("tk2"))).cast("long").as("n_both"))
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_inter"),
+        (size(col("hs1")) + size(col("hs2"))).cast("long").as("n_both"))
       .select(col("id1"), col("id2"), col("n_inter"),
         (col("n_both") - col("n_inter")).as("n_union"))
       .withColumn("jaccard_q", expr("n_inter * 1000000L div n_union"))

@@ -428,9 +428,15 @@ object TextQueries extends QueryPack {
     "setjoin_jaccard" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TextFunctions.wordShingles
-      val sets = Tables.documents(s, dir)
-        .select($"doc_id".as("id"),
-          array_distinct(wordShingles(tokens($"text"), 3)).as("tk"))
+      // tokens materialized behind a barrier BEFORE the shingle lambda
+      // (the recurring inlined-HOF trap: slice(tokensExpr) inside the
+      // transform re-splits the text per shingle — 10.8 s of the
+      // query's 21 s at sf0.1 before this persist)
+      val tk = Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = tk.select($"doc_id".as("id"),
+        array_distinct(wordShingles($"tok", 3)).as("tk"))
       graft.operators.SetJoin.jaccardPairs(sets, num = 3, den = 5)
         .orderBy($"id1", $"id2")
     }),
@@ -1170,13 +1176,17 @@ object TextQueries extends QueryPack {
          |ORDER BY round""".stripMargin,
 
     // quadratic truth for the prefix-filter join: every doc pair's
-    // exact trigram-set intersection, integer threshold i*5 >= u*3
+    // exact trigram-set intersection over hash56-encoded elements (the
+    // engine ships 8-byte hashes, not strings; both sides hash
+    // identically so counts replay exactly), threshold i*5 >= u*3
     "setjoin_jaccard" ->
       s"""WITH tk AS MATERIALIZED (
          |  SELECT doc_id, string_split($dNorm, ' ') AS t FROM documents
          |), g AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-         |    j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS s
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_distinct(list_transform(range(1, len(t) - 1),
+         |      j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])),
+         |    z -> ${dHash56("z")})) AS s
          |  FROM tk WHERE len(t) >= 3
          |)
          |SELECT id1, id2, n_inter, n_union,
