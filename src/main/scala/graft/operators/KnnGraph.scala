@@ -277,6 +277,51 @@ object KnnGraph {
     pr.select(col("id").as(idCol), col("pr_q"))
   }
 
+  /** Synchronous label propagation (Raghavan et al., "Near linear time
+    * algorithm to detect community structures in large-scale networks",
+    * 2007) over the UNDIRECTED closure of a directed edge set —
+    * community detection by local majority vote, the frequency-weighted
+    * complement of [[Dedup.connectedComponents]]'s min-label closure
+    * (CC merges anything touching; LPA keeps weakly-linked communities
+    * apart because one bridge edge loses the vote).
+    *
+    * Determinism contract (classic LPA is randomized — async order +
+    * random tie-break; both are replaced so an oracle can replay it):
+    * rounds are SYNCHRONOUS (every node votes on the same previous-round
+    * labels) and ties break to the SMALLEST label, so round r is a pure
+    * function of round r-1. Labels init to the node id.
+    *
+    * Scale shape per round: one equi-join of undirected edges × current
+    * labels (shuffle on the neighbor key), one (node, label) count, one
+    * per-node argmax window — PARTITIONED by node, so the window frame
+    * is degree-bounded (≤ 2m after undirection), never global. `rounds`
+    * is a fixed unroll like [[pageRankQ]]; lineage stays bounded. */
+  def labelPropagate(nodes: DataFrame, edges: DataFrame, rounds: Int = 2,
+      idCol: String = "vec_id"): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    // distinct undirected neighbor pairs: a→b and b→a in the input must
+    // not double a neighbor's vote
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val ids = nodes.select(col(idCol).as("id"))
+    var labels = ids.select(col("id"), col("id").as("lab"))
+    (1 to rounds).foreach { _ =>
+      val counts = und.join(labels, col("b") === col("id"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("cnt").desc, col("lab"))
+      val best = counts
+        .select(col("a"), col("lab"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("lab").as("newlab"))
+      // isolated nodes (no undirected neighbors) keep their current label
+      labels = labels.join(best, col("id") === col("a"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+    }
+    labels.select(col("id").as(idCol), col("lab").as("label"))
+  }
+
   def semanticComponents(vectors: DataFrame, m: Int = 3,
       maxL2Sq: Double = 1.0, targetBlock: Int = 64, nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -395,6 +395,22 @@ object AnnQueries extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // Community detection by synchronous label propagation (Raghavan
+    // 2007, determinized: synchronous rounds + smallest-label
+    // tie-break) over the undirected kNN graph — the frequency-weighted
+    // complement of semdedup_keep's transitive closure: a single bridge
+    // edge merges CC components but LOSES the LPA majority vote. The
+    // oracle unrolls both voting rounds.
+    "graph_lpa" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.build(e, m = 3)
+        .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      graft.operators.KnnGraph.labelPropagate(
+          e.select($"vec_id").distinct(), g, rounds = 2)
+        .orderBy($"vec_id")
+    }),
+
     // The full SemDeDup decision on top of the graph: k-NN edges under
     // the L2 threshold, transitive closure, keep the min-id
     // representative per semantic-duplicate group. The threshold
@@ -1255,6 +1271,46 @@ object AnnQueries extends QueryPack {
       s"""WITH ${TextQueries.duckTwoLevelCtes},
          |$knng$steps
          |SELECT id AS vec_id, pr_q FROM pr3 ORDER BY vec_id""".stripMargin
+    },
+
+    // replays knn_graph's edges undirected + distinct, then unrolls two
+    // synchronous majority-vote rounds: per (node, neighbor label)
+    // counts, argmax by (cnt DESC, label ASC), absent vote keeps the
+    // previous label
+    "graph_lpa" -> {
+      val knng =
+        s"""knng AS (
+           |  SELECT vec_id, nbr_id FROM (
+           |    SELECT a.vec_id, b.vec_id AS nbr_id,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+           |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+           |  ) WHERE nbr_rank <= 3
+           |), und AS (
+           |  SELECT DISTINCT a, b FROM (
+           |    SELECT vec_id AS a, nbr_id AS b FROM knng
+           |    UNION ALL
+           |    SELECT nbr_id AS a, vec_id AS b FROM knng)
+           |), lab0 AS (
+           |  SELECT DISTINCT vec_id AS id, vec_id AS lab FROM embeddings
+           |)""".stripMargin
+      val steps = (1 to 2).map { i =>
+        s""", c$i AS (
+           |  SELECT u.a, l.lab, count(*) AS cnt
+           |  FROM und u JOIN lab${i - 1} l ON l.id = u.b
+           |  GROUP BY u.a, l.lab
+           |), m$i AS (
+           |  SELECT a, lab AS newlab FROM (
+           |    SELECT a, lab, row_number() OVER (PARTITION BY a
+           |      ORDER BY cnt DESC, lab) AS rn FROM c$i) WHERE rn = 1
+           |), lab$i AS (
+           |  SELECT p.id, COALESCE(m$i.newlab, p.lab) AS lab
+           |  FROM lab${i - 1} p LEFT JOIN m$i ON m$i.a = p.id
+           |)""".stripMargin
+      }.mkString
+      s"""WITH ${TextQueries.duckTwoLevelCtes},
+         |$knng$steps
+         |SELECT id AS vec_id, lab AS label FROM lab2 ORDER BY vec_id""".stripMargin
     },
 
     // replays knn_graph, thresholds the RAW distance, then walks the

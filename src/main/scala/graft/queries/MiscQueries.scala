@@ -132,6 +132,27 @@ object MiscQueries extends QueryPack {
         .select($"o_orderkey", $"o_totalprice")
     }),
 
+    // EXISTS + NOT IN subquery forms (the TPC-H q4/q16 shapes): order
+    // priority counts for orders with at least one returned lineitem,
+    // excluding AUTOMOBILE-segment customers. Catalyst plans EXISTS as
+    // a left-semi and NOT IN as a null-aware left-anti join — both
+    // shuffle-on-key equi joins, no correlated per-row re-execution.
+    "exists_in" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("ord_ei")
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_ei")
+      Tables.customer(s, dir).createOrReplaceTempView("cust_ei")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM ord_ei o
+          |WHERE EXISTS (SELECT 1 FROM li_ei l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_returnflag = 'R')
+          |  AND o.o_custkey NOT IN (SELECT c_custkey FROM cust_ei
+          |                          WHERE c_mktsegment = 'AUTOMOBILE')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Self-measuring approximation quality: IVF nprobe=2 recall@10 per
     // query against the exact scan (both computed in-engine).
     "ann_recall" -> ((s, dir) => {
@@ -270,6 +291,17 @@ object MiscQueries extends QueryPack {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 50 OFFSET 100""".stripMargin,
+
+    "exists_in" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'AUTOMOBILE')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "ann_recall" -> {
       val duckCentroids =

@@ -226,6 +226,40 @@ class KnnGraphSpec extends SparkSpec {
     assert(one(1L) === 2700000L)
   }
 
+  test("labelPropagate: a bridge edge loses the vote that merges CC") {
+    // barbell: triangles {1,2,3} and {4,5,6} joined by one bridge 3-4,
+    // plus isolated node 7. CC puts 1..6 in ONE component; LPA must keep
+    // the triangles apart. Hand-computed synchronous rounds:
+    //   r1: 1→2, 2→1, 3→1, 4→3, 5→4, 6→4
+    //   r2: 1→1, 2→1 (tie→min), 3→1, 4→4, 5→3, 6→3
+    val nodes = (1L to 7L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = KnnGraph.labelPropagate(nodes, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+    // the communities never share a label; CC on the same edges merges
+    val left = Set(1L, 2L, 3L).map(got)
+    val right = Set(4L, 5L, 6L).map(got)
+    assert(left.intersect(right).isEmpty)
+    val cc = Dedup.connectedComponents(nodes,
+        edges.select($"src".as("id1"), $"dst".as("id2")), "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).map(cc).toSet.size === 1)
+  }
+
+  test("labelPropagate: duplicate directed edges do not double a vote") {
+    // node 1 sees neighbor 3 via BOTH directions: if that counted twice,
+    // label 3 (2 votes) would beat label 2 (1 vote); with the undirected
+    // distinct it is a 1-1 tie broken to the min label 2
+    val nodes = (1L to 3L).toDF("vec_id")
+    val edges = Seq((1L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val got = KnnGraph.labelPropagate(nodes, edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 2L)
+  }
+
   test("pageRankQ is partitioning-invariant (exact integer rounds)") {
     val e = Tables.embeddings(spark, sf)
     val g = KnnGraph.build(e, m = 3).select($"vec_id".as("src"), $"nbr_id".as("dst"))
