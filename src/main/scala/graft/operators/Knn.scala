@@ -96,6 +96,40 @@ object Knn {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Group-scoped batch top-k — namespace/tenant isolation: each query
+    * searches ONLY vectors sharing its `groupCol` value (the multi-
+    * tenant form of the reference's per-collection sharding, where one
+    * tenant's queries must never see another's vectors). The group key
+    * replaces [[batchTopK]]'s cross join with a broadcast-hash EQUI
+    * join, so the corpus still never shuffles AND rows of foreign
+    * tenants are dropped at the join instead of scored-then-discarded;
+    * per-query top-k stays the BottomK map-side heap. */
+  def groupedTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      groupCol: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec"): DataFrame = {
+    require(k > 0, "k must be positive")
+    vectors
+      .join(broadcast(queries), groupCol)
+      .select(
+        col(queryIdCol),
+        l2sq(col(embCol), col(queryVecCol)).as("distance"),
+        col(idCol))
+      .groupBy(col(queryIdCol))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("distance"), col(idCol).cast("long"), k).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol),
+        col("col.id").as(idCol),
+        col("col.distance").as("distance"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** [[batchTopK]] for query batches of ARBITRARY width: splits the
     * batch into broadcast-sized chunks and unions the per-chunk plans,
     * so the vectors table NEVER shuffles no matter how wide the batch —

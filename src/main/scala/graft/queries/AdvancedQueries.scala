@@ -181,6 +181,26 @@ object AdvancedQueries extends QueryPack {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Value-based RANGE window frame (the one frame kind rowsBetween
+    // cannot express): per user, the trailing-10-minute event-value sum
+    // ordered by epoch seconds. RANGE includes ALL peers of the current
+    // ordering value, so equal-timestamp rows get identical sums no
+    // matter how they arrive — deterministic where a ROWS frame is not;
+    // decimal arithmetic keeps the sliding sum order-free in both
+    // engines.
+    "window_range" -> ((s, dir) => {
+      import s.implicits._
+      val sec = unix_timestamp($"ts".cast("timestamp"))
+      val w = Window.partitionBy($"user_id").orderBy(sec)
+        .rangeBetween(-600, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("trail_10m",
+          sum($"value".cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .over(w).cast("double"))
+        .select($"event_id", $"user_id", $"trail_10m")
+        .orderBy($"event_id")
+    }),
+
     // GROUPING SETS via the SQL surface (engine registers the table and
     // runs pure SQL — the DataFrame and SQL forms share one Catalyst).
     "grouping_sets" -> ((s, dir) => {
@@ -335,6 +355,18 @@ object AdvancedQueries extends QueryPack {
         |FROM g
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // epoch seconds via date_diff from the epoch origin — the same
+    // truncation unix_timestamp applies (duck's epoch() is a fractional
+    // DOUBLE whose cast would round, not truncate)
+    "window_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_10m
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

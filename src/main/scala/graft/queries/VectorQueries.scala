@@ -54,6 +54,23 @@ object VectorQueries extends QueryPack {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Tenant-scoped batch search (namespace isolation): each of 8
+    // queries sees ONLY its tenant's quarter of the corpus (tenant =
+    // vec_id mod 4) — the group equi-join replaces the batch cross
+    // join, so foreign-tenant rows drop at the join instead of being
+    // scored and discarded.
+    "knn_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .withColumn("tenant", pmod($"vec_id", lit(4L)))
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"), $"tenant")
+      Knn.groupedTopK(e, q, k = 3, groupCol = "tenant")
+        .select($"query_id", $"vec_id",
+          round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // The beyond-broadcast batch path, oracle-checked: maxChunk=3 forces
     // the 8-query batch through 3 hash-split chunks (each its own
     // broadcast join + BottomK pass over the vectors) — semantically
@@ -237,6 +254,21 @@ object VectorQueries extends QueryPack {
          |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
          |ORDER BY distance, e.vec_id
          |LIMIT 10""".stripMargin,
+
+    "knn_grouped" ->
+      s"""SELECT * FROM (
+         |  SELECT query_id, vec_id, round(distance, 4) AS distance,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY distance, vec_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |           ${duckL2sq("e.embedding", "q.embedding")} AS distance
+         |    FROM embeddings e
+         |    JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q
+         |      ON e.vec_id % 4 = q.vec_id % 4
+         |  )
+         |) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "knn_batch" ->
       s"""SELECT * FROM (

@@ -99,6 +99,25 @@ class KnnSpec extends SparkSpec {
     assert(byQuery(11L).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq === Seq(5L, 4L))
   }
 
+  test("groupedTopK: tenant isolation ≡ per-tenant batchTopK, never leaks") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 120L).map(i => (i, Seq.fill(4)(rnd.nextFloat() - 0.5f)))
+    val df = vecDf(vecs).withColumn("tenant", pmod($"vec_id", lit(3L)))
+    val q = df.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"), $"tenant")
+    val got = Knn.groupedTopK(df, q, k = 4, groupCol = "tenant")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    // no query ever sees a foreign tenant's vector
+    got.foreach(r => assert(r.getLong(1) % 3 === r.getLong(0) % 3))
+    // equals running the plain batch within each tenant's slice
+    val expected = (0L until 3L).flatMap { t =>
+      Knn.batchTopK(df.filter($"tenant" === t).drop("tenant"),
+          q.filter($"tenant" === t).drop("tenant"), 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    }.sortBy(r => (r._1, r._4))
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))) === expected)
+  }
+
   test("batchTopK (BottomK aggregate) ≡ batchTopKWindow spec on random vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
