@@ -29,6 +29,28 @@ object EventQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // Map-typed columns end to end: build a per-user event_type→count
+    // MAP (array_sort before map_from_entries pins entry order), then
+    // read it back through the map surface — size, key membership,
+    // element_at, transform_values + map_values folded to a scalar. The
+    // map stays engine-internal; outputs are plain columns, so the
+    // oracle replays the arithmetic without needing map parity.
+    "map_fns" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct($"event_type", $"n")))).as("m"))
+        .select($"user_id",
+          size($"m").cast("long").as("n_types"),
+          map_contains_key($"m", "purchase").as("has_purchase"),
+          coalesce(element_at($"m", "view"), lit(0L)).as("n_view"),
+          aggregate(map_values(transform_values($"m", (_, v) => v * 2)),
+            lit(0L), _ + _).as("dbl_total"))
+        .orderBy($"user_id")
+    }),
+
     // Hourly tumbling-window rollup (batch form of the streaming agg):
     // date_trunc bucketing + exact distinct users.
     "events_hourly" -> ((s, dir) => {
@@ -237,6 +259,21 @@ object EventQueries extends QueryPack {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // replays the map reads as plain grouped arithmetic over the same
+    // per-(user, type) counts the map was built from
+    "map_fns" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_types,
+        |  bool_or(event_type = 'purchase') AS has_purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN n END), 0) AS BIGINT) AS n_view,
+        |  CAST(sum(2 * n) AS BIGINT) AS dbl_total
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,
