@@ -300,10 +300,13 @@ object KnnGraph {
       idCol: String = "vec_id"): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     // distinct undirected neighbor pairs: a→b and b→a in the input must
-    // not double a neighbor's vote
+    // not double a neighbor's vote. Pinned once — every round joins it,
+    // and an expensive upstream edge plan (the kNN graph build) must
+    // not re-execute per round.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
+      .localCheckpoint(true)
     val ids = nodes.select(col(idCol).as("id"))
     var labels = ids.select(col("id"), col("id").as("lab"))
     (1 to rounds).foreach { _ =>
@@ -315,9 +318,13 @@ object KnnGraph {
         .select(col("a"), col("lab"), row_number().over(w).as("rn"))
         .filter(col("rn") === 1)
         .select(col("a"), col("lab").as("newlab"))
-      // isolated nodes (no undirected neighbors) keep their current label
+      // isolated nodes (no undirected neighbors) keep their current
+      // label. labels is referenced TWICE here (vote join + fallback),
+      // so pin each round's output — lineage would otherwise double per
+      // round (the 2^rounds recompute trap).
       labels = labels.join(best, col("id") === col("a"), "left")
         .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint(true)
     }
     labels.select(col("id").as(idCol), col("lab").as("label"))
   }
