@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2sq
+
+/** Binary (1-bit / sign) quantization — the third point on the
+  * compression curve next to [[Sq]] (4×) and [[Pq]] (32×): one bit per
+  * dimension, 32× smaller than float32 and the CHEAPEST distance of
+  * all — Hamming via XOR + popcount, two machine ops per 64 dims.
+  * Public design: Charikar's sign random projections (STOC 2002) are
+  * its LSH pedigree; as a storage format it is today's "binary
+  * embedding" practice (sign-bit Matryoshka/embedding truncation serves
+  * shortlists from 1-bit codes and re-ranks few candidates with full
+  * floats). Reference context: the reference scans full float32 via
+  * `faiss::IndexFlatL2` (`src/index/vector_shard.cc:41-42`); FAISS's
+  * own `IndexBinaryFlat` is this exact upgrade.
+  *
+  * Spark-first shape, all row-local:
+  *  - ENCODE: bit d = (emb[d] > 0), packed into ONE BIGINT per vector
+  *    for dim ≤ 64 (wider vectors take ⌈dim/64⌉ words; the testdata is
+  *    dim 64 so one word covers it). Evaluated inside the scan
+  *    projection via transform/aggregate HOFs — powers of two are
+  *    disjoint, so the fold's `+` IS bitwise OR and the result is
+  *    summation-order-free. NO training step and NO model state at all
+  *    — the one quantizer that needs no codebook.
+  *  - SEARCH: Hamming distance `bit_count(sig XOR qsig)` — exact
+  *    integer arithmetic on both engines, ties to the lower id;
+  *    `orderBy().limit(k)` plans TakeOrderedAndProject (per-partition
+  *    heaps, no global sort). The scan touches 8 bytes per vector.
+  *  - RERANK: Hamming shortlist of r, exact float L2 on just those r
+  *    rows (broadcast shortlist join — the [[Pq.adcTopKRerank]] /
+  *    [[Sq]] serving shape).
+  */
+object Bq {
+
+  /** Row-local packed sign signature: bit d set iff emb[d] > 0
+    * (strictly — zeros code to 0 on both engines). dim ≤ 64 → one
+    * 64-bit word; bit 63 wraps to the sign bit of the long, which XOR +
+    * popcount treat as just another bit. */
+  def signBitsCol(embCol: String, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64,
+      s"dim $dim not in 1..64 — wider vectors pack ⌈dim/64⌉ words")
+    expr(
+      s"""aggregate(
+         |  transform($embCol, (x, i) ->
+         |    IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i),
+         |       CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+  }
+
+  /** Driver-side mirror of [[signBitsCol]] for encoding the query. */
+  def signBitsLocal(v: Array[Float]): Long = {
+    require(v.length >= 1 && v.length <= 64, s"dim ${v.length} not in 1..64")
+    var sig = 0L
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Vectors → (id, sig): the 8-bytes-per-vector binary index. At
+    * 100 TB this is the table you persist — a 4 TB scan instead of a
+    * 100 TB one, with the float vectors archived for rerank-only
+    * access. */
+  def encode(vectors: DataFrame, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), signBitsCol(embCol, dim).as("sig"))
+
+  /** Row-local Hamming distance to a driver-encoded query signature. */
+  def hammingCol(sig: Column, querySig: Long): Column =
+    bit_count(sig.bitwiseXOR(lit(querySig))).cast("long")
+
+  /** Hamming top-k over an encoded corpus: (id, hamming) ascending by
+    * (hamming, id). */
+  def hammingTopK(encoded: DataFrame, querySig: Long, k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    encoded.select(col(idCol), hammingCol(col("sig"), querySig).as("hamming"))
+      .orderBy(col("hamming"), col(idCol)).limit(k)
+
+  /** Hamming shortlist → exact re-rank: shortlist `r` by the 8-byte
+    * signatures, true float distances for just those r rows. The r-row
+    * shortlist broadcasts; the vectors table never shuffles. */
+  def hammingTopKRerank(encoded: DataFrame, vectors: DataFrame,
+      query: Array[Float], r: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val shortlist = hammingTopK(encoded, signBitsLocal(query), r, idCol)
+      .select(col(idCol))
+    vectors.join(broadcast(shortlist), idCol)
+      .select(col(idCol), l2sq(col(embCol), lit(query)).as("distance"))
+      .orderBy(col("distance"), col(idCol)).limit(k)
+  }
+}

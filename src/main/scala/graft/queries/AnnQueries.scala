@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Pq, Sq}
+import graft.operators.{Ann, Bq, Pq, Sq}
 import graft.sources.Tables
 import graft.queries.VectorQueries.{duckDot, duckL2sq}
 
@@ -179,6 +179,51 @@ object AnnQueries extends QueryPack {
           $"embedding", lit(q)).as("d"))
         .orderBy($"d", $"vec_id").limit(10).select($"vec_id")
       rp10.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
+    }),
+
+    // Binary (sign-bit) quantization — the third compression point
+    // next to SQ8 (4×) and PQ (32×): 1 bit/dim, one BIGINT per vector,
+    // Hamming = XOR + popcount (exact integer on both engines), no
+    // codebook to train at all. FAISS IndexBinaryFlat's shape.
+    "ann_binary" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Bq.hammingTopK(Bq.encode(e, 64), Bq.signBitsLocal(q), k = 10)
+    }),
+
+    // The binary serving pipeline: 8-byte Hamming shortlist of 50,
+    // exact float L2 re-rank of just those rows.
+    "ann_binary_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Bq.hammingTopKRerank(Bq.encode(e, 64), e, q, r = 50, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"))
+    }),
+
+    // Honesty rows for the 1-bit code: |top10 ∩ exact10| for raw
+    // Hamming ranking vs the 50-shortlist re-rank — the standard
+    // rerank-recovers-the-bits table.
+    "ann_binary_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val enc = Bq.encode(e, 64)
+      val exact10 = e.select($"vec_id",
+          graft.functions.VectorFunctions.l2sq($"embedding", lit(q)).as("d"))
+        .orderBy($"d", $"vec_id").limit(10).select($"vec_id")
+      def row(variant: String, found: DataFrame): DataFrame =
+        found.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
+          .select(lit(variant).as("variant"), $"hits")
+      row("hamming10",
+          Bq.hammingTopK(enc, Bq.signBitsLocal(q), 10).select($"vec_id"))
+        .unionAll(row("rerank50",
+          Bq.hammingTopKRerank(enc, e, q, r = 50, k = 10).select($"vec_id")))
+        .orderBy($"variant")
     }),
 
     // IVF-PQ — the two at-scale wins composed, `faiss::IndexIVFPQ` end
@@ -845,6 +890,24 @@ object AnnQueries extends QueryPack {
     * "(SELECT"). */
   private def mat(sql: String): String = sql.replace(" AS (", " AS MATERIALIZED (")
 
+  /** Sign-bit signatures + per-corpus-row Hamming distance to query 0's
+    * signature. Bit 63 is the long's sign bit — duck's `1 << 63`
+    * overflow-checks, so that one bit adds as the MinValue literal
+    * (disjoint powers sum to the identical two's-complement long the
+    * engine's shiftleft fold packs). */
+  private def duckBqCtes: String =
+    """sigs AS (
+      |  SELECT vec_id, CAST(list_sum(list_transform(range(64), i ->
+      |    CASE WHEN embedding[i + 1] > 0 THEN
+      |      CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |           ELSE CAST(1 AS BIGINT) << i END
+      |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+      |  FROM embeddings
+      |), bq AS (
+      |  SELECT s.vec_id, CAST(bit_count(xor(s.sig, qs.qsig)) AS BIGINT) AS hamming
+      |  FROM sigs s CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) qs
+      |)""".stripMargin
+
   def oracle: Map[String, String] = Map(
 
     "ann_lsh" ->
@@ -1099,6 +1162,44 @@ object AnnQueries extends QueryPack {
          |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
          |)
          |SELECT count(*) AS hits FROM rp10 JOIN exact10 USING (vec_id)""".stripMargin,
+
+    "ann_binary" -> mat(
+      s"""WITH $duckBqCtes
+         |SELECT vec_id, hamming FROM bq
+         |ORDER BY hamming, vec_id LIMIT 10""".stripMargin),
+
+    "ann_binary_rerank" -> mat(
+      s"""WITH $duckBqCtes,
+         |shortlist AS (
+         |  SELECT vec_id FROM bq ORDER BY hamming, vec_id LIMIT 50
+         |), qv AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |)
+         |SELECT e.vec_id, round(${duckL2sq("e.embedding", "qv.qv")}, 4) AS distance
+         |FROM embeddings e JOIN shortlist USING (vec_id) CROSS JOIN qv
+         |ORDER BY ${duckL2sq("e.embedding", "qv.qv")}, e.vec_id LIMIT 10""".stripMargin),
+
+    "ann_binary_recall" -> mat(
+      s"""WITH $duckBqCtes,
+         |qv AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), exact10 AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN qv
+         |  ORDER BY ${duckL2sq("e.embedding", "qv.qv")}, e.vec_id LIMIT 10
+         |), h10 AS (
+         |  SELECT vec_id FROM bq ORDER BY hamming, vec_id LIMIT 10
+         |), short AS (
+         |  SELECT vec_id FROM bq ORDER BY hamming, vec_id LIMIT 50
+         |), r10 AS (
+         |  SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id) CROSS JOIN qv
+         |  ORDER BY ${duckL2sq("e.embedding", "qv.qv")}, e.vec_id LIMIT 10
+         |)
+         |SELECT 'hamming10' AS variant, count(*) AS hits
+         |FROM h10 JOIN exact10 USING (vec_id)
+         |UNION ALL
+         |SELECT 'rerank50' AS variant, count(*) AS hits
+         |FROM r10 JOIN exact10 USING (vec_id)
+         |ORDER BY variant""".stripMargin),
 
     "ann_pq_rerank" -> mat(
       s"""WITH $duckPqCtes,

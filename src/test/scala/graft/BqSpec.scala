@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bq
+
+/** Binary quantization: the engine's HOF bit packing is bit-identical
+  * to the driver mirror (incl. the sign bit and the zero→0 rule),
+  * Hamming matches a driver popcount, and the rerank pipeline returns
+  * exact distances for shortlist members only. */
+class BqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signBitsCol ≡ signBitsLocal on random vectors (bit 63, zeros, negatives)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 64L).map { i =>
+      val v = Array.tabulate(64) { d =>
+        // force exercised edges: exact zeros, sign flips, bit 63 set
+        if (d == 63 && i % 2 == 0) 1f
+        else if ((d + i) % 7 == 0) 0f
+        else rnd.nextFloat() - 0.5f
+      }
+      (i, v.toSeq)
+    }
+    val got = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", Bq.signBitsCol("embedding", 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, v) =>
+      assert(got(i) === Bq.signBitsLocal(v.toArray), s"row $i")
+    }
+    // zeros never set a bit
+    val zeroSig = Seq((99L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+      .select(Bq.signBitsCol("embedding", 64)).head.getLong(0)
+    assert(zeroSig === 0L)
+  }
+
+  test("hammingTopK ≡ driver XOR+popcount ranking; rerank ⊆ shortlist, exact") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 150L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(5)._2.toArray
+    val qs = Bq.signBitsLocal(q)
+    val enc = Bq.encode(df, 64)
+    val got = Bq.hammingTopK(enc, qs, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = vecs
+      .map { case (i, v) =>
+        (i, java.lang.Long.bitCount(Bq.signBitsLocal(v.toArray) ^ qs).toLong)
+      }
+      .sortBy { case (i, h) => (h, i) }.take(7)
+    assert(got === expected)
+    // rerank returns k exact-distance rows drawn from the r-shortlist
+    val short = Bq.hammingTopK(enc, qs, 20).collect().map(_.getLong(0)).toSet
+    val rr = Bq.hammingTopKRerank(enc, df, q, r = 20, k = 5).collect()
+    assert(rr.length === 5)
+    assert(rr.map(_.getLong(0)).forall(short))
+    assert(rr.head.getLong(0) === 5L && rr.head.getDouble(1) === 0.0) // self
+  }
+}
