@@ -137,6 +137,41 @@ object Ann {
       .limit(k)
   }
 
+  /** Matryoshka / truncated-dimension search: shortlist the `r` nearest
+    * by squared L2 over only the FIRST `prefixDim` components, then
+    * exact re-rank of just those `r` full vectors — [[rpSearch]]'s
+    * shape with the projection replaced by plain truncation. This is
+    * the serving trick Matryoshka-style embeddings are trained for
+    * (Kusupati et al., "Matryoshka Representation Learning", NeurIPS
+    * 2022: nested prefixes are themselves usable embeddings); on a
+    * column store the prefix read is a genuinely smaller scan when the
+    * head slice is stored as its own column. Unlike RP, truncation
+    * needs no planes — and on embeddings NOT trained for it, recall at
+    * the same r is typically worse, which `ann_mrl_recall` measures
+    * honestly against the JL row. */
+  def prefixSearch(
+      vectors: DataFrame,
+      q: Array[Float],
+      prefixDim: Int,
+      r: Int = 50,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(prefixDim >= 1 && prefixDim <= q.length,
+      s"prefixDim $prefixDim not in 1..${q.length}")
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val qp = q.take(prefixDim)
+    val short = vectors
+      .select(col(idCol), col(embCol),
+        l2sq(slice(col(embCol), 1, prefixDim), lit(qp)).as("pdist"))
+      .orderBy(col("pdist"), col(idCol))
+      .limit(r)
+    short
+      .select(col(idCol), l2sq(col(embCol), lit(q)).as("distance"))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic centroid seeds: the first `k` vectors by id.
     * (Zero-iteration k-means; `refine` runs Lloyd steps.) */
   def seedCentroids(vectors: DataFrame, k: Int,

@@ -181,6 +181,44 @@ object AnnQueries extends QueryPack {
       rp10.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
     }),
 
+    // Matryoshka / truncated-dimension serving (Kusupati 2022): rank a
+    // 50-shortlist on the FIRST 16 components only, exact re-rank of
+    // those rows — the prefix-slice sibling of ann_rp's JL projection.
+    "ann_mrl" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Ann.prefixSearch(e, q, prefixDim = 16, r = 50, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"))
+    }),
+
+    // Honesty rows at equal shortlist work (16 dims scanned, r=50):
+    // naive truncation vs the JL projection. Measured on this corpus:
+    // prefix16 5 vs rp16 3 of 10 at sf0.01 — with iid synthetic dims a
+    // raw 16-dim prefix is already an unbiased distance sample, while
+    // ±1-plane mixing adds cross-term variance; on real anisotropic
+    // embeddings (energy concentrated in a few directions none of
+    // which align with the first 16 axes) the comparison flips, which
+    // is exactly why the row is measured, not assumed.
+    "ann_mrl_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val exact10 = e.select($"vec_id",
+          graft.functions.VectorFunctions.l2sq($"embedding", lit(q)).as("d"))
+        .orderBy($"d", $"vec_id").limit(10).select($"vec_id")
+      def row(variant: String, found: DataFrame): DataFrame =
+        found.join(exact10, "vec_id").agg(count(lit(1)).as("hits"))
+          .select(lit(variant).as("variant"), $"hits")
+      row("prefix16",
+          Ann.prefixSearch(e, q, 16, r = 50, k = 10).select($"vec_id"))
+        .unionAll(row("rp16",
+          Ann.rpSearch(e, q, outDim = 16, r = 50, k = 10).select($"vec_id")))
+        .orderBy($"variant")
+    }),
+
     // Binary (sign-bit) quantization — the third compression point
     // next to SQ8 (4×) and PQ (32×): 1 bit/dim, one BIGINT per vector,
     // Hamming = XOR + popcount (exact integer on both engines), no
@@ -1162,6 +1200,53 @@ object AnnQueries extends QueryPack {
          |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
          |)
          |SELECT count(*) AS hits FROM rp10 JOIN exact10 USING (vec_id)""".stripMargin,
+
+    "ann_mrl" ->
+      s"""WITH q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), short AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      row_number() OVER (ORDER BY
+         |        ${duckL2sq("e.embedding[1:16]", "q.qv[1:16]")}, e.vec_id) AS srn
+         |    FROM embeddings e CROSS JOIN q
+         |  ) WHERE srn <= 50
+         |)
+         |SELECT s.vec_id, round(${duckL2sq("s.embedding", "q.qv")}, 4) AS distance
+         |FROM short s CROSS JOIN q
+         |ORDER BY ${duckL2sq("s.embedding", "q.qv")}, s.vec_id LIMIT 10""".stripMargin,
+
+    "ann_mrl_recall" -> mat(
+      s"""WITH $duckRpCtes,
+         |exact10 AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id LIMIT 10
+         |), mshort AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      row_number() OVER (ORDER BY
+         |        ${duckL2sq("e.embedding[1:16]", "q.qv[1:16]")}, e.vec_id) AS srn
+         |    FROM embeddings e CROSS JOIN q
+         |  ) WHERE srn <= 50
+         |), m10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT s.vec_id,
+         |      row_number() OVER (ORDER BY ${duckL2sq("s.embedding", "q.qv")}, s.vec_id) AS rn
+         |    FROM mshort s CROSS JOIN q
+         |  ) WHERE rn <= 10
+         |), rp10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT s.vec_id,
+         |      row_number() OVER (ORDER BY ${duckL2sq("s.embedding", "q.qv")}, s.vec_id) AS rn
+         |    FROM rpshort s CROSS JOIN q
+         |  ) WHERE rn <= 10
+         |)
+         |SELECT 'prefix16' AS variant, count(*) AS hits
+         |FROM m10 JOIN exact10 USING (vec_id)
+         |UNION ALL
+         |SELECT 'rp16' AS variant, count(*) AS hits
+         |FROM rp10 JOIN exact10 USING (vec_id)
+         |ORDER BY variant""".stripMargin),
 
     "ann_binary" -> mat(
       s"""WITH $duckBqCtes
