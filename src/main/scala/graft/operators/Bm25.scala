@@ -48,9 +48,20 @@ object Bm25 {
       .filter(col("term").isin(queryTerms: _*))
     val tf = base.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(tokens(col(textCol))).cast("long")).as("sumdl"))
+    scoreFromPostings(tf, stats, k1, b, idCol)
+  }
+
+  /** BM25 from prepared postings — shared by the inline path above and
+    * the persisted-index path ([[graft.sources.IndexStore]]): `tf` is
+    * (idCol, term, dl, tf) ALREADY restricted to the query's terms
+    * (df per term is derived from it — a pruned posting read carries
+    * its own document frequencies), `stats` the 1-row (n, sumdl). */
+  def scoreFromPostings(tf: DataFrame, stats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // written with the same association order as the oracle SQL: every
     // double op sees identical operands in identical order (r7 protocol)
     val idf = log(lit(1.0) + ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -14,29 +14,7 @@ import org.apache.spark.sql.functions._
 class DppSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Sum of numOutputRows over every file scan, descending through AQE
-    * wrappers — under AQE a join plan's collectLeaves stops at
-    * QueryStageExec boundaries, hiding the scans (and silently returning
-    * 0, which would pass a `<=` assert vacuously). */
-  private def scanLeaves(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scanLeaves(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scanLeaves(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-      scanLeaves(r.child)
-    case s if s.children.isEmpty => Seq(s)
-    case s => s.children.flatMap(scanLeaves)
-  }
-
-  private def scannedRows(df: DataFrame): Long = {
-    df.collect()
-    val scans = scanLeaves(df.queryExecution.executedPlan)
-      .filter(_.nodeName.toLowerCase.contains("scan"))
-    assert(scans.nonEmpty, "no file scans found in the executed plan")
-    scans.map(_.metrics("numOutputRows").value).sum
-  }
+  private def scannedRows(df: DataFrame): Long = PlanMetrics.scannedRows(df)
 
   test("partitioned fact scan is runtime-pruned by the filtered dim side") {
     val n = 20000

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bm25
+import graft.sources.{IndexStore, Tables}
+
+/** Persisted inverted index: the index path returns byte-identical BM25
+  * results to the inline corpus path, and the term lookup actually
+  * prunes — bucket partition filtering reads a fraction of the posting
+  * rows, measured through the scan's own metric with an unpruned
+  * control. */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("spark", "window")
+
+  test("bm25TopK from the persisted index ≡ inline Bm25.topK") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    try {
+      IndexStore.write(docs, dir, buckets = 8)
+      val persisted = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inline = Bm25.topK(docs, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(persisted === inline)
+      assert(persisted.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("term lookup prunes bucket directories and term row groups") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx2").toString
+    try {
+      IndexStore.write(docs, dir, buckets = 8)
+      val all = spark.read.parquet(s"$dir/postings")
+      val total = all.count()
+      // single-term lookup: only that term's bucket directory opens, and
+      // the term filter skips foreign row groups inside it
+      val oneTerm = Seq("spark")
+      val pruned = PlanMetrics.scannedRows(
+        IndexStore.postingsFor(spark, dir, oneTerm))
+      val control = PlanMetrics.scannedRows(
+        all.filter(col("term").isin(oneTerm: _*) || col("term").isNotNull))
+      assert(control >= total, s"control should scan all $total rows, got $control")
+      assert(pruned <= total / 4,
+        s"bucket+term pruning should cut the scan ($pruned of $total rows)")
+      // pruned read still carries exactly the term's postings
+      val exact = all.filter($"term" === "spark").count()
+      assert(IndexStore.postingsFor(spark, dir, oneTerm).count() === exact)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
