@@ -30,6 +30,38 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("streamed ingest: base + 3 micro-batches ≡ one batch index over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (base, streamed) = docs.partition(_._1 % 4 == 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx3-ck").toString
+    try {
+      IndexStore.write(base.toSeq.toDF("doc_id", "text"), dir, buckets = 8)
+      val mem = MemoryStream[(Long, String)]
+      val q = IndexStore.appendStream(
+        mem.toDF().toDF("doc_id", "text"), dir, ckpt)
+      try {
+        streamed.grouped(math.max(1, streamed.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expected = Bm25.topK(Tables.documents(spark, sf), terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
+
   test("term lookup prunes bucket directories and term row groups") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-idx2").toString
