@@ -126,12 +126,23 @@ object Ann {
       embCol: String = "embedding"): DataFrame = {
     val planes = rpPlanes(outDim, q.length)
     val qp = rpProjectLocal(q, planes)
-    val short = vectors
-      .select(col(idCol), col(embCol),
-        l2sq(rpProject(col(embCol), planes), lit(qp)).as("pdist"))
+    shortlistRerank(vectors,
+      l2sq(rpProject(col(embCol), planes), lit(qp)),
+      q, r, k, idCol, embCol)
+  }
+
+  /** The shared shortlist-then-rerank tail of [[rpSearch]] and
+    * [[prefixSearch]]: r nearest by the given sketch distance, exact L2
+    * re-rank of just those rows, (distance, id) ties at both stages —
+    * both stages TakeOrderedAndProject, the corpus never shuffles. */
+  private def shortlistRerank(vectors: DataFrame, shortDist: Column,
+      q: Array[Float], r: Int, k: Int,
+      idCol: String, embCol: String): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    vectors
+      .select(col(idCol), col(embCol), shortDist.as("pdist"))
       .orderBy(col("pdist"), col(idCol))
       .limit(r)
-    short
       .select(col(idCol), l2sq(col(embCol), lit(q)).as("distance"))
       .orderBy(col("distance"), col(idCol))
       .limit(k)
@@ -159,17 +170,9 @@ object Ann {
       embCol: String = "embedding"): DataFrame = {
     require(prefixDim >= 1 && prefixDim <= q.length,
       s"prefixDim $prefixDim not in 1..${q.length}")
-    require(r >= k, s"shortlist r=$r must be >= k=$k")
-    val qp = q.take(prefixDim)
-    val short = vectors
-      .select(col(idCol), col(embCol),
-        l2sq(slice(col(embCol), 1, prefixDim), lit(qp)).as("pdist"))
-      .orderBy(col("pdist"), col(idCol))
-      .limit(r)
-    short
-      .select(col(idCol), l2sq(col(embCol), lit(q)).as("distance"))
-      .orderBy(col("distance"), col(idCol))
-      .limit(k)
+    shortlistRerank(vectors,
+      l2sq(slice(col(embCol), 1, prefixDim), lit(q.take(prefixDim))),
+      q, r, k, idCol, embCol)
   }
 
   /** Deterministic centroid seeds: the first `k` vectors by id.

@@ -37,13 +37,16 @@ object Bq {
   /** Row-local packed sign signature: bit d set iff emb[d] > 0
     * (strictly — zeros code to 0 on both engines). dim ≤ 64 → one
     * 64-bit word; bit 63 wraps to the sign bit of the long, which XOR +
-    * popcount treat as just another bit. */
+    * popcount treat as just another bit. Packs exactly the FIRST `dim`
+    * components via an explicit slice — without it, an over-length
+    * array would shift past 63 and silently collide bits (Spark masks
+    * the shift amount mod 64) instead of erroring. */
   def signBitsCol(embCol: String, dim: Int): Column = {
     require(dim >= 1 && dim <= 64,
       s"dim $dim not in 1..64 — wider vectors pack ⌈dim/64⌉ words")
     expr(
       s"""aggregate(
-         |  transform($embCol, (x, i) ->
+         |  transform(slice($embCol, 1, $dim), (x, i) ->
          |    IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i),
          |       CAST(0 AS BIGINT))),
          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)

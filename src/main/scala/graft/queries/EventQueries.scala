@@ -38,6 +38,10 @@ object EventQueries extends QueryPack {
     "map_fns" -> ((s, dir) => {
       import s.implicits._
       Tables.events(s, dir)
+        // map keys must be non-null in Spark (map_from_entries throws)
+        // while a plain GROUP BY tolerates them — filter on BOTH sides
+        // so the contract is explicit, not an accident of the data
+        .filter($"event_type".isNotNull)
         .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
         .groupBy($"user_id")
         .agg(map_from_entries(
@@ -265,7 +269,8 @@ object EventQueries extends QueryPack {
     "map_fns" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS n
-        |  FROM events GROUP BY user_id, event_type
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY user_id, event_type
         |)
         |SELECT user_id,
         |  count(*) AS n_types,

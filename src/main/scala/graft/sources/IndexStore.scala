@@ -47,27 +47,41 @@ object IndexStore {
       .agg(count(lit(1)).as("tf"))
       .withColumn("b", bucketCol(col("term"), buckets))
 
-  /** One stats increment row for a document batch. The stats table is
-    * APPEND-ONLY (batch_id −1 for the initial build, the micro-batch id
-    * for streamed increments); readers sum the deduped increments, so
-    * corpus constants track ingest without rewriting anything. */
-  private def statsFrame(docs: DataFrame, buckets: Int, batchId: Long,
-      textCol: String): DataFrame =
-    docs.agg(count(lit(1)).as("n"),
-        sum(size(tokens(col(textCol))).cast("long")).as("sumdl"))
-      .withColumn("buckets", lit(buckets.toLong))
-      .withColumn("batch_id", lit(batchId))
-
   /** Tokenize once, write postings + stats. Overwrites `path`. */
   def write(docs: DataFrame, path: String, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(buckets >= 1, "buckets must be positive")
+    writeBatch(docs, path, buckets, -1L, overwrite = true, idCol, textCol)
+  }
+
+  /** Shared single-tokenize write path for the batch build and each
+    * streamed micro-batch: postings land first; the stats increment is
+    * then derived WITHOUT re-tokenizing — n counts the batch's docs (a
+    * token-free scan, so empty docs count exactly as the inline corpus
+    * count does) and this batch's sumdl is Σ tf over the postings store
+    * minus the already-recorded increments (Σ_t tf(d,t) = dl(d); the
+    * store is single-writer by the streaming contract, so the delta is
+    * exactly this batch). Reading back the tiny posting parquet costs
+    * nothing next to the corpus tokenize it replaces. */
+  private def writeBatch(docs: DataFrame, path: String, buckets: Int,
+      batchId: Long, overwrite: Boolean,
+      idCol: String, textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val mode = if (overwrite) "overwrite" else "append"
     postingsFrame(docs, buckets, idCol, textCol)
       .repartition(col("b"))
       .sortWithinPartitions(col("term"), col(idCol))
-      .write.partitionBy("b").mode("overwrite").parquet(s"$path/postings")
-    statsFrame(docs, buckets, -1L, textCol)
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.partitionBy("b").mode(mode).parquet(s"$path/postings")
+    val total = spark.read.parquet(s"$path/postings")
+      .agg(coalesce(sum(col("tf")), lit(0L))).head.getLong(0)
+    val prior =
+      if (overwrite) 0L
+      else statsAgg(spark, path).head.getAs[Long]("sumdl")
+    docs.agg(count(lit(1)).as("n"))
+      .withColumn("sumdl", lit(total - prior))
+      .withColumn("buckets", lit(buckets.toLong))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
   /** Streaming index maintenance: a document stream is tokenized,
@@ -93,12 +107,8 @@ object IndexStore {
       .head.getAs[Long]("buckets").toInt
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        postingsFrame(batch, buckets, idCol, textCol)
-          .repartition(col("b"))
-          .sortWithinPartitions(col("term"), col(idCol))
-          .write.partitionBy("b").mode("append").parquet(s"$path/postings")
-        statsFrame(batch, buckets, batchId, textCol)
-          .write.mode("append").parquet(s"$path/stats")
+        writeBatch(batch, path, buckets, batchId, overwrite = false,
+          idCol, textCol)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -115,14 +125,14 @@ object IndexStore {
       .agg(sum(col("bn")).as("n"), sum(col("bs")).as("sumdl"),
         max(col("bb")).as("buckets"))
 
-  /** The pruned posting read for a term set: bucket list computed IN
-    * THE ENGINE (a |terms|-row job — no driver-side xxhash mirror to
-    * drift), then bucket partition pruning + pushed term filter. */
-  def postingsFor(spark: SparkSession, path: String,
-      terms: Seq[String]): DataFrame = {
+  /** The pruned posting read against a KNOWN bucket count: bucket list
+    * computed IN THE ENGINE (a |terms|-row job — no driver-side xxhash
+    * mirror to drift), then bucket partition pruning + pushed term
+    * filter. */
+  private def postingsForBuckets(spark: SparkSession, path: String,
+      terms: Seq[String], buckets: Int): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     import spark.implicits._
-    val buckets = statsAgg(spark, path).head.getAs[Long]("buckets").toInt
     val bkts = terms.toDF("term")
       .select(bucketCol(col("term"), buckets).as("b"))
       .distinct().collect().map(_.getLong(0))
@@ -130,14 +140,27 @@ object IndexStore {
       .filter(col("b").isin(bkts: _*) && col("term").isin(terms: _*))
   }
 
+  /** The pruned posting read for a term set. */
+  def postingsFor(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame =
+    postingsForBuckets(spark, path, terms,
+      statsAgg(spark, path).head.getAs[Long]("buckets").toInt)
+
   /** BM25 top-k answered entirely from the persisted index: the corpus
-    * is never read, let alone tokenized. */
+    * is never read, let alone tokenized. The stats table is read and
+    * aggregated ONCE per call (one driver row supplies n, sumdl, AND
+    * the bucket count) — the serving path this store exists for should
+    * not pay redundant setup jobs. */
   def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id"): DataFrame = {
-    val tf = postingsFor(spark, path, terms)
+    val st = statsAgg(spark, path).head
+    val tf = postingsForBuckets(spark, path, terms,
+        st.getAs[Long]("buckets").toInt)
       .select(col(idCol), col("term"), col("dl"), col("tf"))
-    val stats = statsAgg(spark, path).select(col("n"), col("sumdl"))
+    val stats = tf.sparkSession.range(1)
+      .select(lit(st.getAs[Long]("n")).as("n"),
+        lit(st.getAs[Long]("sumdl")).as("sumdl"))
     Bm25.scoreFromPostings(tf, stats, k1, b, idCol)
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }

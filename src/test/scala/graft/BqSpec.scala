@@ -31,6 +31,12 @@ class BqSpec extends SparkSpec {
     val zeroSig = Seq((99L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
       .select(Bq.signBitsCol("embedding", 64)).head.getLong(0)
     assert(zeroSig === 0L)
+    // an over-length array packs ONLY its first dim components — the
+    // tail must not wrap mod 64 and collide with low bits
+    val long70 = (Seq.fill(64)(-1f) ++ Seq.fill(6)(1f))
+    val sig70 = Seq((98L, long70)).toDF("vec_id", "embedding")
+      .select(Bq.signBitsCol("embedding", 64)).head.getLong(0)
+    assert(sig70 === 0L)
   }
 
   test("hammingTopK ≡ driver XOR+popcount ranking; rerank ⊆ shortlist, exact") {
