@@ -83,6 +83,44 @@ object Bq {
     encoded.select(col(idCol), hammingCol(col("sig"), querySig).as("hamming"))
       .orderBy(col("hamming"), col(idCol)).limit(k)
 
+  /** Multi-index Hamming probe (Norouzi/Punjani/Fleet, "Fast Search in
+    * Hamming Space with Multi-Index Hashing", CVPR 2012): the 64-bit
+    * signature splits into `64/chunkBits` disjoint substrings; a vector
+    * is a CANDIDATE iff at least one substring equals the query's. By
+    * pigeonhole, every vector within Hamming distance `64/chunkBits − 1`
+    * shares an untouched substring — full recall to that radius BY
+    * CONSTRUCTION — and only candidates ever get a full Hamming
+    * evaluation. This is the scan-free scale path: [[hammingTopK]]
+    * still reads every signature (8 bytes × N — fine per-node, still
+    * O(N) at 100 TB), while a store partitioned by (substring j, value)
+    * turns each probe into a point lookup; here the equality filters
+    * push into the scan. The same pigeonhole move as Dedup's 7×8-bit
+    * SimHash bands, at serving granularity. `chunkBits` is the
+    * selectivity knob MIH tunes to corpus density (Norouzi §3: chunks
+    * ≈ 64/log₂N): narrower substrings → more probes, wider guaranteed
+    * radius, denser candidates.
+    *
+    * Chunk extraction is fill-insensitive: `(sig >> b·j) & mask` reads
+    * the substring identically under arithmetic or logical shift, so
+    * both engines agree even on negative (bit-63-set) sigs. Duplicate
+    * candidate rows from multiple matching substrings collapse by id
+    * (max(sig) — ids are unique per the store contract, max just keeps
+    * the collapse deterministic). */
+  def mihTopK(encoded: DataFrame, querySig: Long, k: Int,
+      chunkBits: Int = 8, idCol: String = "vec_id"): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
+      s"chunkBits $chunkBits must divide 64 and be <= 32")
+    val mask = (1L << chunkBits) - 1L
+    val cand = (0 until 64 / chunkBits).map { j =>
+      val qChunk = (querySig >>> (chunkBits * j)) & mask
+      encoded.filter(
+        shiftright(col("sig"), chunkBits * j).bitwiseAND(lit(mask)) === lit(qChunk))
+    }.reduce(_ unionByName _)
+      .groupBy(col(idCol)).agg(max(col("sig")).as("sig"))
+    cand.select(col(idCol), hammingCol(col("sig"), querySig).as("hamming"))
+      .orderBy(col("hamming"), col(idCol)).limit(k)
+  }
+
   /** Hamming shortlist → exact re-rank: shortlist `r` by the 8-byte
     * signatures, true float distances for just those r rows. The r-row
     * shortlist broadcasts; the vectors table never shuffles. */

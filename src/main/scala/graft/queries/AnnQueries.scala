@@ -242,6 +242,19 @@ object AnnQueries extends QueryPack {
         .select($"vec_id", round($"distance", 4).as("distance"))
     }),
 
+    // Multi-index Hamming probing (Norouzi 2012): 8 disjoint 8-bit
+    // substring indexes, candidate iff ≥1 substring matches the query
+    // (pigeonhole ⇒ radius-7 recall 1.0), full Hamming only on
+    // candidates — the point-lookup scale path past the full signature
+    // scan. The oracle replays the identical substring blocking.
+    "ann_binary_mih" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Bq.mihTopK(Bq.encode(e, 64), Bq.signBitsLocal(q), k = 10, chunkBits = 8)
+    }),
+
     // Honesty rows for the 1-bit code: |top10 ∩ exact10| for raw
     // Hamming ranking vs the 50-shortlist re-rank — the standard
     // rerank-recovers-the-bits table.
@@ -1252,6 +1265,21 @@ object AnnQueries extends QueryPack {
       s"""WITH $duckBqCtes
          |SELECT vec_id, hamming FROM bq
          |ORDER BY hamming, vec_id LIMIT 10""".stripMargin),
+
+    "ann_binary_mih" -> mat {
+      val ors = (0 until 8).map(j =>
+        s"((s.sig >> ${8 * j}) & 255) = ((q.qsig >> ${8 * j}) & 255)")
+        .mkString("\n     OR ")
+      s"""WITH $duckBqCtes,
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id, s.sig
+         |  FROM sigs s CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) q
+         |  WHERE $ors
+         |)
+         |SELECT c.vec_id, CAST(bit_count(xor(c.sig, q.qsig)) AS BIGINT) AS hamming
+         |FROM cand c CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) q
+         |ORDER BY hamming, c.vec_id LIMIT 10""".stripMargin
+    },
 
     "ann_binary_rerank" -> mat(
       s"""WITH $duckBqCtes,

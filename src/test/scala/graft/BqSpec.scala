@@ -39,6 +39,37 @@ class BqSpec extends SparkSpec {
     assert(sig70 === 0L)
   }
 
+  test("mihTopK: pigeonhole — every vector within Hamming 3 is a candidate") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(7)._2.toArray
+    val qs = Bq.signBitsLocal(q)
+    val enc = Bq.encode(df, 64)
+    for (chunkBits <- Seq(8, 16)) {
+      val radius = 64 / chunkBits - 1
+      val got = Bq.mihTopK(enc, qs, 200, chunkBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val sigs = vecs.map { case (i, v) => i -> Bq.signBitsLocal(v.toArray) }
+      // completeness: within the pigeonhole radius ⇒ candidate, always
+      sigs.foreach { case (i, s) =>
+        val h = java.lang.Long.bitCount(s ^ qs).toLong
+        if (h <= radius) assert(got.get(i).contains(h),
+          s"radius-$radius vector $i missed at chunkBits=$chunkBits")
+      }
+      // soundness: every candidate genuinely shares a substring
+      val mask = (1L << chunkBits) - 1L
+      got.keys.foreach { i =>
+        val s = sigs.toMap.apply(i)
+        val shares = (0 until 64 / chunkBits).exists(j =>
+          ((s >>> (chunkBits * j)) & mask) === ((qs >>> (chunkBits * j)) & mask))
+        assert(shares, s"candidate $i shares no substring at chunkBits=$chunkBits")
+      }
+      // the self-match is found at distance 0
+      assert(got(7L) === 0L)
+    }
+  }
+
   test("hammingTopK ≡ driver XOR+popcount ranking; rerank ⊆ shortlist, exact") {
     val rnd = new scala.util.Random(29)
     val vecs = (0L until 150L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
