@@ -121,6 +121,51 @@ object Bq {
       .orderBy(col("hamming"), col(idCol)).limit(k)
   }
 
+  /** Batch multi-index Hamming: one pass for a query SET. The per-query
+    * filter chain of [[mihTopK]] is the single-query form; for a batch,
+    * the substring match becomes an EQUI-JOIN — corpus substrings
+    * (id, j, chunk) against broadcast query substrings (qid, j, chunk)
+    * — so candidates for EVERY query come out of one join of the
+    * encoded store (the `knn_batch` shape: the corpus never shuffles,
+    * per-query top-k via the BottomK map-side heap). On a store
+    * bucketed by (j, chunk) the join is also co-located. Candidate
+    * (qid, id) duplicates from multiple matching substrings collapse
+    * before scoring. */
+  def mihBatchTopK(encoded: DataFrame, queries: DataFrame, k: Int,
+      chunkBits: Int = 8, idCol: String = "vec_id",
+      queryIdCol: String = "query_id", querySigCol: String = "qsig"): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
+      s"chunkBits $chunkBits must divide 64 and be <= 32")
+    require(k > 0, "k must be positive")
+    val mask = (1L << chunkBits) - 1L
+    def chunksOf(sig: org.apache.spark.sql.Column) =
+      array((0 until 64 / chunkBits).map(j =>
+        struct(lit(j).as("j"),
+          shiftright(sig, chunkBits * j).bitwiseAND(lit(mask)).as("chunk"))): _*)
+    val idx = encoded
+      .select(col(idCol), col("sig"), explode(chunksOf(col("sig"))).as("c"))
+      .select(col(idCol), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+    val probes = queries
+      .select(col(queryIdCol), col(querySigCol),
+        explode(chunksOf(col(querySigCol))).as("c"))
+      .select(col(queryIdCol), col(querySigCol),
+        col("c.j").as("j"), col("c.chunk").as("chunk"))
+    val cand = idx.join(broadcast(probes), Seq("j", "chunk"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col("sig")).as("sig"), max(col(querySigCol)).as("qs"))
+    cand
+      .select(col(queryIdCol), col(idCol),
+        bit_count(col("sig").bitwiseXOR(col("qs"))).cast("long").as("hamming"))
+      .groupBy(col(queryIdCol))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("hamming").cast("double"), col(idCol).cast("long"), k).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol),
+        col("col.id").as(idCol),
+        col("col.distance").cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Hamming shortlist → exact re-rank: shortlist `r` by the 8-byte
     * signatures, true float distances for just those r rows. The r-row
     * shortlist broadcasts; the vectors table never shuffles. */

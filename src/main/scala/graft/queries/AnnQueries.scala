@@ -255,6 +255,19 @@ object AnnQueries extends QueryPack {
       Bq.mihTopK(Bq.encode(e, 64), Bq.signBitsLocal(q), k = 10, chunkBits = 8)
     }),
 
+    // Batch MIH — the substring match as an EQUI-JOIN of corpus
+    // substrings against broadcast query substrings (the knn_batch
+    // shape: corpus never shuffles, BottomK per-query heaps), one pass
+    // for the whole query set.
+    "ann_binary_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = Bq.encode(e.filter($"vec_id" < 8), 64)
+        .select($"vec_id".as("query_id"), $"sig".as("qsig"))
+      Bq.mihBatchTopK(Bq.encode(e, 64), q, k = 5, chunkBits = 8)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Honesty rows for the 1-bit code: |top10 ∩ exact10| for raw
     // Hamming ranking vs the 50-shortlist re-rank — the standard
     // rerank-recovers-the-bits table.
@@ -946,7 +959,7 @@ object AnnQueries extends QueryPack {
     * overflow-checks, so that one bit adds as the MinValue literal
     * (disjoint powers sum to the identical two's-complement long the
     * engine's shiftleft fold packs). */
-  private def duckBqCtes: String =
+  private def duckSigsCte: String =
     """sigs AS (
       |  SELECT vec_id, CAST(list_sum(list_transform(range(64), i ->
       |    CASE WHEN embedding[i + 1] > 0 THEN
@@ -954,7 +967,10 @@ object AnnQueries extends QueryPack {
       |           ELSE CAST(1 AS BIGINT) << i END
       |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
       |  FROM embeddings
-      |), bq AS (
+      |)""".stripMargin
+
+  private def duckBqCtes: String =
+    s"""$duckSigsCte, bq AS (
       |  SELECT s.vec_id, CAST(bit_count(xor(s.sig, qs.qsig)) AS BIGINT) AS hamming
       |  FROM sigs s CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) qs
       |)""".stripMargin
@@ -1279,6 +1295,28 @@ object AnnQueries extends QueryPack {
          |SELECT c.vec_id, CAST(bit_count(xor(c.sig, q.qsig)) AS BIGINT) AS hamming
          |FROM cand c CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) q
          |ORDER BY hamming, c.vec_id LIMIT 10""".stripMargin
+    },
+
+    "ann_binary_batch" -> mat {
+      val ors = (0 until 8).map(j =>
+        s"((s.sig >> ${8 * j}) & 255) = ((q.qsig >> ${8 * j}) & 255)")
+        .mkString("\n     OR ")
+      s"""WITH $duckSigsCte,
+         |qs AS (
+         |  SELECT vec_id AS query_id, sig AS qsig FROM sigs WHERE vec_id < 8
+         |), cand AS (
+         |  SELECT q.query_id, s.vec_id, s.sig, q.qsig
+         |  FROM sigs s CROSS JOIN qs q
+         |  WHERE $ors
+         |)
+         |SELECT query_id, vec_id, hamming, rank FROM (
+         |  SELECT query_id, vec_id,
+         |    CAST(bit_count(xor(sig, qsig)) AS BIGINT) AS hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bit_count(xor(sig, qsig)), vec_id) AS rank
+         |  FROM cand
+         |) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     "ann_binary_rerank" -> mat(

@@ -70,6 +70,24 @@ class BqSpec extends SparkSpec {
     }
   }
 
+  test("mihBatchTopK ≡ per-query mihTopK on every query") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 180L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val enc = Bq.encode(df, 64)
+    val q = Bq.encode(df.filter($"vec_id" < 5), 64)
+      .select($"vec_id".as("query_id"), $"sig".as("qsig"))
+    val batch = Bq.mihBatchTopK(enc, q, k = 4, chunkBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4)).toSeq
+    val single = (0L until 5L).flatMap { qid =>
+      val qs = Bq.signBitsLocal(vecs(qid.toInt)._2.toArray)
+      Bq.mihTopK(enc, qs, 4, chunkBits = 8).collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getLong(1), i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(batch === single)
+  }
+
   test("hammingTopK ≡ driver XOR+popcount ranking; rerank ⊆ shortlist, exact") {
     val rnd = new scala.util.Random(29)
     val vecs = (0L until 150L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
