@@ -83,4 +83,55 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightCols.map(c => col("__last").getField(c).as(c))): _*)
   }
+
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`): for
+    * every left row, the EARLIEST right row whose timestamp is ≥ (or >)
+    * the left timestamp, per key — the mirror of [[joinAsOf]] through
+    * the same union trick, with `first(ignoreNulls)` over the FOLLOWING
+    * frame instead of `last` over the preceding one. Same single
+    * shuffle on the key, no cross product.
+    *
+    * Side ordering at equal ts decides visibility: inclusive mode sorts
+    * left rows BEFORE right ones (a right row at the left's own
+    * timestamp is inside the following frame); strict mode sorts right
+    * rows first, pushing same-ts right rows out of the frame. Among
+    * right rows sharing (key, ts) the payload struct is the tertiary
+    * sort key, so the winner is the smallest payload — deterministic,
+    * not scan-order. */
+  def joinAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
+    val (leftSide, rightSide) = if (strict) (1, 0) else (0, 1)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(leftSide))
+      .select((leftCols.map(col) ++
+        Seq(lit(null).cast(payloadType).as("__r"),
+          col("__ts"), col("__side"))): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(rightSide))
+      .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        .zip(leftCols).map { case (n, name) =>
+          if (keyCols.contains(name)) col(name) else n.as(name)
+        } ++
+        Seq(struct(rightCols.map(col): _*).as("__r"),
+          col("__ts"), col("__side"))): _*)
+    val ordered = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__next", first(col("__r"), ignoreNulls = true).over(ordered))
+      .filter(col("__side") === lit(leftSide))
+      .select((leftCols.map(col) ++
+        rightCols.map(c => col("__next").getField(c).as(c))): _*)
+  }
 }

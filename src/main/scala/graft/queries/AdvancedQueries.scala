@@ -181,6 +181,23 @@ object AdvancedQueries extends QueryPack {
         .orderBy($"user_id", $"session_id")
     }),
 
+    // Forward as-of (pandas merge_asof direction='forward'): for each
+    // purchase, the NEXT view at-or-after it per user — the mirror of
+    // asof_op through the same single-shuffle union-trick plan, checked
+    // against the oracle's following-frame window formulation.
+    "asof_forward" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts".as("purchase_ts"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts".as("view_ts"))
+      graft.operators.AsOfJoin.joinAsOfForward(
+          purchases, views, Seq("user_id"), "purchase_ts", "view_ts", Seq("view_ts"))
+        .select($"user_id", $"event_id", $"purchase_ts", $"view_ts".as("next_view"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Value-based RANGE window frame (the one frame kind rowsBetween
     // cannot express): per user, the trailing-10-minute event-value sum
     // ordered by epoch seconds. RANGE includes ALL peers of the current
@@ -355,6 +372,16 @@ object AdvancedQueries extends QueryPack {
         |FROM g
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "asof_forward" ->
+      """SELECT user_id, event_id, purchase_ts, next_view FROM (
+        |  SELECT user_id, event_id, ts AS purchase_ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view
+        |  FROM events
+        |) WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // epoch seconds via date_diff from the epoch origin — the same
     // truncation unix_timestamp applies (duck's epoch() is a fractional

@@ -68,6 +68,53 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of: earliest quote at or after each trade; strict hides same-ts") {
+    val got = AsOfJoin.joinAsOfForward(trades, quotes, Seq("sym"),
+        "trade_ts", "quote_ts", Seq("quote_px"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(3)))).toSet
+    assert(got === Set(
+      ("A", t(10), Some(99.9)),   // quote AT trade ts is visible
+      ("A", t(20), None),         // nothing after t(20)
+      ("B", t(15), None),         // B's only quote is before
+      ("C", t(5), None)))
+    val strict = AsOfJoin.joinAsOfForward(trades, quotes, Seq("sym"),
+        "trade_ts", "quote_ts", Seq("quote_px"), strict = true)
+      .filter($"sym" === "A" && $"trade_ts" === t(10)).head()
+    assert(strict.getDouble(3) === 100.8) // skips the same-ts quote, takes t(19)
+  }
+
+  test("randomized differential: joinAsOfForward ≡ naive per-row scan (both modes)") {
+    val rnd = new scala.util.Random(19)
+    (0 until 5).foreach { _ =>
+      val keys = Seq("A", "B", "C")
+      val lrows = (1 to 40).map(i =>
+        (keys(rnd.nextInt(3)), t(rnd.nextInt(30)), i.toDouble))
+      val rrows = (1 to 30).map(i =>
+        (keys(rnd.nextInt(3)), t(rnd.nextInt(30)), 100.0 + i))
+      val l = lrows.toDF("sym", "trade_ts", "trade_px")
+      val r = rrows.toDF("sym", "quote_ts", "quote_px")
+      Seq(false, true).foreach { strict =>
+        val got = AsOfJoin.joinAsOfForward(l, r, Seq("sym"), "trade_ts", "quote_ts",
+            Seq("quote_px"), strict = strict)
+          .select("sym", "trade_ts", "trade_px", "quote_px").collect()
+          .map(x => (x.getString(0), x.getTimestamp(1), x.getDouble(2),
+            if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+        // naive: per left row, the min-ts (tie: MIN payload — first over
+        // ascending (ts, payload)) right row at/after (or strictly
+        // after) the left ts for the same key
+        val expected = lrows.map { case (k, ts, px) =>
+          val cand = rrows.filter { case (rk, rts, _) =>
+            rk == k && (if (strict) rts.after(ts) else !rts.before(ts))
+          }
+          val best = if (cand.isEmpty) None
+            else Some(cand.minBy(c => (c._2.getTime, c._3))._3)
+          (k, ts, px, best)
+        }.toSet
+        assert(got === expected, s"strict=$strict")
+      }
+    }
+  }
+
   test("plan shuffles once on the key — no range-join cross product") {
     val plan = AsOfJoin.joinAsOf(trades, quotes, Seq("sym"),
       "trade_ts", "quote_ts", Seq("quote_px")).queryExecution.executedPlan.toString
