@@ -469,6 +469,28 @@ object TextQueries extends QueryPack {
         .orderBy($"event_type")
     }),
 
+    // The property that makes a sketch a 100 TB object, DEMONSTRATED:
+    // HLL registers merge by max — per-event-type register tables
+    // max-merged across groups equal the registers computed directly
+    // over the whole corpus, register by register (max is associative/
+    // commutative/idempotent, so ANY partitioning of the data merges to
+    // the same 64 integers). This is why per-partition sketch state
+    // needs no re-scan on combine.
+    "distinct_hll_merge" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Tables.events(s, dir)
+        .select($"event_type", $"event_id".cast("string").as("v"))
+      val merged = graft.operators.Sketch.hllRegisters(pairs, "event_type", "v")
+        .groupBy($"idx").agg(max($"mr").cast("long").as("mr_merged"))
+      val direct = graft.operators.Sketch.hllRegisters(
+          pairs.select(lit("all").as("g"), $"v"), "g", "v")
+        .select($"idx", $"mr".cast("long").as("mr_direct"))
+      merged.join(direct, "idx")
+        .select($"idx", $"mr_merged", $"mr_direct",
+          ($"mr_merged" === $"mr_direct").as("merged_equals_direct"))
+        .orderBy($"idx")
+    }),
+
     // Count-min sketch heavy-hitter counts: 4×256 integer cells (the
     // bounded-state frequency table vs a full vocab shuffle), probed
     // for the exact top-16 tokens — estimate ≥ exact by construction,
@@ -1248,6 +1270,31 @@ object TextQueries extends QueryPack {
         |    CAST(1000 AS DOUBLE), 2) AS est_hll,
         |  n_exact
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // replays registers per type, max-merges across types, and compares
+    // against the directly-computed corpus registers
+    "distinct_hll_merge" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT event_type, CAST(list_sum(list_transform(range(1,15), i ->
+        |    CAST(strpos('0123456789abcdef', md5(CAST(event_id AS VARCHAR))[i:i]) - 1 AS BIGINT) *
+        |    CAST(16^(14-i) AS BIGINT))) AS BIGINT) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h & 63 AS idx,
+        |    CASE WHEN (h >> 6) = 0 THEN 51
+        |         ELSE 51 - length(bin(h >> 6)) END AS rank
+        |  FROM h
+        |), pt AS (
+        |  SELECT event_type, idx, max(rank) AS mr FROM r GROUP BY 1, 2
+        |), merged AS (
+        |  SELECT idx, CAST(max(mr) AS BIGINT) AS mr_merged FROM pt GROUP BY idx
+        |), direct AS (
+        |  SELECT idx, CAST(max(rank) AS BIGINT) AS mr_direct FROM r GROUP BY idx
+        |)
+        |SELECT idx, mr_merged, mr_direct,
+        |       mr_merged = mr_direct AS merged_equals_direct
+        |FROM merged JOIN direct USING (idx)
+        |ORDER BY idx""".stripMargin,
 
     // mirrors Sketch.cmsTable/cmsEstimate: row-salted hash32 buckets,
     // exact integer cell counts, min over the 4 rows per probe
