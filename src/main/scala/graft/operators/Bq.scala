@@ -111,13 +111,18 @@ object Bq {
     require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
       s"chunkBits $chunkBits must divide 64 and be <= 32")
     val mask = (1L << chunkBits) - 1L
-    val cand = (0 until 64 / chunkBits).map { j =>
+    // ONE scan with the substring disjunction in the row filter — on
+    // the one-row-per-vector encoded frame this strictly beats a
+    // union of per-substring passes (8 scans + a dedup aggregate, the
+    // first-cut plan); the union-of-probes shape belongs to a
+    // (substring, value)-REPLICATED index table, which is what
+    // [[mihBatchTopK]]'s exploded join builds on the fly.
+    val anyChunk = (0 until 64 / chunkBits).map { j =>
       val qChunk = (querySig >>> (chunkBits * j)) & mask
-      encoded.filter(
-        shiftright(col("sig"), chunkBits * j).bitwiseAND(lit(mask)) === lit(qChunk))
-    }.reduce(_ unionByName _)
-      .groupBy(col(idCol)).agg(max(col("sig")).as("sig"))
-    cand.select(col(idCol), hammingCol(col("sig"), querySig).as("hamming"))
+      shiftright(col("sig"), chunkBits * j).bitwiseAND(lit(mask)) === lit(qChunk)
+    }.reduce(_ || _)
+    encoded.filter(anyChunk)
+      .select(col(idCol), hammingCol(col("sig"), querySig).as("hamming"))
       .orderBy(col("hamming"), col(idCol)).limit(k)
   }
 

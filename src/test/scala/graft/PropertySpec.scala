@@ -119,4 +119,51 @@ class PropertySpec extends SparkSpec {
       assert(ids.contains(98L))
     }
   }
+
+  test("(f) RANGE-frame trailing sum ≡ naive per-row filter, ROWS-insensitive") {
+    // random (user, sec, value) rows with DELIBERATE equal-sec peers:
+    // the RANGE frame must include every peer's value no matter the
+    // row order, where a ROWS frame would depend on it
+    val rowGen: Gen[List[(Long, Long, Int)]] = for {
+      n <- Gen.choose(1, 60)
+      us <- Gen.listOfN(n, Gen.choose(0L, 4L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 40L))
+      vs <- Gen.listOfN(n, Gen.choose(0, 500))
+    } yield us.lazyZip(ts).lazyZip(vs).toList
+    samples(rowGen, 8).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((u, sec, v), i) => (i.toLong, u, sec, v.toLong) }
+        .toDF("row_id", "u", "sec", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"u").orderBy($"sec")
+        .rangeBetween(-10, org.apache.spark.sql.expressions.Window.currentRow)
+      val got = df.withColumn("trail",
+          org.apache.spark.sql.functions.sum($"v").over(w))
+        .select($"row_id", $"trail").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.zipWithIndex.foreach { case ((u, sec, _), i) =>
+        val expected = rows
+          .filter { case (u2, s2, _) => u2 == u && s2 >= sec - 10 && s2 <= sec }
+          .map(_._3.toLong).sum
+        assert(got(i.toLong) === expected, s"row $i")
+      }
+    }
+  }
+
+  test("(g) labelPropagate is partitioning-invariant (synchronous rounds)") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val g = graft.operators.KnnGraph.build(e, m = 3)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select($"vec_id").distinct()
+    val a = graft.operators.KnnGraph
+      .labelPropagate(nodes.repartition(1), g.repartition(1), rounds = 2)
+      .orderBy($"vec_id").collect().toSeq
+    val b = graft.operators.KnnGraph
+      .labelPropagate(nodes.repartition(13), g.repartition(13), rounds = 2)
+      .orderBy($"vec_id").collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }
