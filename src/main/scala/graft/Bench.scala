@@ -26,6 +26,25 @@ import org.apache.spark.sql.functions._
   * after the last measured query; `probe_first`/`probe_last` land in
   * the JSON. A contended run shows a probe far above the ~0.1 s
   * uncontended cost, letting a reader normalize or discard the run.
+  *
+  * Self-attribution upgrade (VERDICT r9 finding #1: the official r9
+  * artifact recorded 255 s vs a thrice-reproduced 106.6 s on identical
+  * code, and boundary probes could not localize the contention — the
+  * second such artifact after r3). Three additions make a contended
+  * artifact self-attributing:
+  *  - `t_start`: per-query offset (seconds since the suite's first
+  *    measured pass) — a wall-clock axis, so inflated stretches are
+  *    visible as a time window, not an alphabetical mystery.
+  *  - `probes`: the trivial probe re-runs every PROBE_EVERY measured
+  *    queries (keyed by queries-completed count), not only at the
+  *    suite boundaries — a contention event inside a 10-minute suite
+  *    now lands between two hot probes.
+  *  - `sched_wait`: per-pass delta of the summed runqueue wait time
+  *    (second field of /proc/self/task/<tid>/schedstat) across all JVM
+  *    threads. A pass whose wall time spikes WITH a sched_wait spike
+  *    was preempted by the machine; without one, blame the plan. This
+  *    is the direct OS preemption counter — unlike the gc map it does
+  *    not depend on the slowdown being allocation-shaped.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,11 +82,33 @@ object Bench {
     }
     val gcLog = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // Summed runqueue-wait nanos across every live JVM thread. Threads
+    // that die between passes take their accumulated wait with them, so
+    // a delta can read slightly low (clamped at 0 by the caller) —
+    // fine: the signal is "large spike = preempted", not accounting.
+    def schedWaitNanos(): Long = {
+      val taskDir = java.nio.file.Paths.get("/proc/self/task")
+      if (!java.nio.file.Files.isDirectory(taskDir)) return -1L
+      var total = 0L
+      val it = java.nio.file.Files.list(taskDir).iterator()
+      while (it.hasNext) {
+        val p = it.next().resolve("schedstat")
+        try {
+          val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            .trim.split("\\s+")
+          if (parts.length >= 2) total += parts(1).toLong
+        } catch { case _: Throwable => () } // thread exited mid-walk
+      }
+      total
+    }
+    val schedLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+
     /** Run `body`, return wall seconds (-1 on failure), then drop every
       * cache/persistent RDD the body created — and only those. */
     def timed(what: String)(body: => Unit): Double = {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val gc0 = gcMillis()
+      val sw0 = schedWaitNanos()
       try {
         val t0 = System.nanoTime()
         body
@@ -78,6 +119,8 @@ object Bench {
           -1.0
       } finally {
         gcLog(what) = (gcMillis() - gc0) / 1e3
+        schedLog(what) =
+          if (sw0 < 0) -1.0 else math.max(0L, schedWaitNanos() - sw0) / 1e9
         spark.catalog.clearCache()
         // clearCache misses localCheckpoint blocks (drop lists, CC
         // label rounds) — they register as persistent RDDs, not
@@ -97,13 +140,24 @@ object Bench {
         .agg(count(lit(1)), sum(col("l"))).collect()
     }
 
+    val ProbeEvery = 25
     probeOnce("warmup")
     val probeFirst = probeOnce("first")
+    val suiteT0 = System.nanoTime()
+    // interleaved probes, keyed by measured-queries-completed count
+    val probes = scala.collection.mutable.LinkedHashMap[Int, Double](0 -> probeFirst)
+    val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var done = 0
     val results = SparkEntry.selectedQueries.map { case (name, fn) =>
+      if (done > 0 && done % ProbeEvery == 0) probes(done) = probeOnce(s"at$done")
       timed(s"$name warmup")(fn(spark, sfDir).count())
-      name -> timed(s"$name measured")(fn(spark, sfDir).count())
+      starts(name) = (System.nanoTime() - suiteT0) / 1e9
+      val t = timed(s"$name measured")(fn(spark, sfDir).count())
+      done += 1
+      name -> t
     }
     val probeLast = probeOnce("last")
+    probes(done) = probeLast
     val failed = results.collect { case (n, t) if t < 0 => n }
     failed.foreach(n => System.err.println(s"[bench] FAILED QUERY: $n"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -115,6 +169,17 @@ object Bench {
       .mkString("{", ",", "}")
     val gcTotal = results.map { case (k, _) =>
       gcLog.getOrElse(s"$k measured", 0.0) }.sum
+    def fmt(v: Double) = f"$v%.3f"
+    val startsJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(starts.getOrElse(k, -1.0)) }
+      .mkString("{", ",", "}")
+    val schedJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(schedLog.getOrElse(s"$k measured", -1.0)) }
+      .mkString("{", ",", "}")
+    val schedTotal = results.map { case (k, _) =>
+      math.max(0.0, schedLog.getOrElse(s"$k measured", 0.0)) }.sum
+    val probesJson = probes.map { case (i, t) => s"\"" + i + "\":" + fmt(t) }
+      .mkString("{", ",", "}")
     // stop() before the JSON so no further stdout follows — but never
     // let a teardown failure eat the run's results
     try spark.stop() catch { case e: Throwable =>
@@ -122,6 +187,8 @@ object Bench {
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""probe_first":$probeFirst,"probe_last":$probeLast,""" +
+      s""""probes":$probesJson,"t_start":$startsJson,""" +
+      s""""sched_wait":$schedJson,"sched_wait_total":${fmt(schedTotal)},""" +
       s""""gc":$gcs,"gc_total":$gcTotal,""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
