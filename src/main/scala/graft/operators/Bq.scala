@@ -34,22 +34,60 @@ import graft.functions.VectorFunctions.l2sq
   */
 object Bq {
 
+  /** Number of 64-bit words a dim-wide signature packs into. */
+  def words(dim: Int): Int = (dim + 63) / 64
+
+  /** One packed word from an already-sliced (≤ 64-element) float array:
+    * bit i set iff x(i) > 0. Powers of two are disjoint, so the fold's
+    * `+` IS bitwise OR — summation-order-free. Built with the Column
+    * DSL (no SQL-string splicing — ADVICE r9: an expr-interpolated
+    * column name broke on names needing backticks). */
+  private def packWord(sliced: Column): Column =
+    aggregate(
+      transform(sliced, (x, i) =>
+        when(x > lit(0f), call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
   /** Row-local packed sign signature: bit d set iff emb[d] > 0
     * (strictly — zeros code to 0 on both engines). dim ≤ 64 → one
     * 64-bit word; bit 63 wraps to the sign bit of the long, which XOR +
     * popcount treat as just another bit. Packs exactly the FIRST `dim`
     * components via an explicit slice — without it, an over-length
     * array would shift past 63 and silently collide bits (Spark masks
-    * the shift amount mod 64) instead of erroring. */
+    * the shift amount mod 64) instead of erroring. Wider vectors:
+    * [[signWordsCol]]. */
   def signBitsCol(embCol: String, dim: Int): Column = {
     require(dim >= 1 && dim <= 64,
-      s"dim $dim not in 1..64 — wider vectors pack ⌈dim/64⌉ words")
-    expr(
-      s"""aggregate(
-         |  transform(slice($embCol, 1, $dim), (x, i) ->
-         |    IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i),
-         |       CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin)
+      s"dim $dim not in 1..64 — wider vectors use signWordsCol")
+    packWord(slice(col(embCol), 1, dim))
+  }
+
+  /** Multi-word sign signature for ANY dim: ARRAY<BIGINT> of ⌈dim/64⌉
+    * words, word w packing dims [64w, 64w+63] with the identical
+    * per-word bit rule as [[signBitsCol]] (bit 63 of EVERY word is that
+    * word's long sign bit). The reference's own sample cluster is
+    * 768-dim (`config/node1.textproto:13`) — 12 words — which the
+    * single-word fast path rejects; this is the general encoder.
+    * Row-local, summation-order-free per word. */
+  def signWordsCol(embCol: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim $dim must be positive")
+    val n = words(dim)
+    transform(sequence(lit(0), lit(n - 1)), w =>
+      packWord(slice(embCol, w * lit(64) + lit(1),
+        least(lit(64), lit(dim) - w * lit(64)))))
+  }
+
+  /** Driver-side mirror of [[signWordsCol]] for encoding the query. */
+  def signWordsLocal(v: Array[Float]): Array[Long] = {
+    require(v.length >= 1, "empty vector")
+    val out = new Array[Long](words(v.length))
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0f) out(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    out
   }
 
   /** Driver-side mirror of [[signBitsCol]] for encoding the query. */
@@ -72,9 +110,34 @@ object Bq {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     vectors.select(col(idCol), signBitsCol(embCol, dim).as("sig"))
 
+  /** Vectors → (id, sig ARRAY<BIGINT>): the wide-dim binary index —
+    * ⌈dim/64⌉ × 8 bytes per vector (768-dim → 96 bytes, still 32×
+    * under float32). */
+  def encodeWide(vectors: DataFrame, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), signWordsCol(col(embCol), dim).as("sig"))
+
   /** Row-local Hamming distance to a driver-encoded query signature. */
   def hammingCol(sig: Column, querySig: Long): Column =
     bit_count(sig.bitwiseXOR(lit(querySig))).cast("long")
+
+  /** Multi-word Hamming: Σ over words of popcount(XOR) — exact integer
+    * arithmetic, order-free (each term is an independent non-negative
+    * int), so both engines agree for any word count. */
+  def hammingWordsCol(sig: Column, querySig: Array[Long]): Column =
+    aggregate(
+      zip_with(sig, lit(querySig), (a, b) =>
+        bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Wide-signature Hamming top-k: ascending (hamming, id). The scan
+    * touches ⌈dim/64⌉ longs per vector; TakeOrderedAndProject heaps as
+    * in [[hammingTopK]]. */
+  def hammingTopKWide(encoded: DataFrame, querySig: Array[Long], k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    encoded
+      .select(col(idCol), hammingWordsCol(col("sig"), querySig).as("hamming"))
+      .orderBy(col("hamming"), col(idCol)).limit(k)
 
   /** Hamming top-k over an encoded corpus: (id, hamming) ascending by
     * (hamming, id). */
@@ -123,6 +186,33 @@ object Bq {
     }.reduce(_ || _)
     encoded.filter(anyChunk)
       .select(col(idCol), hammingCol(col("sig"), querySig).as("hamming"))
+      .orderBy(col("hamming"), col(idCol)).limit(k)
+  }
+
+  /** Multi-index Hamming probing over WIDE (multi-word) signatures.
+    * Substring j of `chunkBits` bits lives entirely inside word
+    * ⌊j·chunkBits/64⌋ (chunkBits divides 64, so chunks never straddle a
+    * word boundary); total substrings = words·64/chunkBits, pigeonhole
+    * radius = substrings − 1 — WIDER guaranteed radius than the
+    * single-word index at the same chunkBits, because more disjoint
+    * substrings must all be hit before a near neighbor can hide. Same
+    * single-scan disjunction shape as [[mihTopK]]; per-chunk extraction
+    * `(word >> off) & mask` is shift-fill-insensitive. */
+  def mihTopKWide(encoded: DataFrame, querySig: Array[Long], k: Int,
+      chunkBits: Int = 8, idCol: String = "vec_id"): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
+      s"chunkBits $chunkBits must divide 64 and be <= 32")
+    val mask = (1L << chunkBits) - 1L
+    val perWord = 64 / chunkBits
+    val anyChunk = (0 until querySig.length * perWord).map { j =>
+      val w = j / perWord
+      val off = chunkBits * (j % perWord)
+      val qChunk = (querySig(w) >>> off) & mask
+      shiftright(element_at(col("sig"), w + 1), off)
+        .bitwiseAND(lit(mask)) === lit(qChunk)
+    }.reduce(_ || _)
+    encoded.filter(anyChunk)
+      .select(col(idCol), hammingWordsCol(col("sig"), querySig).as("hamming"))
       .orderBy(col("hamming"), col(idCol)).limit(k)
   }
 
@@ -179,6 +269,20 @@ object Bq {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(r >= k, s"shortlist r=$r must be >= k=$k")
     val shortlist = hammingTopK(encoded, signBitsLocal(query), r, idCol)
+      .select(col(idCol))
+    vectors.join(broadcast(shortlist), idCol)
+      .select(col(idCol), l2sq(col(embCol), lit(query)).as("distance"))
+      .orderBy(col("distance"), col(idCol)).limit(k)
+  }
+
+  /** Wide-signature shortlist → exact re-rank (the [[hammingTopKRerank]]
+    * serving shape at any dim): shortlist r on the packed words, float
+    * L2 on just those r rows via a broadcast join. */
+  def hammingTopKRerankWide(encoded: DataFrame, vectors: DataFrame,
+      query: Array[Float], r: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val shortlist = hammingTopKWide(encoded, signWordsLocal(query), r, idCol)
       .select(col(idCol))
     vectors.join(broadcast(shortlist), idCol)
       .select(col(idCol), l2sq(col(embCol), lit(query)).as("distance"))

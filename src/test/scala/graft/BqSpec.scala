@@ -88,6 +88,92 @@ class BqSpec extends SparkSpec {
     assert(batch === single)
   }
 
+  test("signWordsCol ≡ signWordsLocal at dims 65/128/192 incl. every word's sign bit") {
+    val rnd = new scala.util.Random(41)
+    for (dim <- Seq(65, 128, 192)) {
+      val rows = (0L until 48L).map { i =>
+        val v = Array.tabulate(dim) { d =>
+          // exercise: exact zeros, sign flips, and bit 63 of EVERY word
+          if (d % 64 == 63 && (i + d / 64) % 2 == 0) 1f
+          else if ((d + i) % 7 == 0) 0f
+          else rnd.nextFloat() - 0.5f
+        }
+        (i, v.toSeq)
+      }
+      val got = rows.toDF("vec_id", "embedding")
+        .select($"vec_id", Bq.signWordsCol($"embedding", dim).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      rows.foreach { case (i, v) =>
+        assert(got(i) === Bq.signWordsLocal(v.toArray).toSeq, s"dim=$dim row $i")
+        assert(got(i).length === Bq.words(dim))
+      }
+    }
+    // dim=64 through the wide encoder == the single-word fast path
+    val v64 = (0L until 16L).map(i =>
+      (i, Seq.tabulate(64)(d => (d + i).toFloat % 5 - 2.2f)))
+    val both = v64.toDF("vec_id", "embedding")
+      .select($"vec_id", Bq.signBitsCol("embedding", 64).as("one"),
+        Bq.signWordsCol($"embedding", 64).as("wide"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](2) === Seq(r.getLong(1)))
+    }
+    // over-length array packs only the first dim components per word
+    val long200 = Seq.fill(192)(-1f) ++ Seq.fill(8)(1f)
+    val sig192 = Seq((1L, long200)).toDF("vec_id", "embedding")
+      .select(Bq.signWordsCol($"embedding", 192)).head.getSeq[Long](0)
+    assert(sig192 === Seq(0L, 0L, 0L))
+  }
+
+  test("wide Hamming + MIH: parity with driver popcount; pigeonhole at 192 dims") {
+    val rnd = new scala.util.Random(43)
+    val dim = 192
+    val vecs = (0L until 160L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(9)._2.toArray
+    val qs = Bq.signWordsLocal(q)
+    val enc = Bq.encodeWide(df, dim)
+    def hamLocal(s: Array[Long]): Long =
+      s.zip(qs).map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }.sum
+    val sigs = vecs.map { case (i, v) => i -> Bq.signWordsLocal(v.toArray) }
+    // hammingTopKWide ≡ driver ranking
+    val got = Bq.hammingTopKWide(enc, qs, 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = sigs.map { case (i, s) => (i, hamLocal(s)) }
+      .sortBy { case (i, h) => (h, i) }.take(9)
+    assert(got === expected)
+    // mihTopKWide: completeness to the widened pigeonhole radius
+    for (chunkBits <- Seq(8, 16)) {
+      val nChunks = qs.length * 64 / chunkBits
+      val radius = nChunks - 1
+      val cand = Bq.mihTopKWide(enc, qs, 160, chunkBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      sigs.foreach { case (i, s) =>
+        val h = hamLocal(s)
+        if (h <= radius) assert(cand.get(i).contains(h),
+          s"radius-$radius vector $i missed at chunkBits=$chunkBits")
+      }
+      // soundness: every candidate shares a substring (within one word)
+      val mask = (1L << chunkBits) - 1L
+      val perWord = 64 / chunkBits
+      cand.keys.foreach { i =>
+        val s = sigs.toMap.apply(i)
+        val shares = (0 until nChunks).exists { j =>
+          val w = j / perWord; val off = chunkBits * (j % perWord)
+          ((s(w) >>> off) & mask) === ((qs(w) >>> off) & mask)
+        }
+        assert(shares, s"candidate $i shares no substring at chunkBits=$chunkBits")
+      }
+      assert(cand(9L) === 0L) // self-match at distance 0
+    }
+    // rerank: k exact rows from the wide shortlist, self first
+    val short = Bq.hammingTopKWide(enc, qs, 20).collect().map(_.getLong(0)).toSet
+    val rr = Bq.hammingTopKRerankWide(enc, df, q, r = 20, k = 5).collect()
+    assert(rr.length === 5)
+    assert(rr.map(_.getLong(0)).forall(short))
+    assert(rr.head.getLong(0) === 9L && rr.head.getDouble(1) === 0.0)
+  }
+
   test("hammingTopK ≡ driver XOR+popcount ranking; rerank ⊆ shortlist, exact") {
     val rnd = new scala.util.Random(29)
     val vecs = (0L until 150L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
