@@ -55,33 +55,44 @@ object IndexStore {
   }
 
   /** Shared single-tokenize write path for the batch build and each
-    * streamed micro-batch: postings land first; the stats increment is
-    * then derived WITHOUT re-tokenizing — n counts the batch's docs (a
-    * token-free scan, so empty docs count exactly as the inline corpus
-    * count does) and this batch's sumdl is Σ tf over the postings store
-    * minus the already-recorded increments (Σ_t tf(d,t) = dl(d); the
-    * store is single-writer by the streaming contract, so the delta is
-    * exactly this batch). Reading back the tiny posting parquet costs
-    * nothing next to the corpus tokenize it replaces. */
-  private def writeBatch(docs: DataFrame, path: String, buckets: Int,
+    * streamed micro-batch. The batch's postings frame is persisted
+    * ONCE and feeds both the write and the stats increment — the
+    * batch's sumdl is Σ tf over ITS OWN rows (Σ_t tf(d,t) = dl(d)),
+    * never a rescan of the growing store (ADVICE r9: the old
+    * total−prior derivation re-read the ENTIRE postings store per
+    * micro-batch — O(index size) and growing — and coupled batches: a
+    * half-committed batch skewed the NEXT batch's increment).
+    *
+    * Exactly-once on failure replay: postings live under
+    * `batch_id=<id>/b=<bucket>/` and each batch OVERWRITES its own
+    * batch_id partition (dynamic partition overwrite — a replayed
+    * foreachBatch id replaces its own rows instead of double-appending;
+    * other batches' partitions are untouched), and the stats reader
+    * dedups increments by batch_id. A crash between the postings
+    * overwrite and the stats append replays into the identical state.
+    * Queries prune on `b` exactly as before (partition pruning applies
+    * to any partition column); many tiny batch partitions are the
+    * compactor's job, as with [[VectorStore]]. */
+  private[graft] def writeBatch(docs: DataFrame, path: String, buckets: Int,
       batchId: Long, overwrite: Boolean,
       idCol: String, textCol: String): Unit = {
-    val spark = docs.sparkSession
-    val mode = if (overwrite) "overwrite" else "append"
-    postingsFrame(docs, buckets, idCol, textCol)
-      .repartition(col("b"))
-      .sortWithinPartitions(col("term"), col(idCol))
-      .write.partitionBy("b").mode(mode).parquet(s"$path/postings")
-    val total = spark.read.parquet(s"$path/postings")
-      .agg(coalesce(sum(col("tf")), lit(0L))).head.getLong(0)
-    val prior =
-      if (overwrite) 0L
-      else statsAgg(spark, path).head.getAs[Long]("sumdl")
-    docs.agg(count(lit(1)).as("n"))
-      .withColumn("sumdl", lit(total - prior))
-      .withColumn("buckets", lit(buckets.toLong))
+    val pf = postingsFrame(docs, buckets, idCol, textCol)
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/stats")
+      .persist()
+    try {
+      pf.repartition(col("b"))
+        .sortWithinPartitions(col("term"), col(idCol))
+        .write.partitionBy("batch_id", "b")
+        .option("partitionOverwriteMode", if (overwrite) "static" else "dynamic")
+        .mode("overwrite").parquet(s"$path/postings")
+      val batchSumdl = pf.agg(coalesce(sum(col("tf")), lit(0L))).head.getLong(0)
+      val statsMode = if (overwrite) "overwrite" else "append"
+      docs.agg(count(lit(1)).as("n"))
+        .withColumn("sumdl", lit(batchSumdl))
+        .withColumn("buckets", lit(buckets.toLong))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode(statsMode).parquet(s"$path/stats")
+    } finally pf.unpersist(false)
   }
 
   /** Streaming index maintenance: a document stream is tokenized,
@@ -94,11 +105,11 @@ object IndexStore {
     * [[VectorStore.appendStream]]'s cell-partitioned ingest.
     *
     * Contract: build the store with [[write]] first (fixes the bucket
-    * count); delivery is at-least-once on failure replay (the stats
-    * reader dedups increments by batch_id; a replayed POSTINGS batch
-    * double-appends — compact/rebuild in the quiesced window, the
-    * documented lambda split). Assumes batch-disjoint doc ids (append
-    * ingest); updates flow through the rebuild path. */
+    * count); delivery is EXACTLY-once on failure replay — a replayed
+    * batch overwrites its own batch_id postings partition and its
+    * stats increment dedups by batch_id (see [[writeBatch]]). Assumes
+    * batch-disjoint doc ids (append ingest); updates flow through the
+    * rebuild path. */
   def appendStream(docStream: DataFrame, path: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -116,12 +127,16 @@ object IndexStore {
   }
 
   /** Corpus constants summed over the deduped increment rows (the
-    * initial build plus every committed micro-batch). */
+    * initial build plus every committed micro-batch). min() per
+    * batch_id, not first(): the dedup must be a deterministic function
+    * of the stored rows (ADVICE r9) — with idempotent postings a
+    * replayed batch's rows are identical anyway, min() just removes
+    * the order dependence from the contract. */
   private def statsAgg(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/stats")
       .groupBy(col("batch_id"))
-      .agg(first(col("n")).as("bn"), first(col("sumdl")).as("bs"),
-        first(col("buckets")).as("bb"))
+      .agg(min(col("n")).as("bn"), min(col("sumdl")).as("bs"),
+        min(col("buckets")).as("bb"))
       .agg(sum(col("bn")).as("n"), sum(col("bs")).as("sumdl"),
         max(col("bb")).as("buckets"))
 
