@@ -103,7 +103,14 @@ object Knn {
     * replaces [[batchTopK]]'s cross join with a broadcast-hash EQUI
     * join, so the corpus still never shuffles AND rows of foreign
     * tenants are dropped at the join instead of scored-then-discarded;
-    * per-query top-k stays the BottomK map-side heap. */
+    * per-query top-k stays the BottomK map-side heap.
+    *
+    * Empty-tenant contract (differs from [[batchTopK]], which echoes
+    * every query): a query whose group has ZERO vectors produces NO
+    * output rows — the inner equi-join drops it. Callers that need
+    * every query echoed (e.g. to distinguish "no corpus" from "not
+    * run") should left-join their query frame back against the
+    * result's `queryIdCol`. */
   def groupedTopK(
       vectors: DataFrame,
       queries: DataFrame,
