@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dot
+
+/** Optimized Product Quantization (Ge/He/Ke/Sun, "Optimized Product
+  * Quantization for Approximate Nearest Neighbor Search", CVPR 2013) —
+  * the standard next recall-per-byte step past Lloyd-refined PQ
+  * (VERDICT r9 "What's missing #3"): learn an ORTHOGONAL rotation R and
+  * quantize Rx instead of x. PQ's product structure is blind to
+  * cross-subspace correlation — a principal axis straddling a subspace
+  * boundary forces both sub-codebooks to spend codes describing the
+  * same direction. Rotating to the eigenbasis and then ALLOCATING
+  * eigendirections to subspaces so each subspace carries a balanced
+  * share of the variance (Ge §4.2's eigenvalue allocation, the
+  * parametric OPQ solution) removes exactly that waste. Reference
+  * context: FAISS ships this as `OPQMatrix` pre-transform ahead of
+  * `IndexPQ` — the upgrade a user of the reference's flat index
+  * (`src/index/vector_shard.cc:41-42`) reaches for after PQ itself.
+  *
+  * Determinism protocol (the `embed_pc1` / `ann_refined` machinery):
+  *  - The second-moment matrix accumulates EXACT ×1e4-quantized integer
+  *    products (one 2,080-cell shuffle with map-side partial agg —
+  *    upper triangle of 64², model-bounded, never O(N) state), so the
+  *    matrix — and everything derived from it — is bit-identical across
+  *    partitionings and cpu counts.
+  *  - Eigendecomposition runs ON THE DRIVER (cyclic Jacobi over the
+  *    64×64 matrix — deterministic given identical input; the matrix is
+  *    driver-sized by definition, like the IVF centroid table).
+  *  - R's entries are quantized round(·,6) → float; both engines apply
+  *    the SAME literal matrix (the oracle replays the rotation as a
+  *    literal multiply, never re-derives it), with the fold-ordered
+  *    [[graft.functions.VectorFunctions.dot]] kernel and a final
+  *    round(·,6) → float per component, so the rotated corpus is
+  *    bit-identical on both sides and the whole [[Pq]] pipeline
+  *    (training included) applies verbatim downstream.
+  *
+  * Quantizing R to the 1e-6 grid makes it orthogonal only to ~1e-6 —
+  * distances in the rotated space differ from true distances at the
+  * same order, far below the quantization error PQ itself introduces
+  * (distortion ~1e2 per component); the `ann_opq_gain` row measures
+  * distortion IN the rotated space, which is what the codebook
+  * actually quantizes.
+  */
+object Opq {
+
+  /** An OPQ model: the rotation (64 quantized rows) and the PQ model
+    * trained on the rotated corpus. */
+  case class OpqModel(rotation: Seq[Array[Float]], pq: Pq.PqModel)
+
+  /** Uncentered second-moment matrix S[d][e] = Σ_n x_d·x_e as exact
+    * ×1e4-quantized longs, de-quantized to doubles on the driver. One
+    * distributed aggregation over the upper triangle (d ≤ e): per-row
+    * products are quantized BEFORE the sum, so the result is
+    * summation-order-free — the [[Pca]] accumulation protocol. Collect
+    * size = dim(dim+1)/2 rows, model-bounded. Uncentered on purpose:
+    * an orthogonal R preserves L2 distances about the origin, and the
+    * eigenbasis of the second moment is the variance structure ANN
+    * distances actually see (no mean subtraction to replicate). */
+  def secondMoment(vectors: DataFrame, dim: Int,
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    val cells = vectors
+      .select(col(embCol).as("__e"), posexplode(col(embCol)).as(Seq("d", "xd")))
+      .select(col("d"), col("xd"), posexplode(col("__e")).as(Seq("e2", "xe")))
+      .filter(col("e2") >= col("d"))
+      .select(col("d"), col("e2"),
+        round(col("xd").cast("double") * col("xe").cast("double") * lit(1e4))
+          .cast("long").as("q"))
+      .groupBy(col("d"), col("e2"))
+      .agg(sum(col("q")).as("sq"))
+      .collect()
+    val s = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val d = r.getInt(0); val e = r.getInt(1); val v = r.getLong(2) / 1e4
+      s(d)(e) = v; s(e)(d) = v
+    }
+    s
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * deterministic (fixed sweep order, fixed convergence threshold),
+    * driver-side, O(dim³) per sweep — trivial at dim 64. Returns
+    * (eigenvalues, eigenvectors as rows), unsorted. */
+  private[graft] def jacobiEigen(sym: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = sym.length
+    val a = sym.map(_.clone())
+    // v starts as identity; columns accumulate the eigenvectors
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 64 && offDiag() > 1e-18) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            // A' = J^T A J on rows/cols p,q
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eigvals = Array.tabulate(n)(i => a(i)(i))
+    // rows = eigenvectors (transpose of the column-accumulated v),
+    // sign-canonicalized: the largest-|component| entry (first among
+    // ties) is made non-negative — removes the ± ambiguity so the
+    // rotation is a deterministic function of the input matrix.
+    val rows = Array.tabulate(n) { j =>
+      val row = Array.tabulate(n)(i => v(i)(j))
+      var best = 0
+      var i = 1
+      while (i < n) { if (math.abs(row(i)) > math.abs(row(best))) best = i; i += 1 }
+      if (row(best) < 0) row.map(x => -x) else row
+    }
+    (eigvals, rows)
+  }
+
+  /** Ge 2013 §4.2 eigenvalue allocation: eigendirections sorted by
+    * eigenvalue descending are dealt greedily to the m subspaces, each
+    * direction going to the non-full subspace with the smallest
+    * accumulated variance share — balancing the information each
+    * sub-codebook must encode. The greedy runs on SHIFTED logs
+    * (log λ_i − min log λ, all ≥ 0): the balance objective is scale-
+    * free (multiplying every λ by c must not change the allocation),
+    * but raw log-sums are not — with all λ < 1 every log is negative
+    * and an empty bucket (sum 0) is never the minimum, degenerating
+    * the greedy to contiguous assignment. Non-negative weights dealt
+    * largest-first to the lightest bucket is the classic greedy for
+    * balanced multiway partitioning. Ties break to the lowest subspace
+    * index. Returns the rotation's row order: rows
+    * [s·subDim, (s+1)·subDim) feed subspace s. */
+  private[graft] def eigenAllocate(eigvals: Array[Double], m: Int): Array[Int] = {
+    val n = eigvals.length
+    require(n % m == 0, s"dim $n not divisible by m=$m")
+    val cap = n / m
+    val logs = eigvals.map(v => math.log(math.max(v, 1e-12)))
+    val w = { val mn = logs.min; logs.map(_ - mn) }
+    val order = (0 until n).sortBy(i => (-eigvals(i), i))
+    val sums = Array.fill(m)(0.0)
+    val counts = Array.fill(m)(0)
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    order.foreach { i =>
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (counts(s) < cap && (best < 0 || sums(s) < sums(best))) best = s
+        s += 1
+      }
+      buckets(best) += i
+      counts(best) += 1
+      sums(best) += w(i)
+    }
+    buckets.flatMap(_.result()).toArray
+  }
+
+  /** Train the rotation: second moment → Jacobi eigenbasis →
+    * eigenvalue allocation → rows quantized round(·,6) → float. The
+    * returned literal is everything the engine, the driver mirror, and
+    * the oracle ever see of the training. */
+  def trainRotation(vectors: DataFrame, dim: Int, m: Int,
+      embCol: String = "embedding"): Seq[Array[Float]] = {
+    val (eigvals, eigrows) = jacobiEigen(secondMoment(vectors, dim, embCol))
+    val order = eigenAllocate(eigvals, m)
+    order.toSeq.map(i =>
+      eigrows(i).map(x =>
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat))
+  }
+
+  /** Row-local rotated vector: component k = round(R_k · x, 6) → float,
+    * with the fold-ordered native dot kernel — bit-identical to
+    * [[rotateLocal]] and the oracle's literal-matrix replay. */
+  def rotateCol(emb: Column, rotation: Seq[Array[Float]]): Column =
+    array(rotation.map(row =>
+      round(dot(lit(row), emb), 6).cast("float")): _*)
+
+  /** Driver-side mirror of [[rotateCol]] for rotating the query. */
+  def rotateLocal(v: Array[Float], rotation: Seq[Array[Float]]): Array[Float] =
+    rotation.map { row =>
+      require(row.length == v.length, "dimension mismatch")
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) { acc += row(i).toDouble * v(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
+    }.toArray
+
+  /** Vectors → (id, rotated embedding): the frame every [[Pq]] stage
+    * (training included) runs over verbatim. */
+  def rotate(vectors: DataFrame, rotation: Seq[Array[Float]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), rotateCol(col(embCol), rotation).as(embCol))
+
+  /** Full OPQ training: rotation, then Lloyd-refined PQ on the rotated
+    * corpus. (Parametric OPQ — Ge §4.2; the non-parametric alternating
+    * refinement of §4.1 would re-solve R per iteration via Procrustes,
+    * a second-order gain not worth the extra oracle surface here.) */
+  def train(vectors: DataFrame, dim: Int, m: Int, ks: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): OpqModel = {
+    val rot = trainRotation(vectors, dim, m, embCol)
+    OpqModel(rot, Pq.trainRefined(rotate(vectors, rot, idCol, embCol),
+      m, ks, iters, idCol, embCol))
+  }
+
+  /** Encode a corpus under an OPQ model: rotate row-locally, then PQ
+    * codes — still zero shuffle end to end. */
+  def encode(vectors: DataFrame, model: OpqModel,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    Pq.encode(rotate(vectors, model.rotation, idCol, embCol),
+      model.pq, idCol, embCol)
+
+  /** ADC top-k under an OPQ model: the query rotates on the driver
+    * (same literal matrix), then the standard integer-LUT ADC scan of
+    * the 8-byte codes. */
+  def adcTopK(encoded: DataFrame, model: OpqModel, query: Array[Float],
+      k: Int, idCol: String = "vec_id"): DataFrame =
+    Pq.adcTopK(encoded, model.pq, rotateLocal(query, model.rotation), k, idCol)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Ann, Bq, Pq, Sq}
+import graft.operators.{Ann, Bq, Opq, Pq, Sq}
 import graft.sources.Tables
 import graft.queries.VectorQueries.{duckDot, duckL2sq}
 
@@ -117,6 +117,53 @@ object AnnQueries extends QueryPack {
       }
       row("sample", Pq.train(e, m = 8, ks = 16))
         .unionAll(row("lloyd2", Pq.trainRefined(e, m = 8, ks = 16, iters = 2)))
+        .orderBy($"variant")
+    }),
+
+    // OPQ (Ge 2013): learn an orthogonal rotation (second-moment
+    // eigenbasis + eigenvalue allocation — parametric OPQ, §4.2), then
+    // the standard Lloyd-refined PQ on the ROTATED corpus. Runs over a
+    // correlated derived corpus (y_d = x_d + x_{(d+32) mod 64}, exact
+    // double adds → float both engines): iid synthetic dims have a
+    // ~spherical second moment where any rotation is a no-op, and the
+    // mixing puts principal axes at 45° ACROSS subspace boundaries —
+    // the blindness OPQ exists to fix. The rotation trains in the
+    // engine (exact ×1e4-integer second moment — partitioning-
+    // invariant, OpqSpec — then driver-side Jacobi; quantized round-6 →
+    // float) and enters the oracle AS A LITERAL MATRIX (stashed at
+    // query run; Verify dumps oracleSql after running queries): the
+    // oracle independently replays rotation application, PQ training,
+    // encoding, and the integer ADC — the trainer itself is
+    // spec-verified (eigen property, orthonormality, invariance).
+    "ann_opq" -> ((s, dir) => {
+      import s.implicits._
+      val e = AnnQueries.corrFrame(Tables.embeddings(s, dir))
+      val model = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2)
+      AnnQueries.opqRotation = model.rotation
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Opq.adcTopK(Opq.encode(e, model), model, q, k = 10)
+    }),
+
+    // The Ge 2013 claim as a measured row (the ann_pq_refine_gain
+    // pattern): corpus distortion at equal m×ks code bytes, plain PQ
+    // on the correlated corpus vs PQ on its OPQ rotation. Distortion is
+    // measured in the space each codebook actually quantizes; the
+    // rotation is orthogonal to ~1e-6 (round-6 entries), so the two
+    // spaces are isometric far below the ~1e8 distortion scale.
+    "ann_opq_gain" -> ((s, dir) => {
+      import s.implicits._
+      val e = AnnQueries.corrFrame(Tables.embeddings(s, dir))
+      val pq = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+      val opq = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2)
+      AnnQueries.opqRotation = opq.rotation
+      val rotated = Opq.rotate(e, opq.rotation)
+      e.agg(sum(Pq.distortionCol($"embedding", pq)).as("distortion_q"))
+        .select(lit("pq").as("variant"), $"distortion_q")
+        .unionAll(
+          rotated.agg(sum(Pq.distortionCol($"embedding", opq.pq))
+              .as("distortion_q"))
+            .select(lit("opq").as("variant"), $"distortion_q"))
         .orderBy($"variant")
     }),
 
@@ -867,6 +914,85 @@ object AnnQueries extends QueryPack {
        |${duckCodes("cbr", "r", "resid")}""".stripMargin
   }
 
+  /** The correlated derived corpus for the OPQ queries: y_d = x_d +
+    * x_{(d+32) mod 64} as an exact double add cast back to float —
+    * bit-identical in both engines, and it correlates dimensions that
+    * sit in DIFFERENT PQ subspaces (subspace = d/8 at m=8). */
+  private[queries] def corrFrame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (element_at(col("embedding"), d + 1).cast("double") +
+          element_at(col("embedding"), (d + lit(32)) % lit(64) + 1)
+            .cast("double")).cast("float")).as("embedding"))
+
+  /** The rotation trained by the last `ann_opq`/`ann_opq_gain` run in
+    * this process — the literal the oracle SQL embeds. Verify runs
+    * every query BEFORE dumping oracleSql (and `oracle` is a def), so
+    * the stash is always set by dump time; the rotation is a
+    * deterministic, partitioning-invariant function of the corpus
+    * (OpqSpec), so any run of the query yields the same literal. */
+  @volatile private[queries] var opqRotation: Seq[Array[Float]] = Seq.empty
+
+  private def duckCorrCte: String =
+    """corr AS (
+      |  SELECT vec_id, list_transform(range(64), d ->
+      |    CAST(CAST(embedding[d + 1] AS DOUBLE) +
+      |         CAST(embedding[((d + 32) % 64) + 1] AS DOUBLE) AS REAL)) AS embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** The stashed rotation as a VALUES literal `rmat(k, rrow)`. Entries
+    * print as their defining 6-dp decimals (recovered exactly — the
+    * float is within half a float-ULP of its grid point, far inside
+    * the re-round tolerance), so `CAST(… AS REAL)` reproduces the
+    * identical float the engine's literal holds. */
+  private def duckRmatCte: String = {
+    require(opqRotation.nonEmpty,
+      "opq rotation not stashed — run ann_opq/ann_opq_gain before dumping oracles")
+    val rows = opqRotation.zipWithIndex.map { case (row, k) =>
+      val vals = row.map(f => BigDecimal(f.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying().toPlainString)
+        .mkString(", ")
+      s"($k, CAST([$vals] AS REAL[]))"
+    }.mkString(",\n    ")
+    s"""rmat AS (
+       |  SELECT * FROM (VALUES
+       |    $rows) AS t(k, rrow)
+       |)""".stripMargin
+  }
+
+  /** OPQ oracle chain: correlated corpus → literal-matrix rotation
+    * (fold-ordered dot per component, round-6 → REAL — the engine's
+    * `Opq.rotateCol` exactly; negative zeros square away in every
+    * downstream l2sq) → the standard seed/2×Lloyd/codes/LUT/ADC PQ
+    * chain with src = rot, ending in `cbo` / `codeso` / `adcso`. */
+  private def duckOpqCtes: String =
+    s"""$duckCorrCte,
+       |$duckRmatCte,
+       |rot AS (
+       |  SELECT c.vec_id,
+       |    list(CAST(round(${duckDot("c.embedding", "r.rrow")}, 6) AS REAL)
+       |         ORDER BY r.k) AS embedding
+       |  FROM corr c CROSS JOIN rmat r
+       |  GROUP BY c.vec_id
+       |), subsp AS (
+       |  SELECT CAST(unnest(range(0, 8)) AS INT) AS s
+       |), cbrowso AS (
+       |  SELECT rn - 1 AS j, embedding FROM (
+       |    SELECT embedding, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
+       |    FROM rot
+       |  ) WHERE rn <= 16
+       |), cbo0 AS (
+       |  SELECT sp.s, c.j, list_slice(c.embedding, sp.s*8 + 1, sp.s*8 + 8) AS cent
+       |  FROM subsp sp CROSS JOIN cbrowso c
+       |), ${duckPqRefine(1, "cbo0", "rot", "o")},
+       |${duckPqRefine(2, "cbo1", "rot", "o")},
+       |cbo AS (SELECT * FROM cbo2),
+       |q AS (SELECT embedding AS qv FROM rot WHERE vec_id = 0),
+       |${duckAdcTail("cbo", "o", "rot")}""".stripMargin
+
   /** The sample-seed codebook CTEs (mirrors `Pq.train`): 16 md5-spread
     * sample rows sliced into 8 sub-codebooks, plus the query vector. */
   private def duckPqSeedCtes: String =
@@ -1271,6 +1397,34 @@ object AnnQueries extends QueryPack {
          |${duckPanelTopCtes("cb", "codes", "")}
          |SELECT count(*) AS hits FROM pq10p p JOIN exact10p x
          |ON p.qid = x.qid AND p.vec_id = x.vec_id""".stripMargin),
+
+    "ann_opq" -> mat(
+      s"""WITH $duckOpqCtes
+         |SELECT vec_id, adc FROM adcso
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+
+    "ann_opq_gain" -> mat(
+      s"""WITH $duckOpqCtes,
+         |cbrowsp AS (
+         |  SELECT rn - 1 AS j, embedding FROM (
+         |    SELECT embedding, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
+         |    FROM corr
+         |  ) WHERE rn <= 16
+         |), cbp0 AS (
+         |  SELECT sp.s, c.j, list_slice(c.embedding, sp.s*8 + 1, sp.s*8 + 8) AS cent
+         |  FROM subsp sp CROSS JOIN cbrowsp c
+         |), ${duckPqRefine(1, "cbp0", "corr", "p")},
+         |${duckPqRefine(2, "cbp1", "corr", "p")},
+         |cbp AS (SELECT * FROM cbp2),
+         |${duckCodes("cbp", "p", "corr")}
+         |SELECT * FROM (
+         |  SELECT 'pq' AS variant,
+         |    (${duckDistortion("cbp", "codesp", "corr")}) AS distortion_q
+         |  UNION ALL
+         |  SELECT 'opq' AS variant,
+         |    (${duckDistortion("cbo", "codeso", "rot")}) AS distortion_q
+         |) ORDER BY variant""".stripMargin),
 
     "ann_rp" ->
       s"""WITH $duckRpCtes
