@@ -947,8 +947,15 @@ object AnnQueries extends QueryPack {
     * the re-round tolerance), so `CAST(… AS REAL)` reproduces the
     * identical float the engine's literal holds. */
   private def duckRmatCte: String = {
-    require(opqRotation.nonEmpty,
-      "opq rotation not stashed — run ann_opq/ann_opq_gain before dumping oracles")
+    // Stash empty ⇒ the OPQ queries did not run in this process (a
+    // GRAFT_ONLY subset): emit a loudly-failing placeholder for THEIR
+    // oracle slots only — their parquet dumps are missing too, and the
+    // whole-suite dump (the driver's mode) always runs the queries
+    // before oracleSql is read.
+    if (opqRotation.isEmpty)
+      return """rmat AS (SELECT * FROM (VALUES (0, CAST([] AS REAL[])))
+               | AS t(k, rrow) WHERE error('opq rotation not stashed'))"""
+        .stripMargin
     val rows = opqRotation.zipWithIndex.map { case (row, k) =>
       val vals = row.map(f => BigDecimal(f.toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)

@@ -169,6 +169,82 @@ class KnnGraphSpec extends SparkSpec {
     g.unpersist(false)
   }
 
+  test("insertBatch: base + 3 batches ≈ full rebuild recall; untouched edges carried verbatim") {
+    import graft.operators.{Ann, Pq}
+    // VERDICT r9 #3: the graph index must absorb point upserts (the
+    // reference's entire write path) without a full N·(2m+m²) rebuild.
+    val full = e
+    val base = full.filter($"vec_id" % 10 < 7)
+    val batches = (7 to 9).map(r => full.filter($"vec_id" % 10 === r))
+    val cents = Ann.collectCentroids(Ann.seedCentroids(base, 8))
+    def seedsFor(batch: org.apache.spark.sql.DataFrame) =
+      batch.select($"vec_id", $"embedding").collect().toSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).toArray
+        cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+          .sorted.take(2).map { case (_, cid) => (qid, cid) }
+      }.toDF("qid", "cand")
+    var corpus = base
+    var g = KnnGraph.buildSearchGraph(base, m = 6, ringM = 2, rounds = 3)
+      .persist()
+    val baseEdges = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var firstTouched: Set[Long] = Set.empty
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val g2 = KnnGraph.insertBatch(corpus, g, b, seedsFor(b), m = 6,
+        beam = 12, hops = 4, maxDegree = 8).persist()
+      g2.count()
+      if (i == 0) {
+        // o(N) recompute claim in value terms: nodes the batch did not
+        // touch keep their edge lists bit-identical, and the touched
+        // set is bounded by batch·m (each new vector touches ≤ m)
+        val newIds = b.select($"vec_id").collect().map(_.getLong(0)).toSet
+        val after = g2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val changedNodes = ((baseEdges diff after) ++ (after diff baseEdges))
+          .map(_._1) -- newIds
+        firstTouched = changedNodes
+        assert(changedNodes.size <= newIds.size * 6,
+          s"${changedNodes.size} existing nodes changed for ${newIds.size} inserts")
+        val untouchedBefore = baseEdges.filterNot(t => changedNodes(t._1))
+        val untouchedAfter = after.filterNot(t => changedNodes(t._1) || newIds(t._1))
+        assert(untouchedBefore === untouchedAfter, "untouched edges drifted")
+      }
+      g.unpersist(false)
+      g = g2
+      corpus = corpus.unionByName(b)
+    }
+    assert(firstTouched.nonEmpty, "insert touched no existing node — repair untested")
+    // recall parity on a 20-query panel (old + new nodes) vs a rebuild
+    val gFull = KnnGraph.buildSearchGraph(full, m = 6, ringM = 2, rounds = 3)
+      .persist()
+    val panel = (0 until 20).map(i => (i * 25 + (i % 10)).toLong)
+    val qs = full.filter($"vec_id".isin(panel: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val panelSeeds = qs.collect().toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+        .sorted.take(2).map { case (_, cid) => (qid, cid) }
+    }.toDF("qid", "cand")
+    val exact10 = qs.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      full.select($"vec_id", $"embedding").collect()
+        .map(x => (Pq.l2sqLocal(qv, x.getSeq[Float](1).toArray), x.getLong(0)))
+        .sortBy(identity).take(10).map { case (_, id) => (qid, id) }
+    }.toSet
+    def recall(graph: org.apache.spark.sql.DataFrame): Int =
+      KnnGraph.beamSearch(full, graph, qs, panelSeeds,
+          beam = 12, hops = 4, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(exact10)
+    val rInc = recall(g)
+    val rFull = recall(gFull)
+    info(s"panel recall@10 of 200: incremental=$rInc rebuild=$rFull")
+    assert(rInc >= rFull - 20,
+      s"incremental recall $rInc far below rebuild $rFull")
+    g.unpersist(false); gFull.unpersist(false)
+  }
+
   test("plan: per-node top-m is the partial-aggregated BottomK heap") {
     val plan = KnnGraph.build(e, m = 3).queryExecution.executedPlan.toString
     assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)

@@ -17,6 +17,7 @@ object ProfileGraph {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    if (args.headOption.contains("insert")) { insertProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
@@ -81,5 +82,49 @@ object ProfileGraph {
       qs.persist(); exact10.persist(); qs.count(); exact10.count()
     }
     spark.stop()
+  }
+
+  /** Round-10 evidence row: per-batch insert work vs corpus size. A
+    * FIXED 50-vector batch inserts into graphs over growing corpora;
+    * per-batch distance evaluations (batch·hops·beam·(deg+1) routing +
+    * batch² intra + touched·maxDeg repair) and the touched-node count
+    * must stay flat while N grows — the o(N) incremental-maintenance
+    * claim of KnnGraph.insertBatch. */
+  private def insertProfile(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Pq
+    for ((dir, cap) <- Seq(("/root/testdata/sf0.01", 450),
+        ("/root/testdata/sf0.1", 950), ("/root/testdata/sf0.1", 1950))) {
+      val all = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding")
+        .filter($"vec_id" < cap + 50)
+      val batch = all.filter($"vec_id" >= cap).persist()
+      val base = all.filter($"vec_id" < cap).persist()
+      val n = base.count(); batch.count()
+      val g = KnnGraph.buildSearchGraph(base, m = 6, ringM = 2, rounds = 2)
+        .persist()
+      val degAvg = g.count().toDouble / n
+      val cents = Ann.collectCentroids(Ann.seedCentroids(base, 8))
+      val seeds = batch.select($"vec_id", $"embedding").collect().toSeq.flatMap { r =>
+        val qv = r.getSeq[Float](1).toArray
+        cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+          .sorted.take(2).map { case (_, cid) => (r.getLong(0), cid) }
+      }.toDF("qid", "cand")
+      val t0 = System.nanoTime()
+      val g2 = KnnGraph.insertBatch(base, g, batch, seeds, m = 6,
+        beam = 12, hops = 4, maxDegree = 8)
+      val edgesAfter = g2.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // touched = existing nodes whose edge lists changed
+      val before = g.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val after = g2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val newIds = batch.select($"vec_id").collect().map(_.getLong(0)).toSet
+      val touched = (((before diff after) ++ (after diff before)).map(_._1) -- newIds).size
+      val evals = 50 * 4 * 12 * (degAvg + 1) + 50 * 50 + touched * 8
+      println(f"N=$n%5d batch=50: insert wall=$wall%5.1fs touched=$touched%3d " +
+        f"deg=$degAvg%4.1f edges=$edgesAfter%6d ~evals/batch=${evals.round}%6d " +
+        f"(evals/N=${evals / n}%5.1f)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
   }
 }
