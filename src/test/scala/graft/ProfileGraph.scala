@@ -18,6 +18,7 @@ object ProfileGraph {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     if (args.headOption.contains("insert")) { insertProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("hier")) { hierProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
@@ -82,6 +83,89 @@ object ProfileGraph {
       qs.persist(); exact10.persist(); qs.count(); exact10.count()
     }
     spark.stop()
+  }
+
+  /** Round-10 evidence rows: hierarchical vs flat walk — recall and
+    * DISTINCT distance evaluations (driver replay of both walks) on
+    * the 10-query panel, at sf0.01 and sf0.1. The hierarchy's claim:
+    * equal-or-better recall at fewer evals, with the layer-0 hop need
+    * flat while N grows (the routing layers absorb the crossing). */
+  private def hierProfile(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Pq
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val n = e.count()
+      val panel = (0 until 10).map(i => (i * (n / 10) + i).toLong)
+      val qs = e.filter($"vec_id".isin(panel: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv")).persist()
+      import graft.expressions.BottomK.bottomK
+      val exact10 = e.crossJoin(broadcast(qs)).select($"qid", $"vec_id",
+          graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score"))
+        .groupBy($"qid").agg(bottomK($"score", $"vec_id".cast("long"), 10).as("t"))
+        .select($"qid", explode($"t").as("h")).select($"qid", $"h.id".as("vec_id"))
+        .persist()
+      exact10.count()
+      val embById = e.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val qvById = qs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def adjOf(g: org.apache.spark.sql.DataFrame) =
+        g.collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def replayEvals(adj: Map[Long, Set[Long]], qid: Long,
+          seeds: Set[Long], beam: Int, hops: Int): (Set[Long], Seq[Long]) = {
+        val qv = qvById(qid)
+        def rank(c: Long) = (Pq.l2sqLocal(qv, embById(c)), c)
+        var seen = seeds
+        var b = seeds.toSeq.sortBy(rank).take(beam)
+        (1 to hops).foreach { _ =>
+          val pool = b.toSet ++ b.flatMap(c => adj.getOrElse(c, Set.empty))
+          seen ++= pool
+          b = pool.toSeq.sortBy(rank).take(beam)
+        }
+        (seen, b)
+      }
+      // flat baseline: IVF 2-cell seeds, the ann_graph config
+      val flat = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 3).persist()
+      val flatAdj = adjOf(flat)
+      val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+      def ivfSeeds(qid: Long): Set[Long] =
+        cents.map { case (cid, c) => (Pq.l2sqLocal(qvById(qid), c), cid) }
+          .sorted.take(2).map(_._2).toSet
+      for (hops <- Seq(2, 3, 4)) {
+        val (hits, evals) = panel.map { qid =>
+          val (seen, b) = replayEvals(flatAdj, qid, ivfSeeds(qid), 12, hops)
+          val top = b.toSeq.sortBy(c => (Pq.l2sqLocal(qvById(qid), embById(c)), c)).take(10)
+          val ex = exact10.filter($"qid" === qid).collect().map(_.getLong(1)).toSet
+          (top.count(ex), seen.size)
+        }.unzip
+        println(f"N=$n%5d flat  hops=$hops: hits=${hits.sum}%3d/100  evals/q=${evals.sum / 10}%4d")
+      }
+      // hierarchy: 1 upper layer (16x smaller), greedy descent entry
+      val layers = KnnGraph.buildHierGraph(e, m = 6, ringM = 2, rounds = 2,
+        maxLevel = 1)
+      val l1 = layers(1).persist(); val l0 = layers(0).persist()
+      val l1Adj = adjOf(l1); val l0Adj = adjOf(l0)
+      val l1Nodes = e.filter(KnnGraph.levelCol($"vec_id") >= 1)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val entry = l1Nodes.toSeq.sortBy(id =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map(b => f"${b & 0xff}%02x").mkString, id)).head
+      for (hops0 <- Seq(2, 3, 4); ub <- Seq(2, 4); s0 <- Seq(1, 4)) {
+        val (hits, evals) = panel.map { qid =>
+          val (seen1, b1) = replayEvals(l1Adj, qid, Set(entry), ub, 6)
+          val seed0 = b1.take(s0).toSet
+          val (seen0, b0) = replayEvals(l0Adj, qid, seed0, 12, hops0)
+          val top = b0.toSeq.sortBy(c => (Pq.l2sqLocal(qvById(qid), embById(c)), c)).take(10)
+          val ex = exact10.filter($"qid" === qid).collect().map(_.getLong(1)).toSet
+          (top.count(ex), (seen1 ++ seen0).size)
+        }.unzip
+        println(f"N=$n%5d hier  l0hops=$hops0 ub=$ub s0=$s0 (layer1=${l1Nodes.size}%4d): " +
+          f"hits=${hits.sum}%3d/100  evals/q=${evals.sum / 10}%4d")
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
   }
 
   /** Round-10 evidence row: per-batch insert work vs corpus size. A
