@@ -1039,27 +1039,19 @@ object Dedup {
     containmentPairsBanded(docs, textCol, idCol, numHashes,
       bands = numHashes, rowsPerBand = 1, threshold)
 
-  /** [[containmentPairs]] under an explicit (bands, rowsPerBand) —
-    * the honesty-metric hook (`dedup_containment_recall` compares the
-    * retired (4,3) banding against the shipped r=1 form on the same
-    * truth set). */
-  private[graft] def containmentPairsBanded(
-      docs: DataFrame,
-      textCol: String,
-      idCol: String,
-      numHashes: Int,
-      bands: Int,
-      rowsPerBand: Int,
-      threshold: Double): DataFrame = {
-    // Identical-set collapse (the minhashRepPairs stages): containment
-    // is a function of the token SETS alone, so rep-level verification
-    // + member expansion is provably output-identical to the naive form
-    // the oracle runs — identical sets share minhash signatures, hence
-    // buckets, hence candidacy, and their pairs score exactly 1.0 ≥ t.
-    // On this duplicate-heavy corpus it is the difference between
-    // verifying clusters² member pairs and clusters (bench: 9.0 s →
-    // see BASELINE.md round-8 gate). Persisted frames follow the
-    // object-level callers-clearCache lifecycle convention.
+  /** Shared containment prep — identical-set collapse + signatures
+    * (the minhashRepPairs stages): containment is a function of the
+    * token SETS alone, so rep-level verification + member expansion is
+    * provably output-identical to the naive form the oracle runs —
+    * identical sets share minhash signatures, hence buckets, hence
+    * candidacy, and their pairs score exactly 1.0 ≥ t. On this
+    * duplicate-heavy corpus it is the difference between verifying
+    * clusters² member pairs and clusters. Returns (withSig: (set_key,
+    * rep, minhash_sig, hsd), memberMap: (rep, id)); persisted frames
+    * follow the callers-clearCache lifecycle convention. */
+  private[graft] def containmentPrep(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int): (DataFrame, DataFrame) = {
     val keyed = docs
       .select(col(idCol).as("id"), col(textCol))
       .repartition(col("id"))
@@ -1081,9 +1073,52 @@ object Dedup {
       .select(col("set_key"), col("id"))
       .join(withSig.select(col("set_key"), col("rep")), "set_key")
       .select(col("rep"), col("id"))
-    val cand = lshCandidates(
-      withSig.select(col("rep").as("id"), col("minhash_sig")),
-      "id", bands, rowsPerBand)
+    (withSig, memberMap)
+  }
+
+  /** Integer-exact size stratum: ⌊log₂(set size)⌋ via the binary-string
+    * length (`length(bin(x)) − 1`) — no float log at a boundary, and
+    * the DuckDB oracle computes it with the identical `bin`. Two reps
+    * in one stratum differ in size by < 2×. */
+  private[graft] def sizeStratum(sz: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (length(bin(sz.cast("long"))) - 1).cast("int")
+
+  /** LSH-Ensemble-style size-stratified containment candidates (Zhu,
+    * Nakandala, Miller, VLDB 2016 — adapted from their containment
+    * SEARCH partitioning to a self-join): SAME-stratum pairs (size
+    * ratio < 2, so a true C ≥ t pair has Jaccard ≥ t/(2+1−t) — the
+    * asymmetric dilution is bounded) go through the TIGHTER
+    * (innerBands × innerRows) Jaccard banding, while CROSS-stratum
+    * pairs — the severely asymmetric ones r=1 banding exists for —
+    * keep the full per-hash (numHashes × 1) stream. The knob trades
+    * candidate volume (the bulk of r=1 collisions are same-size
+    * boilerplate, now gated by the tighter bands) against same-stratum
+    * recall at the Jaccard-threshold boundary — `dedup_containment_
+    * tradeoff` records the measured curve. */
+  private[graft] def containmentCandStratified(
+      withSig: DataFrame, numHashes: Int,
+      innerBands: Int, innerRows: Int): DataFrame = {
+    val strata = withSig.select(col("rep"),
+      sizeStratum(size(col("hsd"))).as("st"))
+    val sigs = withSig.select(col("rep").as("id"), col("minhash_sig"))
+    def withStrata(cand: DataFrame): DataFrame = cand
+      .join(strata.select(col("rep").as("id1"), col("st").as("st1")), "id1")
+      .join(strata.select(col("rep").as("id2"), col("st").as("st2")), "id2")
+    val inner = withStrata(lshCandidates(sigs, "id", innerBands, innerRows))
+      .filter(col("st1") === col("st2"))
+    val cross = withStrata(lshCandidates(sigs, "id", numHashes, 1))
+      .filter(col("st1") =!= col("st2"))
+    inner.select(col("id1"), col("id2"))
+      .unionByName(cross.select(col("id1"), col("id2")))
+      .distinct()
+  }
+
+  /** Exact-containment verify of a rep-level candidate stream + member
+    * expansion — the shared tail of every containment variant. */
+  private[graft] def containmentFromCandidates(
+      withSig: DataFrame, memberMap: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     // no est gate: signature agreement estimates JACCARD, and a high-
     // containment size-asymmetric pair can sit at low jaccard — a gate
     // would silently cost recall vs the oracle's gateless replay
@@ -1109,6 +1144,43 @@ object Dedup {
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
         lit(1.0).as("containment"))
     crossPairs.unionByName(dupPairs)
+  }
+
+  /** [[containmentPairs]] under an explicit (bands, rowsPerBand) —
+    * the honesty-metric hook (`dedup_containment_recall` compares the
+    * retired (4,3) banding against the shipped r=1 form on the same
+    * truth set). */
+  private[graft] def containmentPairsBanded(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val (withSig, memberMap) = containmentPrep(docs, textCol, idCol, numHashes)
+    val cand = lshCandidates(
+      withSig.select(col("rep").as("id"), col("minhash_sig")),
+      "id", bands, rowsPerBand)
+    containmentFromCandidates(withSig, memberMap, cand, threshold)
+  }
+
+  /** [[containmentPairs]] behind the size-stratified candidate config
+    * ([[containmentCandStratified]]) — the documented LSH-Ensemble
+    * candidate-volume knob, shipped: same-stratum pairs through
+    * (innerBands × innerRows) Jaccard banding, cross-stratum pairs
+    * through per-hash banding. */
+  def containmentPairsStratified(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 12,
+      threshold: Double = 0.9,
+      innerBands: Int = 4,
+      innerRows: Int = 3): DataFrame = {
+    val (withSig, memberMap) = containmentPrep(docs, textCol, idCol, numHashes)
+    val cand = containmentCandStratified(withSig, numHashes, innerBands, innerRows)
+    containmentFromCandidates(withSig, memberMap, cand, threshold)
   }
 
   /** Duplicated-SPAN detection — substring-level exact dedup (Lee et

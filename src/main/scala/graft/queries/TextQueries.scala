@@ -647,6 +647,54 @@ object TextQueries extends QueryPack {
         .orderBy($"variant")
     }),
 
+    // The containment candidate-VOLUME knob, measured (VERDICT r9 #7):
+    // r=1 banding bought ~100% recall — this row records what each
+    // config COSTS (rep-level candidate pairs entering the exact
+    // verify) next to what it recalls, including the shipped
+    // LSH-Ensemble size-stratified config (same-stratum pairs — size
+    // ratio < 2, Jaccard dilution bounded — through the tighter 4×3
+    // Jaccard bands; cross-stratum pairs, the asymmetric cases r=1
+    // exists for, keep the per-hash stream). The table a user reads
+    // before picking recall vs candidate volume.
+    "dedup_containment_tradeoff" -> ((s, dir) => {
+      import s.implicits._
+      val sample = Tables.documents(s, dir).filter($"doc_id" % 10 === 0)
+      val ts = sample.select($"doc_id",
+        array_distinct(
+          transform(array_distinct(tokens($"text")), t => hash32(t))).as("ts"))
+      val truth = ts.select($"doc_id".as("id1"), $"ts".as("t1"))
+        .crossJoin(broadcast(ts.select($"doc_id".as("id2"), $"ts".as("t2"))))
+        .filter($"id1" < $"id2")
+        .filter(size(array_intersect($"t1", $"t2")).cast("double") /
+          least(size($"t1"), size($"t2")).cast("double") >= 0.9)
+        .select($"id1", $"id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (withSig, memberMap) =
+        Dedup.containmentPrep(sample, "text", "doc_id", 12)
+      def row(variant: String,
+          candFn: DataFrame => DataFrame): DataFrame = {
+        val cand = candFn(withSig)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val found = Dedup
+          .containmentFromCandidates(withSig, memberMap, cand, 0.9)
+          .select($"id1", $"id2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+          .select(lit(variant).as("variant"), $"n_cand", $"n_true", $"n_hit",
+            when($"n_true" === 0L, lit(1000000L))
+              .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
+      }
+      def sigs(ws: DataFrame) = ws.select($"rep".as("id"), $"minhash_sig")
+      row("perhash_12x1", ws => Dedup.lshCandidates(sigs(ws), "id", 12, 1))
+        .unionByName(row("strat2_4x3",
+          ws => Dedup.containmentCandStratified(ws, 12, 4, 3)))
+        .unionByName(row("sym_4x3", ws => Dedup.lshCandidates(sigs(ws), "id", 4, 3)))
+        .orderBy($"variant")
+    }),
+
     // Transitive dedup closure: connected components of the simhash
     // near-dup graph (hamming is NOT transitive, so A~B~C chains exist
     // that single-pass keepList cannot collapse). Every doc labeled with
@@ -1613,6 +1661,100 @@ object TextQueries extends QueryPack {
          |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
          |    (SELECT CAST(count(*) AS BIGINT) FROM f3) AS n_found,
          |    (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN f3 USING (id1, id2)) AS n_hit
+         |)
+         |ORDER BY variant""".stripMargin,
+
+    // candidate-volume tradeoff: rep-level candidate counts (the cost
+    // that enters the exact verify) + recall per banding config, incl.
+    // the size-stratified one. Rep collapse replayed by grouping on the
+    // sorted distinct hash set (identical sets share sg — list_min is
+    // order/multiplicity-insensitive); stratum = length(bin(|set|))−1,
+    // integer-exact in both engines. A candidate pair in truth passes
+    // the exact verify by definition, so hits = truth ∩ expanded
+    // candidates.
+    "dedup_containment_tradeoff" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dTok AS sh FROM documents WHERE doc_id % 10 = 0
+         |), hsh AS (
+         |  SELECT doc_id, list_transform(sh, s -> ${dHash32("s")}) AS hs FROM t
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, list_sort(list_distinct(hs)) AS hsd,
+         |    list_transform(range(0,12), j ->
+         |      list_min(list_transform(hs, x -> (x * (2*j+1) + (j*j+7)) % 2147483647))) AS sg
+         |  FROM hsh WHERE len(hs) > 0
+         |), truth AS MATERIALIZED (
+         |  SELECT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+         |  WHERE len(list_intersect(a.hsd, c.hsd)) * 1.0
+         |        / least(len(a.hsd), len(c.hsd)) >= 0.9
+         |), repsig AS MATERIALIZED (
+         |  SELECT hsd, min(doc_id) AS rep, arg_min(sg, doc_id) AS sg
+         |  FROM sig GROUP BY hsd
+         |), mm AS MATERIALIZED (
+         |  SELECT s.doc_id, r.rep FROM sig s JOIN repsig r ON s.hsd = r.hsd
+         |), rst AS (
+         |  SELECT rep, length(bin(len(hsd))) - 1 AS st FROM repsig
+         |), rb1 AS (
+         |  SELECT rep, b, md5(CAST(sg[b+1] AS VARCHAR)) AS bucket
+         |  FROM repsig, (SELECT unnest(range(0,12)) AS b) u
+         |), rc1 AS MATERIALIZED (
+         |  SELECT DISTINCT a.rep AS id1, c.rep AS id2
+         |  FROM rb1 a JOIN rb1 c ON a.b = c.b AND a.bucket = c.bucket
+         |                        AND a.rep < c.rep
+         |), rb3 AS (
+         |  SELECT rep, b,
+         |    md5(CAST(sg[3*b+1] AS VARCHAR) || ':' || CAST(sg[3*b+2] AS VARCHAR)
+         |        || ':' || CAST(sg[3*b+3] AS VARCHAR)) AS bucket
+         |  FROM repsig, (SELECT unnest(range(0,4)) AS b) u
+         |), rc3 AS MATERIALIZED (
+         |  SELECT DISTINCT a.rep AS id1, c.rep AS id2
+         |  FROM rb3 a JOIN rb3 c ON a.b = c.b AND a.bucket = c.bucket
+         |                        AND a.rep < c.rep
+         |), rcs AS MATERIALIZED (
+         |  SELECT id1, id2 FROM rc3
+         |  JOIN rst s1 ON s1.rep = id1 JOIN rst s2 ON s2.rep = id2
+         |  WHERE s1.st = s2.st
+         |  UNION
+         |  SELECT id1, id2 FROM rc1
+         |  JOIN rst s1 ON s1.rep = id1 JOIN rst s2 ON s2.rep = id2
+         |  WHERE s1.st <> s2.st
+         |), dup AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM mm a JOIN mm b ON a.rep = b.rep AND a.doc_id < b.doc_id
+         |), ex1 AS (
+         |  SELECT DISTINCT least(ma.doc_id, mb.doc_id) AS id1,
+         |                  greatest(ma.doc_id, mb.doc_id) AS id2
+         |  FROM rc1 JOIN mm ma ON ma.rep = rc1.id1 JOIN mm mb ON mb.rep = rc1.id2
+         |  UNION SELECT id1, id2 FROM dup
+         |), ex3 AS (
+         |  SELECT DISTINCT least(ma.doc_id, mb.doc_id) AS id1,
+         |                  greatest(ma.doc_id, mb.doc_id) AS id2
+         |  FROM rc3 JOIN mm ma ON ma.rep = rc3.id1 JOIN mm mb ON mb.rep = rc3.id2
+         |  UNION SELECT id1, id2 FROM dup
+         |), exs AS (
+         |  SELECT DISTINCT least(ma.doc_id, mb.doc_id) AS id1,
+         |                  greatest(ma.doc_id, mb.doc_id) AS id2
+         |  FROM rcs JOIN mm ma ON ma.rep = rcs.id1 JOIN mm mb ON mb.rep = rcs.id2
+         |  UNION SELECT id1, id2 FROM dup
+         |)
+         |SELECT variant, n_cand, n_true, n_hit,
+         |  CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST(n_hit * 1000000 // n_true AS BIGINT) END AS recall_q
+         |FROM (
+         |  SELECT 'perhash_12x1' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rc1) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN ex1 USING (id1, id2)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'strat2_4x3' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rcs) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN exs USING (id1, id2)) AS n_hit
+         |  UNION ALL
+         |  SELECT 'sym_4x3' AS variant,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rc3) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth JOIN ex3 USING (id1, id2)) AS n_hit
          |)
          |ORDER BY variant""".stripMargin,
 
