@@ -126,6 +126,40 @@ object IndexStore {
       .start()
   }
 
+  /** Quiesced-window compaction — the rebuild path the streaming
+    * contract documents: fold every accumulated batch partition back
+    * into the single `batch_id=-1` build layout (bucket-partitioned,
+    * term-sorted, few files per bucket — so the sort's min/max row-
+    * group stats bite again) and collapse the stats increments to one
+    * deduped row. Values are untouched; only layout changes
+    * (IndexStoreSpec pins identical BM25 results). Same temp-dir +
+    * swap shape as [[VectorStore.compact]]. */
+  def compact(spark: SparkSession, path: String,
+      idCol: String = "doc_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stRow = statsAgg(spark, path).head
+    val postingsPath = new Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmpP = new Path(s"$path/_postings_compact_tmp")
+    spark.read.parquet(postingsPath.toString)
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("b"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.partitionBy("batch_id", "b").mode("overwrite").parquet(tmpP.toString)
+    val tmpS = new Path(s"$path/_stats_compact_tmp")
+    spark.range(1).select(
+        lit(stRow.getAs[Long]("n")).as("n"),
+        lit(stRow.getAs[Long]("sumdl")).as("sumdl"),
+        lit(stRow.getAs[Long]("buckets")).as("buckets"),
+        lit(-1L).as("batch_id"))
+      .write.mode("overwrite").parquet(tmpS.toString)
+    fs.delete(postingsPath, true)
+    fs.rename(tmpP, postingsPath)
+    val statsPath = new Path(s"$path/stats")
+    fs.delete(statsPath, true)
+    fs.rename(tmpS, statsPath)
+  }
+
   /** Corpus constants summed over the deduped increment rows (the
     * initial build plus every committed micro-batch). min() per
     * batch_id, not first(): the dedup must be a deterministic function

@@ -91,6 +91,23 @@ class IndexStoreSpec extends SparkSpec {
       val inline = Bm25.topK(Tables.documents(spark, sf), terms, k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(twice === inline)
+      // compaction: batch partitions fold into the single build layout,
+      // stats collapse to one row, scores byte-identical
+      IndexStore.writeBatch(batch.limit(20), dir, 8, batchId = 1L,
+        overwrite = false, "doc_id", "text")
+      val preCompact = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batchDirs = new java.io.File(s"$dir/postings").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs >= 3, s"expected >=3 batch partitions, got $batchDirs")
+      IndexStore.compact(spark, dir)
+      val postCompact = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(postCompact === preCompact, "compaction changed scores")
+      val afterDirs = new java.io.File(s"$dir/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(afterDirs.map(_.getName).toSeq === Seq("batch_id=-1"))
+      assert(spark.read.parquet(s"$dir/stats").count() === 1L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
