@@ -521,6 +521,27 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // Hierarchical graph search (the HNSW level stack, derandomized —
+    // VERDICT r9 #5): layer 1 = the md5-level ≥ 1 subset (16× smaller)
+    // with its own full search graph; the walk enters at the md5-first
+    // layer-1 node, greedy-descends layer 1 (beam 4, 6 hops — the
+    // layer is tiny, its walk cost is a geometric tail), hands its
+    // best 4 nodes to layer 0, and runs the standard beam there with
+    // only 3 hops. The oracle replays BOTH layer builds (the full
+    // blocking/ring/descent chain per layer) and both walks.
+    "ann_graph_hier" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
+        ringM = 2, rounds = 3, maxLevel = 1)
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.operators.KnnGraph.hierSearch(e, layers, queries,
+          beam = 12, hops = 3, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
     // Honesty rows: panel recall@10 of the graph walk vs IVF nprobe=2
     // at comparable candidate work — measured ~134 distinct distance
     // evaluations per query for the walk vs ~125 scanned by the 2-cell
@@ -1062,55 +1083,62 @@ object AnnQueries extends QueryPack {
     * (candidates = edges ∪ reversed ∪ 2-hop, re-ranked to the best 6 by
     * (distance, id)), final union with the ring — ends in
     * `gs(vec_id, nbr_id)`. */
-  private def duckSearchGraphCtes: String = {
+  /** Search-graph build replay parameterized by vector source + CTE
+    * suffix (the [[duckSearchGraphCtes]] chain, reusable per hierarchy
+    * layer): blocking, block-kNN, md5 ring, 3 NN-Descent rounds, final
+    * ring re-union — ends in `gs$sfx(vec_id, nbr_id)`. */
+  private def duckSearchGraphCtesFor(src: String, sfx: String): String = {
     val descent = (1 to 3).map { i =>
-      val prev = if (i == 1) "g0" else s"g${i - 1}"
-      s"""cnd$i AS (
+      val prev = if (i == 1) s"g${sfx}0" else s"g$sfx${i - 1}"
+      s"""cnd$sfx$i AS (
          |  SELECT DISTINCT u, w FROM (
          |    SELECT vec_id AS u, nbr_id AS w FROM $prev
          |    UNION ALL SELECT nbr_id, vec_id FROM $prev
          |    UNION ALL SELECT a.vec_id, b.nbr_id
          |      FROM $prev a JOIN $prev b ON a.nbr_id = b.vec_id
          |  ) WHERE u <> w
-         |), g$i AS (
+         |), g$sfx$i AS (
          |  SELECT u AS vec_id, w AS nbr_id FROM (
          |    SELECT c.u, c.w,
          |      row_number() OVER (PARTITION BY c.u
          |        ORDER BY ${duckL2sq("x.embedding", "y.embedding")}, c.w) AS rk
-         |    FROM cnd$i c JOIN embeddings x ON x.vec_id = c.u
-         |    JOIN embeddings y ON y.vec_id = c.w
+         |    FROM cnd$sfx$i c JOIN $src x ON x.vec_id = c.u
+         |    JOIN $src y ON y.vec_id = c.w
          |  ) WHERE rk <= 6
          |)""".stripMargin
     }.mkString(",\n")
-    s"""${TextQueries.duckTwoLevelCtes},
-       |knng6 AS (
+    s"""${TextQueries.duckTwoLevelCtesFor(src, sfx)},
+       |knng6$sfx AS (
        |  SELECT vec_id, nbr_id FROM (
        |    SELECT a.vec_id, b.vec_id AS nbr_id,
        |      row_number() OVER (PARTITION BY a.vec_id
        |        ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
-       |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+       |    FROM assigned$sfx a JOIN assigned$sfx b ON a.blk = b.blk AND a.vec_id <> b.vec_id
        |  ) WHERE nbr_rank <= 6
-       |), rring AS (
+       |), rring$sfx AS (
        |  SELECT vec_id, row_number() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       |  FROM (SELECT DISTINCT vec_id FROM embeddings)
-       |), ring AS (
+       |  FROM (SELECT DISTINCT vec_id FROM $src)
+       |), ring$sfx AS (
        |  SELECT a.vec_id, b.vec_id AS nbr_id
-       |  FROM rring a
+       |  FROM rring$sfx a
        |  CROSS JOIN (SELECT unnest(range(1, 3)) AS j) jj
-       |  JOIN rring b ON b.rn = (a.rn - 1 + jj.j) %
-       |    (SELECT count(*) FROM rring) + 1
+       |  JOIN rring$sfx b ON b.rn = (a.rn - 1 + jj.j) %
+       |    (SELECT count(*) FROM rring$sfx) + 1
        |  WHERE a.vec_id <> b.vec_id
-       |), g0 AS (
-       |  SELECT vec_id, nbr_id FROM knng6
-       |  UNION SELECT vec_id, nbr_id FROM ring
+       |), g${sfx}0 AS (
+       |  SELECT vec_id, nbr_id FROM knng6$sfx
+       |  UNION SELECT vec_id, nbr_id FROM ring$sfx
        |),
        |$descent,
-       |gs AS (
-       |  SELECT vec_id, nbr_id FROM g3
-       |  UNION SELECT vec_id, nbr_id FROM ring
+       |gs$sfx AS (
+       |  SELECT vec_id, nbr_id FROM g${sfx}3
+       |  UNION SELECT vec_id, nbr_id FROM ring$sfx
        |)""".stripMargin
   }
+
+  private def duckSearchGraphCtes: String =
+    duckSearchGraphCtesFor("embeddings", "")
 
   /** Mark every CTE in an assembled PQ oracle MATERIALIZED: DuckDB
     * re-inlines plain CTEs per reference, and the residual/refine
@@ -1301,6 +1329,67 @@ object AnnQueries extends QueryPack {
          |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
          |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
          |  FROM f4 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY rank""".stripMargin
+    },
+
+    // two full layer builds (suffix "" = layer 0, "h" = the level ≥ 1
+    // subset), the greedy upper walk (beam 4 × 6 hops from the
+    // md5-first layer-1 node), 4-node handoff, 3-hop layer-0 beam
+    "ann_graph_hier" -> mat {
+      val upper = (1 to 6).map { h =>
+        s"""up$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM uf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM uf${h - 1} f JOIN gsh g ON g.vec_id = f.cand
+           |  )
+           |), uf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM up$h p JOIN embeddings e ON e.vec_id = p.cand CROSS JOIN q
+           |  ) WHERE rn <= 4
+           |)""".stripMargin
+      }.mkString(",\n")
+      val lower = (1 to 3).map { h =>
+        s"""lp$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM lf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM lf${h - 1} f JOIN gs g ON g.vec_id = f.cand
+           |  )
+           |), lf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM lp$h p JOIN embeddings e ON e.vec_id = p.cand CROSS JOIN q
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckSearchGraphCtes,
+         |l1src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE length(regexp_extract(md5(CAST(vec_id AS VARCHAR)), '^0*')) >= 1
+         |),
+         |${duckSearchGraphCtesFor("l1src", "h")},
+         |q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), uf0 AS (
+         |  SELECT vec_id AS cand FROM l1src
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+         |),
+         |$upper,
+         |lf0 AS (
+         |  SELECT cand FROM (
+         |    SELECT s.cand, row_number() OVER (
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, s.cand) AS rn
+         |    FROM uf6 s JOIN embeddings e ON e.vec_id = s.cand CROSS JOIN q
+         |  ) WHERE rn <= 12
+         |),
+         |$lower
+         |SELECT vec_id, round(d, 4) AS distance, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |  FROM lf3 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
          |) WHERE rn <= 10
          |ORDER BY rank""".stripMargin
     },

@@ -1064,37 +1064,44 @@ object TextQueries extends QueryPack {
     * md5-spread coarse seeds (Kc = ⌈√⌈N/64⌉⌉) → coarse argmin →
     * per-coarse-cell fine seeds → fine assignment keeping the `probeRn`
     * nearest cells per vector (1 = the single-probe argmin). */
-  private[queries] def duckTwoLevelCtesProbed(probeRn: Int): String =
-    s"""cseeds AS (
+  /** Two-level blocking replay, parameterized by the vector source CTE
+    * and a CTE-name suffix so several blockings (e.g. per hierarchy
+    * layer) can coexist in one oracle. */
+  private[queries] def duckTwoLevelCtesFor(src: String, sfx: String,
+      probeRn: Int = 1): String =
+    s"""cseeds$sfx AS (
        |  SELECT vec_id AS ccell, embedding AS centroid FROM (
        |    SELECT vec_id, embedding, row_number()
        |      OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
-       |    FROM embeddings
+       |    FROM $src
        |  ) WHERE rn <= (SELECT CAST(ceil(sqrt(ceil(count(*) / 64.0))) AS BIGINT)
-       |                 FROM embeddings)
-       |), coarse AS (
+       |                 FROM $src)
+       |), coarse$sfx AS (
        |  SELECT vec_id, ccell, embedding FROM (
        |    SELECT e.vec_id, c.ccell, e.embedding,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${dl2("e.embedding", "c.centroid")}, c.ccell) AS rn
-       |    FROM embeddings e CROSS JOIN cseeds c
+       |    FROM $src e CROSS JOIN cseeds$sfx c
        |  ) WHERE rn = 1
-       |), fseeds AS (
+       |), fseeds$sfx AS (
        |  SELECT ccell, vec_id AS fid, embedding AS centroid FROM (
        |    SELECT ccell, vec_id, embedding,
        |      row_number() OVER (PARTITION BY ccell
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rk,
        |      count(*) OVER (PARTITION BY ccell) AS cn
-       |    FROM coarse
+       |    FROM coarse$sfx
        |  ) WHERE rk <= ceil(cn / 64.0)
-       |), assigned AS (
+       |), assigned$sfx AS (
        |  SELECT vec_id, blk, embedding FROM (
        |    SELECT v.vec_id, f.fid AS blk, v.embedding,
        |      row_number() OVER (PARTITION BY v.vec_id
        |        ORDER BY ${dl2("v.embedding", "f.centroid")}, f.fid) AS rn
-       |    FROM coarse v JOIN fseeds f USING (ccell)
+       |    FROM coarse$sfx v JOIN fseeds$sfx f USING (ccell)
        |  ) WHERE rn <= $probeRn
        |)""".stripMargin
+
+  private[queries] def duckTwoLevelCtesProbed(probeRn: Int): String =
+    duckTwoLevelCtesFor("embeddings", "", probeRn)
 
   private[queries] def duckTwoLevelCtes: String = duckTwoLevelCtesProbed(1)
 
