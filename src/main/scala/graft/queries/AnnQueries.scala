@@ -542,6 +542,32 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // NSW batch insert, oracle-checked end to end (the reference's
+    // point-upsert write path, `src/index/vector_shard.cc:46-57`, as a
+    // graph-index maintenance op): base graph on the vec_id%50≠0
+    // corpus, then ONE insertBatch of the held-out 2% — routing walk
+    // (fixed md5-first-4 seeds, beam 12 × 4 hops, k=6), forward edges,
+    // exact batch-internal best-6, and the touched-node capacity
+    // repair (existing ∪ reverse candidates re-ranked to 8 by
+    // (distance, id)). The oracle replays base build, walk, and every
+    // repair stage; the dump is the ENTIRE final edge list.
+    "ann_graph_insert" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val base = e.filter($"vec_id" % 50 =!= 0)
+      val batch = e.filter($"vec_id" % 50 === 0)
+      val g = graft.operators.KnnGraph.buildSearchGraph(base, m = 6,
+        ringM = 2, rounds = 3)
+      val seedIds = base
+        .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+        .limit(4).select($"vec_id").collect().map(_.getLong(0))
+      val seeds = batch.select($"vec_id".as("qid"),
+        explode(lit(seedIds)).as("cand"))
+      graft.operators.KnnGraph.insertBatch(base, g, batch, seeds, m = 6,
+          beam = 12, hops = 4, maxDegree = 8)
+        .orderBy($"vec_id", $"nbr_id")
+    }),
+
     // Honesty rows: panel recall@10 of the graph walk vs IVF nprobe=2
     // at comparable candidate work — measured ~134 distinct distance
     // evaluations per query for the walk vs ~125 scanned by the 2-cell
@@ -1331,6 +1357,88 @@ object AnnQueries extends QueryPack {
          |  FROM f4 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
          |) WHERE rn <= 10
          |ORDER BY rank""".stripMargin
+    },
+
+    // base build on the %50≠0 subset, per-new-vector routing walk,
+    // forward + intra edges, touched-node repair, untouched carryover
+    "ann_graph_insert" -> mat {
+      val hops = (1 to 4).map { h =>
+        s"""ip$h AS (
+           |  SELECT DISTINCT qid, cand FROM (
+           |    SELECT qid, cand FROM if${h - 1}
+           |    UNION ALL SELECT f.qid, g.nbr_id AS cand
+           |      FROM if${h - 1} f JOIN gsb g ON g.vec_id = f.cand
+           |  )
+           |), if$h AS (
+           |  SELECT qid, cand FROM (
+           |    SELECT p.qid, p.cand, row_number() OVER (PARTITION BY p.qid
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM ip$h p JOIN bsrc e ON e.vec_id = p.cand
+           |    JOIN nq q ON q.qid = p.qid
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH bsrc AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+         |),
+         |${duckSearchGraphCtesFor("bsrc", "b")},
+         |nq AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), sd AS (
+         |  SELECT vec_id AS cand FROM bsrc
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+         |), if0 AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT q.qid, s.cand, row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, s.cand) AS rn
+         |    FROM nq q CROSS JOIN sd s JOIN bsrc e ON e.vec_id = s.cand
+         |  ) WHERE rn <= 12
+         |),
+         |$hops,
+         |found AS (
+         |  SELECT qid, w, d FROM (
+         |    SELECT f.qid, e.vec_id AS w,
+         |      ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |      row_number() OVER (PARTITION BY f.qid
+         |        ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM if4 f JOIN bsrc e ON e.vec_id = f.cand
+         |    JOIN nq q ON q.qid = f.qid
+         |  ) WHERE rn <= 6
+         |), fwd AS (
+         |  SELECT qid AS vec_id, w AS nbr_id FROM found
+         |), intra AS (
+         |  SELECT aid AS vec_id, bid AS nbr_id FROM (
+         |    SELECT a.qid AS aid, b.qid AS bid,
+         |      row_number() OVER (PARTITION BY a.qid
+         |        ORDER BY ${duckL2sq("a.qv", "b.qv")}, b.qid) AS rn
+         |    FROM nq a JOIN nq b ON a.qid <> b.qid
+         |  ) WHERE rn <= 6
+         |), touched AS (
+         |  SELECT DISTINCT w AS u FROM found
+         |), repair AS (
+         |  SELECT u AS vec_id, w AS nbr_id FROM (
+         |    SELECT u, w, row_number() OVER (PARTITION BY u
+         |      ORDER BY d, w) AS rn
+         |    FROM (
+         |      SELECT g.vec_id AS u, g.nbr_id AS w,
+         |        ${duckL2sq("x.embedding", "y.embedding")} AS d
+         |      FROM gsb g JOIN touched t ON t.u = g.vec_id
+         |      JOIN bsrc x ON x.vec_id = g.vec_id
+         |      JOIN bsrc y ON y.vec_id = g.nbr_id
+         |      UNION ALL
+         |      SELECT w AS u, qid AS w, d FROM found
+         |    )
+         |  ) WHERE rn <= 8
+         |)
+         |SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT g.vec_id, g.nbr_id FROM gsb g
+         |  WHERE g.vec_id NOT IN (SELECT u FROM touched)
+         |  UNION ALL SELECT vec_id, nbr_id FROM repair
+         |  UNION ALL SELECT vec_id, nbr_id FROM fwd
+         |  UNION ALL SELECT vec_id, nbr_id FROM intra
+         |)
+         |ORDER BY vec_id, nbr_id""".stripMargin
     },
 
     // two full layer builds (suffix "" = layer 0, "h" = the level ≥ 1
