@@ -261,6 +261,54 @@ object Bq {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Batch MIH over WIDE signatures: the [[mihBatchTopK]] equi-join
+    * shape at any dim — corpus substrings (id, j, chunk) sliced across
+    * words against broadcast query substrings, candidates collapsed
+    * per (query, id), wide Hamming scored via [[hammingWordsCol]]'s
+    * per-word popcount sum, per-query top-k through BottomK map-side
+    * heaps. The corpus never shuffles. */
+  def mihBatchTopKWide(encoded: DataFrame, queries: DataFrame, k: Int,
+      nWords: Int, chunkBits: Int = 8, idCol: String = "vec_id",
+      queryIdCol: String = "query_id", querySigCol: String = "qsig"): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 32 && 64 % chunkBits == 0,
+      s"chunkBits $chunkBits must divide 64 and be <= 32")
+    require(k > 0 && nWords >= 1, "k and nWords must be positive")
+    val mask = (1L << chunkBits) - 1L
+    val perWord = 64 / chunkBits
+    def chunksOf(sig: Column) =
+      array((0 until nWords * perWord).map { j =>
+        val w = j / perWord; val off = chunkBits * (j % perWord)
+        struct(lit(j).as("j"),
+          shiftright(element_at(sig, w + 1), off)
+            .bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)
+    val idx = encoded
+      .select(col(idCol), col("sig"), explode(chunksOf(col("sig"))).as("c"))
+      .select(col(idCol), col("sig"), col("c.j").as("j"), col("c.chunk").as("chunk"))
+    val probes = queries
+      .select(col(queryIdCol), col(querySigCol),
+        explode(chunksOf(col(querySigCol))).as("c"))
+      .select(col(queryIdCol), col(querySigCol),
+        col("c.j").as("j"), col("c.chunk").as("chunk"))
+    val cand = idx.join(broadcast(probes), Seq("j", "chunk"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(first(col("sig")).as("sig"), first(col(querySigCol)).as("qs"))
+    cand
+      .select(col(queryIdCol), col(idCol),
+        aggregate(
+          zip_with(col("sig"), col("qs"), (a, b) =>
+            bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .groupBy(col(queryIdCol))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("hamming").cast("double"), col(idCol).cast("long"), k).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol),
+        col("col.id").as(idCol),
+        col("col.distance").cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Hamming shortlist → exact re-rank: shortlist `r` by the 8-byte
     * signatures, true float distances for just those r rows. The r-row
     * shortlist broadcasts; the vectors table never shuffles. */

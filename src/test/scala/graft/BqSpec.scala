@@ -174,6 +174,25 @@ class BqSpec extends SparkSpec {
     assert(rr.head.getLong(0) === 9L && rr.head.getDouble(1) === 0.0)
   }
 
+  test("mihBatchTopKWide ≡ per-query mihTopKWide on every query (192 dims)") {
+    val rnd = new scala.util.Random(47)
+    val dim = 192
+    val vecs = (0L until 140L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val enc = Bq.encodeWide(df, dim)
+    val q = Bq.encodeWide(df.filter($"vec_id" < 5), dim)
+      .select($"vec_id".as("query_id"), $"sig".as("qsig"))
+    val batch = Bq.mihBatchTopKWide(enc, q, k = 4, nWords = 3, chunkBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._4)).toSeq
+    val single = (0L until 5L).flatMap { qid =>
+      val qs = Bq.signWordsLocal(vecs(qid.toInt)._2.toArray)
+      Bq.mihTopKWide(enc, qs, 4, chunkBits = 8).collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getLong(1), i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(batch === single)
+  }
+
   test("hammingTopK ≡ driver XOR+popcount ranking; rerank ⊆ shortlist, exact") {
     val rnd = new scala.util.Random(29)
     val vecs = (0L until 150L).map(i => (i, Seq.fill(64)(rnd.nextFloat() - 0.5f)))
