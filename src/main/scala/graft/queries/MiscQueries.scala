@@ -153,6 +153,27 @@ object MiscQueries extends QueryPack {
           |ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Correlated LATERAL subquery — the per-row top-N join shape
+    // (each customer's 2 most recent orders). Catalyst decorrelates
+    // the LIMIT-bearing lateral into a window-rank join; the surface
+    // matters because it is the SQL idiom users reach for before
+    // window functions.
+    "join_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_lat")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_lat")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM cust_lat c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice
+          |  FROM ord_lat
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_orderdate DESC, o_orderkey
+          |  LIMIT 2
+          |) o
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+    }),
+
     // Self-measuring approximation quality: IVF nprobe=2 recall@10 per
     // query against the exact scan (both computed in-engine).
     "ann_recall" -> ((s, dir) => {
@@ -302,6 +323,18 @@ object MiscQueries extends QueryPack {
         |                          WHERE c_mktsegment = 'AUTOMOBILE')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey
+        |  LIMIT 2
+        |) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
 
     "ann_recall" -> {
       val duckCentroids =
