@@ -650,6 +650,22 @@ object AnnQueries extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // Exact per-node triangle counts over the undirected kNN graph —
+    // local clustering structure (tight semantic clusters vs
+    // hub/bridge nodes), via degree-ordered orientation (each wedge
+    // join bounded by oriented out-degree, every triangle counted once
+    // at its orientation-minimal vertex). The oracle replays
+    // orientation, wedge join, and closure.
+    "graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.build(e, m = 3)
+        .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      graft.operators.KnnGraph.triangleCounts(
+          e.select($"vec_id").distinct(), g)
+        .orderBy($"vec_id")
+    }),
+
     // The full SemDeDup decision on top of the graph: k-NN edges under
     // the L2 threshold, transitive closure, keep the min-id
     // representative per semantic-duplicate group. The threshold
@@ -1941,6 +1957,51 @@ object AnnQueries extends QueryPack {
     // replays knn_graph's edges, then unrolls three integer Pregel
     // steps: inflow = Σ pr//outdeg over in-edges, pr' = 150000 +
     // (85·inflow)//100 — all BIGINT, no float anywhere
+    // knng symmetric-distinct → (degree, id) orientation → wedge
+    // self-join → closure equi-join → corner counts. mat(): `ori` is
+    // referenced three times and `und` twice — plain CTEs re-inline
+    // the whole blocking chain per reference (the documented DuckDB
+    // blowup; this oracle ran >10 min un-materialized, <5 s with).
+    "graph_triangles" -> mat {
+      val knng =
+        s"""knng AS (
+           |  SELECT vec_id, nbr_id FROM (
+           |    SELECT a.vec_id, b.vec_id AS nbr_id,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+           |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+           |  ) WHERE nbr_rank <= 3
+           |)""".stripMargin
+      s"""WITH ${TextQueries.duckTwoLevelCtes},
+         |$knng,
+         |und AS (
+         |  SELECT DISTINCT a, b FROM (
+         |    SELECT vec_id AS a, nbr_id AS b FROM knng
+         |    UNION ALL SELECT nbr_id, vec_id FROM knng
+         |  ) WHERE a <> b
+         |), dg AS (
+         |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a
+         |), ori AS (
+         |  SELECT u.a AS u, u.b AS v
+         |  FROM und u JOIN dg x ON x.a = u.a JOIN dg y ON y.a = u.b
+         |  WHERE x.d < y.d OR (x.d = y.d AND u.a < u.b)
+         |), tri AS (
+         |  SELECT e1.u, e1.v, e2.v AS w
+         |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+         |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+         |), corner AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT u AS n FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri
+         |  ) GROUP BY n
+         |)
+         |SELECT e.vec_id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM (SELECT DISTINCT vec_id FROM embeddings) e
+         |LEFT JOIN corner c ON c.n = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    },
+
     "graph_pagerank" -> {
       val knng =
         s"""knng AS (

@@ -385,6 +385,33 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts ≡ brute force; duplicate/reversed edges do not double-count") {
+    val rnd = new scala.util.Random(61)
+    val n = 40
+    val edges = (0 until 140).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter(e => e._1 != e._2)
+    val nodes = (0L until n.toLong).map(Tuple1(_)).toDF("vec_id")
+    // include deliberate duplicates and reversals
+    val edf = (edges ++ edges.take(30).map(_.swap) ++ edges.take(10))
+      .toDF("src", "dst")
+    val got = KnnGraph.triangleCounts(nodes, edf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over the undirected simple graph
+    val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = (0L until n.toLong).map { v =>
+      val nb = und.getOrElse(v, Set.empty).toSeq
+      v -> (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if und.getOrElse(nb(i), Set.empty)(nb(j))
+      } yield 1).size.toLong
+    }.toMap
+    assert(got === expected)
+    assert(got.values.sum > 0, "fixture produced no triangles — weak test")
+    assert(got.values.sum % 3 === 0, "corner credits must be 3 per triangle")
+  }
+
   test("pageRankQ: a cycle is a fixpoint at the initial mass") {
     // 1→2→3→1, outdeg 1 everywhere: pr' = 150000 + 85% of 1000000 = pr
     val nodes = Seq(1L, 2L, 3L).toDF("vec_id")
