@@ -125,6 +125,42 @@ object EventQueries extends QueryPack {
 
     // Week-over-week retention: users active in week 1 who return in
     // week 2 (self semi-join on time buckets), with per-type breakdown.
+    // Sequential TIME-WINDOWED funnel — the strict ordered form next
+    // to events_funnel's first-A-before-first-B: stage 1 = first view,
+    // stage 2 = first click STRICTLY after it within 1 h, stage 3 =
+    // first purchase strictly after that click within 1 h (greedy
+    // earliest-completion — deterministic, and each stage anchors on
+    // the previous stage's chosen event, not on any event). Integer
+    // epoch seconds on both engines (duck's epoch() is fractional —
+    // the date_diff truncation protocol). One row per reached stage
+    // with user counts; stage 0 = users with events but no view.
+    "events_funnel_seq" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          unix_timestamp($"ts".cast("timestamp")).as("es"))
+      val users = ev.select($"user_id").distinct()
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"es").as("v"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id")
+        .filter($"es" > $"v" && $"es" <= $"v" + 3600L)
+        .groupBy($"user_id").agg(min($"es").as("c"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id")
+        .filter($"es" > $"c" && $"es" <= $"c" + 3600L)
+        .groupBy($"user_id").agg(min($"es").as("p"))
+      users
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id",
+          when($"p".isNotNull, 3L).when($"c".isNotNull, 2L)
+            .when($"v".isNotNull, 1L).otherwise(0L).as("stage"))
+        .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+        .orderBy($"stage")
+    }),
+
     "events_retention" -> ((s, dir) => {
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -219,6 +255,38 @@ object EventQueries extends QueryPack {
         |  FROM events GROUP BY user_id)
         |WHERE first_view < first_click AND first_click < first_purchase
         |ORDER BY user_id""".stripMargin,
+
+    "events_funnel_seq" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS es
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, min(es) AS v FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.es) AS c
+        |  FROM ev e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.es > v.v AND e.es <= v.v + 3600
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.es) AS p
+        |  FROM ev e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.es > c.c AND e.es <= c.c + 3600
+        |  GROUP BY e.user_id
+        |)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+        |  SELECT u.user_id,
+        |    CAST(CASE WHEN p.p IS NOT NULL THEN 3
+        |              WHEN c.c IS NOT NULL THEN 2
+        |              WHEN v.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN v ON v.user_id = u.user_id
+        |  LEFT JOIN c ON c.user_id = u.user_id
+        |  LEFT JOIN p ON p.user_id = u.user_id
+        |)
+        |GROUP BY stage
+        |ORDER BY stage""".stripMargin,
 
     "events_retention" ->
       """WITH w1 AS (
