@@ -84,6 +84,35 @@ class OpqSpec extends SparkSpec {
     assert(math.abs(dRaw - dRot) / dRaw < 1e-3, s"$dRaw vs $dRot")
   }
 
+  test("OPQ composes with residual IVF-PQ: rotation lowers residual distortion too") {
+    // FAISS's standard "OPQ,IVF,PQ" factory recipe: the rotation is a
+    // pre-transform, so the whole residual pipeline (coarse refine →
+    // residuals → Lloyd PQ) runs verbatim on the rotated frame. Cell
+    // centroids subtract out per cell but the cross-subspace
+    // correlation structure survives in the residuals — the rotation's
+    // win persists at equal code bytes.
+    import graft.operators.Ann
+    val df = corr(600, 64, 59).toDF("vec_id", "embedding")
+    val rot = Opq.trainRotation(df, dim = 64, m = 8)
+    def residDistortion(frame: org.apache.spark.sql.DataFrame): Long = {
+      val cents = Ann.collectCentroids(
+        Ann.refine(frame, Ann.refine(frame, Ann.seedCentroids(frame, 8))))
+      val model = Pq.trainResidual(frame, cents, m = 8, ks = 16, iters = 2)
+      val enc = Pq.encodeIvfResidual(frame, cents, model)
+      // distortion of the residual codes: recompute residuals and score
+      frame
+        .select($"vec_id", Pq.residualCol($"embedding",
+          Ann.nearestCell($"embedding", cents), cents).as("embedding"))
+        .agg(sum(Pq.distortionCol($"embedding", model))).head.getLong(0)
+    }
+    val plain = residDistortion(df)
+    val rotated = residDistortion(Opq.rotate(df, rot))
+    assert(rotated < plain,
+      s"OPQ'd residual distortion $rotated not below plain $plain")
+    info(s"residual distortion_q: plain=$plain opq=$rotated " +
+      s"(${(100.0 * (plain - rotated) / plain).round}% lower)")
+  }
+
   test("OPQ beats plain PQ distortion at equal m×ks on a correlated corpus") {
     val df = corr(600, 64, 57).toDF("vec_id", "embedding")
     val pq = Pq.trainRefined(df, m = 8, ks = 16, iters = 2)
