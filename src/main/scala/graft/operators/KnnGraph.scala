@@ -514,6 +514,27 @@ object KnnGraph {
       .select(col(idCol), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Local clustering coefficient per node: n_tri / C(deg, 2) over the
+    * undirected simple graph — Watts–Strogatz's per-node quantity, the
+    * normalized form of [[triangleCounts]] (1.0 = the neighborhood is
+    * a clique, 0 = a star/bridge). Exact ×1e6 integer quantization of
+    * the single division keeps the ratio engine-portable; degree < 2 ⇒
+    * coefficient 0 (no possible wedge). */
+  def clusteringCoefficient(nodes: DataFrame, edges: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    triangleCounts(nodes, edges, idCol)
+      .join(deg, col(idCol) === col("a"), "left")
+      .select(col(idCol), col("n_tri"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        when(coalesce(col("d"), lit(0L)) < 2, lit(0L))
+          .otherwise(expr("n_tri * 2000000L div (d * (d - 1))"))
+          .as("cc_q"))
+  }
+
   def semanticComponents(vectors: DataFrame, m: Int = 3,
       maxL2Sq: Double = 1.0, targetBlock: Int = 64, nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

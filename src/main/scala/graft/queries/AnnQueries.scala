@@ -666,6 +666,20 @@ object AnnQueries extends QueryPack {
         .orderBy($"vec_id")
     }),
 
+    // Local clustering coefficient (Watts–Strogatz): triangles
+    // normalized by C(degree, 2) — 1.0 = clique neighborhood, 0 =
+    // star/bridge; the per-node tightness score data-selection
+    // pipelines threshold on. Exact ×1e6 integer division.
+    "graph_clustering" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val g = graft.operators.KnnGraph.build(e, m = 3)
+        .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      graft.operators.KnnGraph.clusteringCoefficient(
+          e.select($"vec_id").distinct(), g)
+        .orderBy($"vec_id")
+    }),
+
     // The full SemDeDup decision on top of the graph: k-NN edges under
     // the L2 threshold, transitive closure, keep the min-id
     // representative per semantic-duplicate group. The threshold
@@ -800,6 +814,41 @@ object AnnQueries extends QueryPack {
 
   private val duckCentroids =
     "SELECT vec_id AS cell, embedding AS centroid FROM embeddings WHERE vec_id < 8"
+
+  /** Shared triangle chain (assumes the two-level blocking CTEs): m=3
+    * kNN edges → symmetric distinct → (degree, id) orientation → wedge
+    * + closure joins → per-corner counts. Ends in `dg(a, d)` and
+    * `corner(n, n_tri)`. */
+  private def duckTriangleCtes: String =
+    s"""knng AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS nbr_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
+       |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
+       |  ) WHERE nbr_rank <= 3
+       |), und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT vec_id AS a, nbr_id AS b FROM knng
+       |    UNION ALL SELECT nbr_id, vec_id FROM knng
+       |  ) WHERE a <> b
+       |), dg AS (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a
+       |), ori AS (
+       |  SELECT u.a AS u, u.b AS v
+       |  FROM und u JOIN dg x ON x.a = u.a JOIN dg y ON y.a = u.b
+       |  WHERE x.d < y.d OR (x.d = y.d AND u.a < u.b)
+       |), tri AS (
+       |  SELECT e1.u, e1.v, e2.v AS w
+       |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+       |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+       |), corner AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT u AS n FROM tri
+       |    UNION ALL SELECT v FROM tri
+       |    UNION ALL SELECT w FROM tri
+       |  ) GROUP BY n
+       |)""".stripMargin
 
   /** Row-local argmin cell assignment against an arbitrary centroid
     * relation (name or parenthesized subquery). */
@@ -1962,45 +2011,32 @@ object AnnQueries extends QueryPack {
     // referenced three times and `und` twice — plain CTEs re-inline
     // the whole blocking chain per reference (the documented DuckDB
     // blowup; this oracle ran >10 min un-materialized, <5 s with).
-    "graph_triangles" -> mat {
-      val knng =
-        s"""knng AS (
-           |  SELECT vec_id, nbr_id FROM (
-           |    SELECT a.vec_id, b.vec_id AS nbr_id,
-           |           row_number() OVER (PARTITION BY a.vec_id
-           |             ORDER BY ${duckL2sq("a.embedding", "b.embedding")}, b.vec_id) AS nbr_rank
-           |    FROM assigned a JOIN assigned b ON a.blk = b.blk AND a.vec_id <> b.vec_id
-           |  ) WHERE nbr_rank <= 3
-           |)""".stripMargin
+    "graph_triangles" -> mat(
       s"""WITH ${TextQueries.duckTwoLevelCtes},
-         |$knng,
-         |und AS (
-         |  SELECT DISTINCT a, b FROM (
-         |    SELECT vec_id AS a, nbr_id AS b FROM knng
-         |    UNION ALL SELECT nbr_id, vec_id FROM knng
-         |  ) WHERE a <> b
-         |), dg AS (
-         |  SELECT a, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY a
-         |), ori AS (
-         |  SELECT u.a AS u, u.b AS v
-         |  FROM und u JOIN dg x ON x.a = u.a JOIN dg y ON y.a = u.b
-         |  WHERE x.d < y.d OR (x.d = y.d AND u.a < u.b)
-         |), tri AS (
-         |  SELECT e1.u, e1.v, e2.v AS w
-         |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
-         |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
-         |), corner AS (
-         |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
-         |    SELECT u AS n FROM tri
-         |    UNION ALL SELECT v FROM tri
-         |    UNION ALL SELECT w FROM tri
-         |  ) GROUP BY n
-         |)
+         |$duckTriangleCtes
          |SELECT e.vec_id, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri
          |FROM (SELECT DISTINCT vec_id FROM embeddings) e
          |LEFT JOIN corner c ON c.n = e.vec_id
-         |ORDER BY e.vec_id""".stripMargin
-    },
+         |ORDER BY e.vec_id""".stripMargin),
+
+    // triangles normalized by C(degree,2) — the same chain plus the
+    // exact ×1e6 integer division (degree < 2 ⇒ 0)
+    "graph_clustering" -> mat(
+      s"""WITH ${TextQueries.duckTwoLevelCtes},
+         |$duckTriangleCtes
+         |SELECT vec_id, n_tri, degree,
+         |  CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_tri * 2000000 // (degree * (degree - 1)) AS BIGINT)
+         |  END AS cc_q
+         |FROM (
+         |  SELECT e.vec_id,
+         |    CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+         |    CAST(COALESCE(g.d, 0) AS BIGINT) AS degree
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings) e
+         |  LEFT JOIN corner c ON c.n = e.vec_id
+         |  LEFT JOIN dg g ON g.a = e.vec_id
+         |)
+         |ORDER BY vec_id""".stripMargin),
 
     "graph_pagerank" -> {
       val knng =

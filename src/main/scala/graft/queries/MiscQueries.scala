@@ -174,6 +174,23 @@ object MiscQueries extends QueryPack {
           |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
     }),
 
+    // UNPIVOT — the inverse of pivot_agg's columns-from-rows: decimal-
+    // exact per-flag measures widen to columns, then melt back to
+    // (key, metric, val) rows. The wide→long reshape every metrics
+    // export needs; same SQL-standard syntax in both engines.
+    "unpivot_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_up")
+      s.sql(
+        """SELECT l_returnflag, metric, val FROM (
+          |  SELECT l_returnflag,
+          |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+          |    CAST(count(*) AS DOUBLE) AS n_rows
+          |  FROM li_up GROUP BY l_returnflag
+          |) UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+          |ORDER BY l_returnflag, metric""".stripMargin)
+    }),
+
     // Self-measuring approximation quality: IVF nprobe=2 recall@10 per
     // query against the exact scan (both computed in-engine).
     "ann_recall" -> ((s, dir) => {
@@ -335,6 +352,16 @@ object MiscQueries extends QueryPack {
         |) o
         |WHERE c.c_mktsegment = 'BUILDING'
         |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+
+    "unpivot_agg" ->
+      """SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag
+        |) UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "ann_recall" -> {
       val duckCentroids =
