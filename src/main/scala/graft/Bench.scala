@@ -90,15 +90,20 @@ object Bench {
       val taskDir = java.nio.file.Paths.get("/proc/self/task")
       if (!java.nio.file.Files.isDirectory(taskDir)) return -1L
       var total = 0L
-      val it = java.nio.file.Files.list(taskDir).iterator()
-      while (it.hasNext) {
-        val p = it.next().resolve("schedstat")
-        try {
-          val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-            .trim.split("\\s+")
-          if (parts.length >= 2) total += parts(1).toLong
-        } catch { case _: Throwable => () } // thread exited mid-walk
-      }
+      // try-with-close: Files.list holds a directory fd — this runs
+      // twice per measured pass, an unclosed stream leaks ~600 fds/run
+      val stream = java.nio.file.Files.list(taskDir)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next().resolve("schedstat")
+          try {
+            val parts = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              .trim.split("\\s+")
+            if (parts.length >= 2) total += parts(1).toLong
+          } catch { case _: Throwable => () } // thread exited mid-walk
+        }
+      } finally stream.close()
       total
     }
     val schedLog = scala.collection.mutable.LinkedHashMap[String, Double]()
