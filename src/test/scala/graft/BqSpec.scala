@@ -174,6 +174,27 @@ class BqSpec extends SparkSpec {
     assert(rr.head.getLong(0) === 9L && rr.head.getDouble(1) === 0.0)
   }
 
+  test("signWordsLocal roundtrip property: bit (d%64) of word (d/64) == v(d) > 0, any dim") {
+    val rnd = new scala.util.Random(71)
+    for (_ <- 0 until 30) {
+      val dim = 1 + rnd.nextInt(300)
+      val v = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      // sprinkle exact zeros and negative zeros
+      v(rnd.nextInt(dim)) = 0f
+      if (dim > 1) v(rnd.nextInt(dim)) = -0f
+      val sig = Bq.signWordsLocal(v)
+      assert(sig.length === Bq.words(dim))
+      for (d <- 0 until dim) {
+        val bit = (sig(d / 64) >>> (d % 64)) & 1L
+        assert((bit == 1L) === (v(d) > 0f), s"dim=$dim d=$d v=${v(d)}")
+      }
+      // no bits beyond dim
+      for (d <- dim until sig.length * 64) {
+        assert(((sig(d / 64) >>> (d % 64)) & 1L) === 0L, s"ghost bit $d")
+      }
+    }
+  }
+
   test("mihBatchTopKWide ≡ per-query mihTopKWide on every query (192 dims)") {
     val rnd = new scala.util.Random(47)
     val dim = 192

@@ -62,6 +62,27 @@ class OpqSpec extends SparkSpec {
     assert(bucketOf(0) !== bucketOf(1))
   }
 
+  test("eigenAllocate properties: permutation, capacity, and SCALE-INVARIANCE") {
+    // scale-invariance is the property whose absence was the original
+    // bug: with all eigenvalues < 1 the raw log-sum greedy degenerated
+    // to contiguous assignment. The allocation must not change when
+    // every eigenvalue is multiplied by a constant.
+    val rnd = new scala.util.Random(67)
+    for (trial <- 0 until 20) {
+      val n = Seq(8, 16, 32)(trial % 3)
+      val m = Seq(2, 4, 8)(trial % 3)
+      val vals = Array.fill(n)(math.exp(rnd.nextGaussian() * 3))
+      val order = Opq.eigenAllocate(vals, m)
+      assert(order.sorted.toSeq === (0 until n), s"trial $trial: not a permutation")
+      order.grouped(n / m).foreach(b => assert(b.length === n / m))
+      for (c <- Seq(1e-9, 1e-3, 1.0, 1e6)) {
+        val scaled = Opq.eigenAllocate(vals.map(_ * c), m)
+        assert(scaled.toSeq === order.toSeq,
+          s"trial $trial: allocation changed under scale $c")
+      }
+    }
+  }
+
   test("rotateCol ≡ rotateLocal bit-for-bit; rotation is partitioning-invariant") {
     val data = corr(300, 64, 53)
     val df = data.toDF("vec_id", "embedding")
