@@ -275,17 +275,28 @@ object KnnGraph {
     require(layers.nonEmpty, "need at least layer 0")
     require(handoff >= 1 && handoff <= upperBeam, "need 1 <= handoff <= upperBeam")
     val top = layers.length - 1
-    // the single deterministic entry node of the top layer
-    val entry = vectors
-      .filter(levelCol(col(idCol)) >= top)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(1).select(col(idCol)).head.getLong(0)
+    // The single deterministic entry node of the HIGHEST NON-EMPTY
+    // layer. P(level >= l) = 16^-l, so the top layer is realistically
+    // empty on small corpora (or at maxLevel >= 2) — probe downward
+    // until a node exists instead of throwing an opaque
+    // NoSuchElementException (ADVICE r10); layer 0 is the whole corpus,
+    // so only an empty corpus is an error. The id is read generically
+    // (idCol's type is a parameter, not necessarily Long).
+    val (entryLayer, entry) = (top to 0 by -1).view.map { l =>
+      val nodes =
+        if (l == 0) vectors else vectors.filter(levelCol(col(idCol)) >= l)
+      (l, nodes.orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(1).select(col(idCol)).collect().headOption)
+    }.collectFirst { case (l, Some(r)) => (l, r.get(0)) }
+      .getOrElse(throw new IllegalArgumentException(
+        "hierSearch: empty corpus — no entry node at any layer"))
     var seeds = queries.select(col("qid"), lit(entry).as("cand"))
     // hand the next layer the best `handoff` nodes, not just the
     // single winner: on near-equidistant (high-dim iid) corpora a
     // one-node entry starves the lower beam (measured — ProfileGraph
-    // hier rows: s0=4 is worth +10 recall points at equal evals)
-    (top to 1 by -1).foreach { l =>
+    // hier rows: s0=4 is worth +10 recall points at equal evals).
+    // Layers above entryLayer are node-free — their walk is skipped.
+    (entryLayer to 1 by -1).foreach { l =>
       seeds = beamSearch(vectors, layers(l), queries, seeds,
           upperBeam, upperHops, k = handoff, idCol, embCol)
         .select(col("qid"), col(idCol).as("cand"))
@@ -303,6 +314,10 @@ object KnnGraph {
     *  3. batch-internal edges: exact best-m among the OTHER new vectors
     *     (micro-batch contract — the batch² work is batch-sized, the
     *     batched analog of sequential inserts seeing earlier inserts);
+    *     the forward ∪ intra candidate set (≤ 2m) then re-ranks to the
+    *     best `maxDegree` by (distance, id) — new nodes obey the same
+    *     NSW capacity contract as repaired existing nodes (ADVICE r10:
+    *     uncapped 2m out-edges grew graph size over repeated batches);
     *  4. reverse-edge repair for TOUCHED nodes only: each found
     *     neighbor w gains candidate w → new, then w's edge list
     *     re-ranks to its best `maxDegree` by (distance, id) — the NSW
@@ -329,7 +344,8 @@ object KnnGraph {
     val found = beamSearch(vectors, graph, q, seeds, beam, hops, k = m)
       .select(col("qid"), col(idCol).as("nbrId"), col("distance"))
       .coalesce(1).localCheckpoint(true)
-    val forward = found.select(col("qid").as(idCol), col("nbrId").as("nbr_id"))
+    val forward = found.select(col("qid").as("nid"),
+      col("nbrId").as("w"), col("distance").as("d"))
     // batch-internal exact best-m (ties (distance, id))
     val qa = q.select(col("qid").as("aid"), col("qv").as("ae"))
     val qb = q.select(col("qid").as("bid"), col("qv").as("be"))
@@ -337,7 +353,14 @@ object KnnGraph {
       .select(col("aid"), col("bid"), l2sq(col("ae"), col("be")).as("d"))
       .groupBy(col("aid"))
       .agg(bottomK(col("d"), col("bid").cast("long"), m).as("nbrs"))
-      .select(col("aid").as(idCol), explode(col("nbrs")).as("h"))
+      .select(col("aid").as("nid"), explode(col("nbrs")).as("h"))
+      .select(col("nid"), col("h.id").as("w"), col("h.distance").as("d"))
+    // new-node capacity prune: forward ∪ intra (disjoint targets —
+    // existing vs batch ids) re-ranked to maxDegree by (distance, id)
+    val newEdges = forward.unionByName(intra)
+      .groupBy(col("nid"))
+      .agg(bottomK(col("d"), col("w").cast("long"), maxDegree).as("nbrs"))
+      .select(col("nid").as(idCol), explode(col("nbrs")).as("h"))
       .select(col(idCol), col("h.id").as("nbr_id"))
     // reverse-edge repair on touched nodes only
     val revCand = found.select(col("nbrId").as("u"), col("qid").as("w"),
@@ -359,8 +382,7 @@ object KnnGraph {
       .join(broadcast(touched), graph(idCol) === touched("u"), "left_anti")
       .select(col(idCol), col("nbr_id"))
       .unionByName(repaired)
-      .unionByName(forward)
-      .unionByName(intra)
+      .unionByName(newEdges)
       .distinct()
   }
 
@@ -486,11 +508,21 @@ object KnnGraph {
     * closure equi-join); duplicate and reversed input edges collapse in
     * the symmetric-distinct step. */
   def triangleCounts(nodes: DataFrame, edges: DataFrame,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    triangleCountsWithDeg(nodes, edges, idCol)._1
+
+  /** [[triangleCounts]] plus the (a, d) undirected-degree frame it
+    * derives internally, so [[clusteringCoefficient]] reuses the
+    * symmetric-distinct closure instead of shuffling it twice
+    * (ADVICE r10). The degree frame is pinned — both the orientation
+    * and the coefficient read it. */
+  private def triangleCountsWithDeg(nodes: DataFrame, edges: DataFrame,
+      idCol: String): (DataFrame, DataFrame) = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b")).distinct()
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     // oriented is read three times below (two wedge sides + closure):
     // pin it once
     val oriented = und
@@ -509,9 +541,10 @@ object KnnGraph {
       .unionAll(tri.select(col("v").as("n")))
       .unionAll(tri.select(col("w").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
-    nodes.select(col(idCol))
+    val counts = nodes.select(col(idCol))
       .join(corner, nodes(idCol) === corner("n"), "left")
       .select(col(idCol), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    (counts, deg)
   }
 
   /** Local clustering coefficient per node: n_tri / C(deg, 2) over the
@@ -522,11 +555,8 @@ object KnnGraph {
     * coefficient 0 (no possible wedge). */
   def clusteringCoefficient(nodes: DataFrame, edges: DataFrame,
       idCol: String = "vec_id"): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
-    triangleCounts(nodes, edges, idCol)
+    val (counts, deg) = triangleCountsWithDeg(nodes, edges, idCol)
+    counts
       .join(deg, col(idCol) === col("a"), "left")
       .select(col(idCol), col("n_tri"),
         coalesce(col("d"), lit(0L)).as("degree"),

@@ -1470,15 +1470,22 @@ object AnnQueries extends QueryPack {
          |    FROM if4 f JOIN bsrc e ON e.vec_id = f.cand
          |    JOIN nq q ON q.qid = f.qid
          |  ) WHERE rn <= 6
-         |), fwd AS (
-         |  SELECT qid AS vec_id, w AS nbr_id FROM found
-         |), intra AS (
-         |  SELECT aid AS vec_id, bid AS nbr_id FROM (
-         |    SELECT a.qid AS aid, b.qid AS bid,
-         |      row_number() OVER (PARTITION BY a.qid
-         |        ORDER BY ${duckL2sq("a.qv", "b.qv")}, b.qid) AS rn
-         |    FROM nq a JOIN nq b ON a.qid <> b.qid
-         |  ) WHERE rn <= 6
+         |), newe AS (
+         |  SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d, nbr_id) AS rn
+         |    FROM (
+         |      SELECT qid AS vec_id, w AS nbr_id, d FROM found
+         |      UNION ALL
+         |      SELECT aid AS vec_id, bid AS nbr_id, d FROM (
+         |        SELECT a.qid AS aid, b.qid AS bid,
+         |          ${duckL2sq("a.qv", "b.qv")} AS d,
+         |          row_number() OVER (PARTITION BY a.qid
+         |            ORDER BY ${duckL2sq("a.qv", "b.qv")}, b.qid) AS rn2
+         |        FROM nq a JOIN nq b ON a.qid <> b.qid
+         |      ) WHERE rn2 <= 6
+         |    )
+         |  ) WHERE rn <= 8
          |), touched AS (
          |  SELECT DISTINCT w AS u FROM found
          |), repair AS (
@@ -1500,8 +1507,7 @@ object AnnQueries extends QueryPack {
          |  SELECT g.vec_id, g.nbr_id FROM gsb g
          |  WHERE g.vec_id NOT IN (SELECT u FROM touched)
          |  UNION ALL SELECT vec_id, nbr_id FROM repair
-         |  UNION ALL SELECT vec_id, nbr_id FROM fwd
-         |  UNION ALL SELECT vec_id, nbr_id FROM intra
+         |  UNION ALL SELECT vec_id, nbr_id FROM newe
          |)
          |ORDER BY vec_id, nbr_id""".stripMargin
     },

@@ -133,10 +133,22 @@ object IndexStore {
     * group stats bite again) and collapse the stats increments to one
     * deduped row. Values are untouched; only layout changes
     * (IndexStoreSpec pins identical BM25 results). Same temp-dir +
-    * swap shape as [[VectorStore.compact]]. */
+    * swap shape as [[VectorStore.compact]].
+    *
+    * Crash safety (ADVICE r10 — the old delete-then-rename left a
+    * window with NO postings dir at all): the swap renames the live
+    * dir ASIDE to `_postings_bak` / `_stats_bak`, promotes the fully
+    * written tmp dir, and deletes the backup LAST — at every instant
+    * either the live dir or its backup holds a complete copy, and the
+    * exposed window is two metadata renames, not a full rewrite. A
+    * re-run after a crash self-repairs first: a missing live dir with
+    * a surviving backup is restored (the tmp dir may be partial and is
+    * discarded); leftover tmp/backup dirs from completed runs are
+    * cleared. */
   def compact(spark: SparkSession, path: String,
       idCol: String = "doc_id"): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverCompact(spark, path)
     val stRow = statsAgg(spark, path).head
     val postingsPath = new Path(s"$path/postings")
     val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -153,11 +165,30 @@ object IndexStore {
         lit(stRow.getAs[Long]("buckets")).as("buckets"),
         lit(-1L).as("batch_id"))
       .write.mode("overwrite").parquet(tmpS.toString)
-    fs.delete(postingsPath, true)
-    fs.rename(tmpP, postingsPath)
     val statsPath = new Path(s"$path/stats")
-    fs.delete(statsPath, true)
+    val bakP = new Path(s"$path/_postings_bak")
+    val bakS = new Path(s"$path/_stats_bak")
+    fs.rename(postingsPath, bakP)
+    fs.rename(tmpP, postingsPath)
+    fs.rename(statsPath, bakS)
     fs.rename(tmpS, statsPath)
+    fs.delete(bakP, true)
+    fs.delete(bakS, true)
+  }
+
+  /** Self-repair preamble for [[compact]]: restore a backup whose
+    * promotion crashed mid-swap, drop stale tmp/backup leftovers. */
+  private def recoverCompact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("postings", "stats").foreach { d =>
+      val live = new Path(s"$path/$d")
+      val bak = new Path(s"$path/_${d}_bak")
+      if (!fs.exists(live) && fs.exists(bak)) fs.rename(bak, live)
+      if (fs.exists(bak)) fs.delete(bak, true)
+      val tmp = new Path(s"$path/_${d}_compact_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** Corpus constants summed over the deduped increment rows (the

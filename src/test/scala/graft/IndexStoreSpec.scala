@@ -113,6 +113,34 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact swap is crash-recoverable: backup restores, leftovers clear") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx4").toString
+    try {
+      IndexStore.write(docs, dir, buckets = 4)
+      val before = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // simulate the worst crash point of the swap: the live postings
+      // dir was renamed aside and the process died before promoting the
+      // tmp dir — the store has no postings/, only the backup (and a
+      // possibly-partial tmp). The next compact must self-repair.
+      val root = new java.io.File(dir)
+      assert(new java.io.File(root, "postings")
+        .renameTo(new java.io.File(root, "_postings_bak")))
+      new java.io.File(root, "_postings_compact_tmp").mkdirs()
+      IndexStore.compact(spark, dir)
+      val after = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(after === before, "recovered store changed scores")
+      // swap hygiene: no backup or tmp dirs survive a completed compact
+      val leftovers = root.listFiles().map(_.getName)
+        .filter(n => n.contains("_bak") || n.contains("_compact_tmp"))
+      assert(leftovers.isEmpty, s"leftover swap dirs: ${leftovers.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("term lookup prunes bucket directories and term row groups") {
     val docs = Tables.documents(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-idx2").toString
