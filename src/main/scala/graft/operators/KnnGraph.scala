@@ -336,6 +336,36 @@ object KnnGraph {
       seeds: DataFrame, m: Int, beam: Int = 12, hops: Int = 4,
       maxDegree: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (touched, delta) = insertBatchParts(vectors, graph, newVectors, seeds,
+      m, beam, hops, maxDegree, idCol, embCol)
+    graph
+      .join(broadcast(touched), graph(idCol) === touched("u"), "left_anti")
+      .select(col(idCol), col("nbr_id"))
+      .unionByName(delta)
+      .distinct()
+  }
+
+  /** The CHANGED slice of [[insertBatch]]'s output alone — the full
+    * replacement edge lists of the touched existing nodes plus the new
+    * nodes' capped lists, WITHOUT the untouched carryover. This is what
+    * a persisted graph index writes per batch ([[graft.sources
+    * .GraphStore]]'s batch partition): at scale the carryover is the
+    * index, and rewriting it per micro-batch would be O(index); the
+    * delta is O(batch·m) rows. `insertBatch ≡ (graph minus touched) ∪
+    * delta` by construction (GraphStoreSpec pins it in values). */
+  def insertBatchDelta(vectors: DataFrame, graph: DataFrame,
+      newVectors: DataFrame, seeds: DataFrame, m: Int, beam: Int = 12,
+      hops: Int = 4, maxDegree: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    insertBatchParts(vectors, graph, newVectors, seeds, m, beam, hops,
+      maxDegree, idCol, embCol)._2
+
+  /** (touched node frame `u`, delta edge frame) shared by
+    * [[insertBatch]] and [[insertBatchDelta]]. */
+  private def insertBatchParts(vectors: DataFrame, graph: DataFrame,
+      newVectors: DataFrame, seeds: DataFrame, m: Int, beam: Int,
+      hops: Int, maxDegree: Int,
+      idCol: String, embCol: String): (DataFrame, DataFrame) = {
     require(m > 0 && maxDegree >= m, "need maxDegree >= m > 0")
     import graft.expressions.BottomK.bottomK
     val q = newVectors.select(col(idCol).as("qid"), col(embCol).as("qv"))
@@ -378,12 +408,7 @@ object KnnGraph {
       .agg(bottomK(col("d"), col("w").cast("long"), maxDegree).as("nbrs"))
       .select(col("u").as(idCol), explode(col("nbrs")).as("h"))
       .select(col(idCol), col("h.id").as("nbr_id"))
-    graph
-      .join(broadcast(touched), graph(idCol) === touched("u"), "left_anti")
-      .select(col(idCol), col("nbr_id"))
-      .unionByName(repaired)
-      .unionByName(newEdges)
-      .distinct()
+    (touched, repaired.unionByName(newEdges).distinct())
   }
 
   /** The full SemDeDup decision (arXiv:2303.09540 §3): build the k-NN

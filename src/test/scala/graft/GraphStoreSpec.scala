@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KnnGraph
+import graft.sources.{GraphStore, Tables}
+
+/** Persisted graph index: store-backed hierarchical search equals the
+  * in-memory path on a query panel (restart = reopen, no rebuild),
+  * batch deltas land exactly-once and resolve latest-wins, the point
+  * lookup actually prunes the scan, and compaction changes layout
+  * only. */
+class GraphStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-gs-$tag").toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("store-backed hierSearch ≡ in-memory on a panel; reopen serves with no rebuild") {
+    val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
+      maxLevel = 1).map(_.persist())
+    // the ann_graph_recall panel ids (AnnQueries.panelIds)
+    val panel = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+    val qs = e.filter($"vec_id".isin(panel: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val mem = KnnGraph.hierSearch(e, layers, qs, beam = 8, hops = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val dir = tmp("hier")
+    try {
+      GraphStore.write(layers, dir, buckets = 8)
+      layers.foreach(_.unpersist(false))
+      // "restart": everything the search needs now comes from the path
+      // (+ the vector table) — layer frames are gone, the entry comes
+      // from stats metadata, and no build stage re-runs
+      val stored = GraphStore.hierSearch(spark, dir, e, qs,
+          beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(stored === mem, "store-backed search drifted from in-memory")
+      // entry metadata matches the in-memory derivation: md5-first node
+      // of the highest non-empty layer
+      val st = GraphStore.statsHead(spark, dir)
+      val expectedEntry = e
+        .filter(KnnGraph.levelCol($"vec_id") >= st.getLong(3).toInt)
+        .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+        .limit(1).head.getLong(0)
+      assert(st.getLong(4) === expectedEntry)
+    } finally rm(dir)
+  }
+
+  test("batch delta lands exactly-once; read resolves latest-batch-wins ≡ insertBatch") {
+    val base = e.filter($"vec_id" % 20 =!= 0)
+    val batch = e.filter($"vec_id" % 20 === 0)
+    val g = KnnGraph.buildSearchGraph(base, m = 4, ringM = 2, rounds = 2)
+      .persist()
+    val seedIds = base.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(4).select($"vec_id").collect().map(_.getLong(0))
+    val seeds = batch.select($"vec_id".as("qid"),
+      explode(lit(seedIds)).as("cand"))
+    val full = edgeSet(KnnGraph.insertBatch(base, g, batch, seeds, m = 4,
+      beam = 8, hops = 3, maxDegree = 6))
+    val delta = KnnGraph.insertBatchDelta(base, g, batch, seeds, m = 4,
+      beam = 8, hops = 3, maxDegree = 6).persist()
+    delta.count()
+    val dir = tmp("batch")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeBatch(delta, dir, batchId = 0L)
+      val once = edgeSet(GraphStore.read(spark, dir))
+      assert(once === full, "store resolution != insertBatch output")
+      // replayed batch id overwrites itself — byte-identical state
+      GraphStore.writeBatch(delta, dir, batchId = 0L)
+      assert(edgeSet(GraphStore.read(spark, dir)) === full,
+        "duplicate replay changed the store")
+      // compaction folds to the single build partition, values unchanged
+      GraphStore.compact(spark, dir)
+      assert(edgeSet(GraphStore.read(spark, dir)) === full,
+        "compaction changed values")
+      val batchDirs = new java.io.File(s"$dir/edges").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.map(_.getName).toSeq === Seq("batch_id=-1"))
+      assert(spark.read.parquet(s"$dir/stats").count() === 1L)
+    } finally {
+      rm(dir)
+      delta.unpersist(false)
+      g.unpersist(false)
+    }
+  }
+
+  test("neighborsOf is a pruned point lookup: scan reads a fraction of the index") {
+    val g = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 2)
+    val dir = tmp("probe")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      val all = spark.read.parquet(s"$dir/edges")
+      val total = all.count()
+      val ids = Seq(3L, 17L)
+      val pruned = PlanMetrics.scannedRows(
+        GraphStore.neighborsOf(spark, dir, ids))
+      val control = PlanMetrics.scannedRows(
+        all.filter(col("vec_id").isin(ids: _*) || col("vec_id").isNotNull))
+      assert(control >= total, s"control should scan all $total rows")
+      assert(pruned <= total / 4,
+        s"bucket+id pruning should cut the scan ($pruned of $total rows)")
+      // and the lookup is exactly those nodes' adjacency lists
+      val direct = edgeSet(GraphStore.read(spark, dir)
+        .filter(col("vec_id").isin(ids: _*)))
+      assert(edgeSet(GraphStore.neighborsOf(spark, dir, ids)) === direct)
+    } finally rm(dir)
+  }
+
+  test("writeBatch entry takeover: a higher-level batch node becomes the descent entry") {
+    val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
+      maxLevel = 1)
+    val dir = tmp("entry")
+    try {
+      GraphStore.write(layers, dir, buckets = 8)
+      val st0 = GraphStore.statsHead(spark, dir)
+      // a synthetic delta carrying a node at a level above the current
+      // entry level — the insert-maintenance shape for a rare high draw
+      val hi = spark.range(1).select(lit(999983L).as("vec_id"),
+        lit(1L).as("nbr_id"), lit(st0.getLong(3).toInt + 1).as("level"))
+      GraphStore.writeBatch(hi, dir, batchId = 5L)
+      val st1 = GraphStore.statsHead(spark, dir)
+      assert(st1.getLong(3) === st0.getLong(3) + 1, "entry level not raised")
+      assert(st1.getLong(4) === 999983L, "entry id not taken over")
+      // and a same-level node only wins by md5 order (non-winner here:
+      // keep the takeover node)
+      val lo = spark.range(1).select(lit(1L).as("vec_id"),
+        lit(2L).as("nbr_id"), lit(0).as("level"))
+      GraphStore.writeBatch(lo, dir, batchId = 6L)
+      assert(GraphStore.statsHead(spark, dir).getLong(4) === 999983L)
+    } finally rm(dir)
+  }
+}
