@@ -116,6 +116,30 @@ class GraphStoreSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("hier delta lands per level: store layers ≡ insertBatchHier output") {
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0)
+    val layers = KnnGraph.buildHierGraph(base, m = 4, ringM = 2,
+      rounds = 2, maxLevel = 1).map(_.persist())
+    val updated = KnnGraph.insertBatchHier(base, layers, batch, m = 4,
+      beam = 8, hops = 3, maxDegree = 6)
+    val delta = KnnGraph.insertBatchHierDelta(base, layers, batch, m = 4,
+      beam = 8, hops = 3, maxDegree = 6)
+    val dir = tmp("hierdelta")
+    try {
+      GraphStore.write(layers, dir, buckets = 8)
+      GraphStore.writeBatch(delta, dir, batchId = 0L)
+      (0 to 1).foreach { l =>
+        assert(edgeSet(GraphStore.read(spark, dir, l)) ===
+          edgeSet(updated(l)),
+          s"layer $l store resolution != insertBatchHier output")
+      }
+    } finally {
+      rm(dir)
+      layers.foreach(_.unpersist(false))
+    }
+  }
+
   test("writeBatch entry takeover: a higher-level batch node becomes the descent entry") {
     val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
       maxLevel = 1)

@@ -350,6 +350,55 @@ class KnnGraphSpec extends SparkSpec {
     g.unpersist(false); gFull.unpersist(false)
   }
 
+  test("insertBatchHier: 3 sequential batches keep the level stack exact and track rebuild recall") {
+    val full = e
+    val base = full.filter($"vec_id" % 8 < 5)
+    val batches = (5 to 7).map(r => full.filter($"vec_id" % 8 === r))
+    var corpus = base
+    var layers = KnnGraph.buildHierGraph(base, m = 4, ringM = 2,
+      rounds = 2, maxLevel = 1).map(_.persist())
+    batches.foreach { b =>
+      val updated = KnnGraph.insertBatchHier(corpus, layers, b, m = 4,
+        beam = 8, hops = 3, maxDegree = 6).map(_.persist())
+      updated.foreach(_.count())
+      layers.foreach(_.unpersist(false))
+      layers = updated
+      corpus = corpus.unionByName(b)
+    }
+    // upper-layer membership is EXACTLY the md5 level draw: every
+    // level>=1 node of base ∪ batches has edges in layer 1, nobody else
+    // (the r10 gap: flat insert left batch nodes out of the stack)
+    val lvl1 = full.filter(KnnGraph.levelCol($"vec_id") >= 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val srcs = layers(1).select($"vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(srcs === lvl1, "layer-1 membership drifted from the level draw")
+    // hierSearch recall on a 20-query panel vs a full rebuild
+    val rebuilt = KnnGraph.buildHierGraph(full, m = 4, ringM = 2,
+      rounds = 2, maxLevel = 1).map(_.persist())
+    val panel = (0 until 20).map(i => (i * 25 + (i % 10)).toLong)
+    val qs = full.filter($"vec_id".isin(panel: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val rows = full.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exact10 = qs.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      rows.map { case (id, v) => (graft.operators.Pq.l2sqLocal(qv, v), id) }
+        .sortBy(identity).take(10).map { case (_, id) => (qid, id) }
+    }.toSet
+    def recall(ls: Seq[org.apache.spark.sql.DataFrame]): Int =
+      KnnGraph.hierSearch(full, ls, qs, beam = 8, hops = 3, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .count(exact10)
+    val rInc = recall(layers)
+    val rFull = recall(rebuilt)
+    info(s"panel recall@10 of 200: incremental=$rInc rebuild=$rFull")
+    assert(rInc >= rFull - 20,
+      s"incremental hier recall $rInc far below rebuild $rFull")
+    (layers ++ rebuilt).foreach(_.unpersist(false))
+  }
+
   test("plan: per-node top-m is the partial-aggregated BottomK heap") {
     val plan = KnnGraph.build(e, m = 3).queryExecution.executedPlan.toString
     assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)
