@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bq
+import graft.sources.{BinaryStore, Tables}
+
+/** Persisted MIH layout: store probes return exactly the scan-form MIH
+  * results (narrow and wide), and a probe reads ~candidates·replication
+  * rows instead of the whole index — measured through the scan metric
+  * with an unpruned control. */
+class BinaryStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-bs-$tag").toString
+
+  private def rm(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  test("probe ≡ mihTopK on single-word signatures (ann_binary_mih unchanged)") {
+    val q = e.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    val enc = Bq.encode(e, 64)
+    val scan = Bq.mihTopK(enc, Bq.signBitsLocal(q), k = 10, chunkBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = tmp("narrow")
+    try {
+      BinaryStore.write(enc.select($"vec_id", array($"sig").as("sig")), dir)
+      val stored = BinaryStore.probe(spark, dir,
+          Array(Bq.signBitsLocal(q)), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stored === scan, "store probe drifted from scan-form MIH")
+    } finally rm(dir)
+  }
+
+  test("probe ≡ mihTopKWide on the 192-dim wide corpus") {
+    val wide = e.select($"vec_id",
+      concat($"embedding", transform($"embedding", x => -x),
+        reverse($"embedding")).as("embedding"))
+    val q = wide.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    val enc = Bq.encodeWide(wide, 192)
+    val scan = Bq.mihTopKWide(enc, Bq.signWordsLocal(q), k = 10,
+        chunkBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = tmp("wide")
+    try {
+      BinaryStore.write(enc, dir)
+      val stored = BinaryStore.probe(spark, dir, Bq.signWordsLocal(q), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stored === scan, "wide store probe drifted from scan-form MIH")
+    } finally rm(dir)
+  }
+
+  test("probe is a point lookup: reads ~matchRate·N rows, not the index") {
+    val q = e.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    val enc = Bq.encode(e, 64)
+    val dir = tmp("prune")
+    try {
+      BinaryStore.write(enc.select($"vec_id", array($"sig").as("sig")), dir)
+      val all = spark.read.parquet(s"$dir/index")
+      val total = all.count()
+      val pruned = PlanMetrics.scannedRows(
+        BinaryStore.probe(spark, dir, Array(Bq.signBitsLocal(q)), k = 10))
+      val control = PlanMetrics.scannedRows(
+        all.filter(col("chunk") >= 0 || col("chunk").isNull))
+      assert(control >= total, s"control should scan all $total rows")
+      // 8 probed substrings × ~N/256 rows each ≈ total/256; allow 8×
+      // slack for value skew on the synthetic corpus
+      assert(pruned <= total / 32,
+        s"(j, chunk) pruning should cut the scan ($pruned of $total rows)")
+      info(s"probe scanned $pruned of $total index rows")
+    } finally rm(dir)
+  }
+}
