@@ -228,6 +228,138 @@ object Opq {
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat))
   }
 
+  /** Full cross-moment M[d][e] = Σ_n x̂_d · x_e over a (x, xh) pair
+    * frame — the Procrustes statistic of the non-parametric step, under
+    * the same exact ×1e4-quantized accumulation as [[secondMoment]]
+    * (d² cells, asymmetric, model-bounded, summation-order-free). */
+  private def crossMoment(pairs: DataFrame, dim: Int): Array[Array[Double]] = {
+    val cells = pairs
+      .select(col("x"), posexplode(col("xh")).as(Seq("d", "hd")))
+      .select(col("d"), col("hd"), posexplode(col("x")).as(Seq("e2", "xe")))
+      .select(col("d"), col("e2"),
+        round(col("hd").cast("double") * col("xe").cast("double") * lit(1e4))
+          .cast("long").as("q"))
+      .groupBy(col("d"), col("e2"))
+      .agg(sum(col("q")).as("sq"))
+      .collect()
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach { r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2) / 1e4 }
+    m
+  }
+
+  /** Orthogonal Procrustes solution R = U Vᵀ for M = Σ x̂ xᵀ (the R
+    * maximizing tr(R Mᵀ), i.e. minimizing Σ‖R x − x̂‖² over orthogonal
+    * R — Schönemann 1966). SVD via the existing Jacobi machinery:
+    * MᵀM = V Σ² Vᵀ (eigenvectors sign-canonicalized, pairs sorted by
+    * eigenvalue descending), U columns = M V Σ⁻¹ — everything a
+    * deterministic driver-side function of M. Null directions (σ below
+    * σ_max·1e-6 — a RANK-DEFICIENT M is not exotic: the correlated
+    * synthetic corpus itself is rank-32 because y_d = y_{d+32} exactly)
+    * get their U columns from a deterministic Gram–Schmidt completion
+    * against the standard basis, so R stays fully orthogonal — the SVD
+    * leaves those columns free, and any orthonormal completion is a
+    * Procrustes optimum. */
+  private[graft] def procrustes(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    val mtm = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < n) { s += m(k)(i) * m(k)(j); k += 1 }
+      s
+    }
+    val (ev, vrows) = jacobiEigen(mtm)
+    val order = (0 until n).sortBy(i => (-ev(i), i))
+    val sigMax = math.sqrt(math.max(ev(order.head), 0.0))
+    val tol = math.max(sigMax * 1e-6, 1e-12)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < n) { s += a(k) * b(k); k += 1 }
+      s
+    }
+    def normalize(a: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(dot(a, a)); a.map(_ / nm)
+    }
+    val uCols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val vCols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val pendingV = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    order.foreach { j =>
+      val v = vrows(j)
+      val sigma = math.sqrt(math.max(ev(j), 0.0))
+      if (sigma > tol) {
+        val u = Array.tabulate(n) { i =>
+          var s = 0.0; var k = 0
+          while (k < n) { s += m(i)(k) * v(k); k += 1 }
+          s / sigma
+        }
+        uCols += normalize(u)
+        vCols += v
+      } else pendingV += v
+    }
+    // complete U deterministically: for each null direction, the first
+    // standard basis vector with a non-trivial residual against the
+    // accepted columns, Gram–Schmidt-orthogonalized and normalized
+    pendingV.foreach { v =>
+      var e = 0
+      var done = false
+      while (!done && e < n) {
+        val cand = Array.tabulate(n)(i => if (i == e) 1.0 else 0.0)
+        uCols.foreach { u => val p = dot(cand, u)
+          var k = 0; while (k < n) { cand(k) -= p * u(k); k += 1 } }
+        if (math.sqrt(dot(cand, cand)) > 0.5) {
+          uCols += normalize(cand)
+          vCols += v
+          done = true
+        } else e += 1
+      }
+      require(done, "procrustes: failed to complete orthonormal basis")
+    }
+    val r = Array.ofDim[Double](n, n)
+    uCols.indices.foreach { j =>
+      val u = uCols(j); val v = vCols(j)
+      var i = 0
+      while (i < n) {
+        var k = 0
+        while (k < n) { r(i)(k) += u(i) * v(k); k += 1 }
+        i += 1
+      }
+    }
+    r
+  }
+
+  /** Non-parametric OPQ refinement (Ge §4.1, ONE alternation — the
+    * measured form of the deliberate skip the parametric trainer
+    * documented): starting from the parametric rotation R₀, train a PQ
+    * codebook on the rotated sample, reconstruct each sample row from
+    * its codes ([[Pq.decodeCol]]), and re-solve the orthogonal R
+    * minimizing Σ‖R x − x̂‖² via [[procrustes]] over the SAME
+    * md5-spread sample. The caller retrains PQ on the refit rotation
+    * (the alternation's other half) — `ann_opq_np_gain` measures the
+    * result against the parametric chain at equal bytes. Rows are
+    * quantized round(·,6) → float; the literal is everything the
+    * engine and oracle ever see (the [[trainRotation]] protocol). */
+  def trainRotationNonParametric(vectors: DataFrame, dim: Int, m: Int,
+      ks: Int, iters: Int = 2, sampleN: Int = 2048,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      init: Seq[Array[Float]] = Seq.empty): Seq[Array[Float]] = {
+    val r0 =
+      if (init.nonEmpty) init
+      else trainRotation(vectors, dim, m, embCol, sampleN, idCol)
+    val sample =
+      if (sampleN <= 0) vectors
+      else vectors
+        .orderBy(md5(col(idCol).cast("string")), col(idCol), col(embCol))
+        .limit(sampleN)
+    val rotSample = rotate(sample, r0, idCol, embCol).localCheckpoint(true)
+    val pq0 = Pq.trainRefined(rotSample, m, ks, iters, idCol, embCol)
+    val raw = sample.select(col(idCol), col(embCol).as("x"))
+    val pairs = rotSample
+      .select(col(idCol),
+        Pq.decodeCol(Pq.encodeCol(col(embCol), pq0), pq0).as("xh"))
+      .join(raw, idCol)
+    val r = procrustes(crossMoment(pairs, dim))
+    r.toSeq.map(row => row.map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat))
+  }
+
   /** Row-local rotated vector: component k = round(R_k · x, 6) → float,
     * with the fold-ordered native dot kernel — bit-identical to
     * [[rotateLocal]] and the oracle's literal-matrix replay. */

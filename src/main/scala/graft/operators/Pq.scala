@@ -206,6 +206,15 @@ object Pq {
       best.getField("code")
     }: _*)
 
+  /** Row-local PQ reconstruction from a codes array — FAISS `decode`:
+    * the concatenation of each subspace's assigned sub-centroid. The
+    * codebook rides as m array literals; two lookups per subspace. */
+  def decodeCol(codes: Column, model: PqModel): Column =
+    concat((0 until model.m).map { s =>
+      element_at(typedlit(model.codebooks(s).map(_.toSeq)),
+        (element_at(codes, s + 1) + 1).cast("int"))
+    }: _*)
+
   /** Vectors → (id, codes): the compressed index. At 100 TB this is the
     * table you persist (8 bytes/vector at m=8); the embedding column
     * never needs to be read again on the search path. */

@@ -172,6 +172,34 @@ object AnnQueries extends QueryPack {
         .orderBy($"variant")
     }),
 
+    // Non-parametric OPQ (Ge §4.1, one alternation) as a measured row —
+    // the deliberate skip at Opq's parametric trainer becomes a claim
+    // either way (VERDICT r10 #6): with the parametric rotation's PQ
+    // codes fixed on the training sample, Procrustes re-solves the
+    // orthogonal R against the reconstructions, PQ retrains on the
+    // refit rotation, and both chains' corpus distortions land side by
+    // side at equal m×ks bytes. Both rotations enter the oracle as
+    // literal matrices (the stash protocol); the Procrustes step itself
+    // is spec-verified (orthonormality, determinism — OpqSpec).
+    "ann_opq_np_gain" -> ((s, dir) => {
+      import s.implicits._
+      val e = AnnQueries.corrFrame(Tables.embeddings(s, dir))
+      val rp = Opq.trainRotation(e, dim = 64, m = 8, sampleN = 256)
+      val rn = Opq.trainRotationNonParametric(e, dim = 64, m = 8, ks = 16,
+        iters = 2, sampleN = 256, init = rp)
+      AnnQueries.opqRotation = rp
+      AnnQueries.opqNpRotation = rn
+      def row(variant: String, rot: Seq[Array[Float]]): DataFrame = {
+        val rotated = Opq.rotate(e, rot)
+        val pq = Pq.trainRefined(rotated, m = 8, ks = 16, iters = 2)
+        rotated.agg(sum(Pq.distortionCol($"embedding", pq))
+            .as("distortion_q"))
+          .select(lit(variant).as("variant"), $"distortion_q")
+      }
+      row("nonparam", rn).unionAll(row("parametric", rp))
+        .orderBy($"variant")
+    }),
+
     // Honesty metric for the approximation: Σ over the 10-query panel
     // of |PQ top-10 ∩ exact top-10| — recall@10 over 100 slots as one
     // integer row. Both engines compute both rankings and intersect, so
@@ -1152,6 +1180,10 @@ object AnnQueries extends QueryPack {
     * (OpqSpec), so any run of the query yields the same literal. */
   @volatile private[queries] var opqRotation: Seq[Array[Float]] = Seq.empty
 
+  /** The non-parametric (Procrustes-refit) rotation stashed by
+    * `ann_opq_np_gain` — same literal protocol as [[opqRotation]]. */
+  @volatile private[queries] var opqNpRotation: Seq[Array[Float]] = Seq.empty
+
   /** The 768-dim derived corpus: block b (0..11) = the base embedding
     * cyclically rotated by 5b positions, negated for odd b — exact
     * permutations + exact IEEE negation, so both engines hold
@@ -1196,28 +1228,43 @@ object AnnQueries extends QueryPack {
     * float is within half a float-ULP of its grid point, far inside
     * the re-round tolerance), so `CAST(… AS REAL)` reproduces the
     * identical float the engine's literal holds. */
-  private def duckRmatCte: String = {
+  private def duckRmatCteNamed(name: String,
+      rot: Seq[Array[Float]]): String = {
     // Stash empty ⇒ the OPQ queries did not run in this process (a
     // GRAFT_ONLY subset): emit a loudly-failing placeholder for THEIR
     // oracle slots only — their parquet dumps are missing too, and the
     // whole-suite dump (the driver's mode) always runs the queries
     // before oracleSql is read.
-    if (opqRotation.isEmpty)
-      return """rmat AS (SELECT * FROM (VALUES (0, CAST([] AS REAL[])))
+    if (rot.isEmpty)
+      return s"""$name AS (SELECT * FROM (VALUES (0, CAST([] AS REAL[])))
                | AS t(k, rrow) WHERE error('opq rotation not stashed'))"""
         .stripMargin
-    val rows = opqRotation.zipWithIndex.map { case (row, k) =>
+    val rows = rot.zipWithIndex.map { case (row, k) =>
       val vals = row.map(f => BigDecimal(f.toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP)
         .underlying().toPlainString)
         .mkString(", ")
       s"($k, CAST([$vals] AS REAL[]))"
     }.mkString(",\n    ")
-    s"""rmat AS (
+    s"""$name AS (
        |  SELECT * FROM (VALUES
        |    $rows) AS t(k, rrow)
        |)""".stripMargin
   }
+
+  private def duckRmatCte: String = duckRmatCteNamed("rmat", opqRotation)
+
+  /** `corr` rotated by the literal matrix CTE `rmatName`, as CTE
+    * `name` — the engine's `Opq.rotateCol` (fold-ordered dot, round-6
+    * → REAL) replayed. */
+  private def duckRotCte(name: String, rmatName: String): String =
+    s"""$name AS (
+       |  SELECT c.vec_id,
+       |    list(CAST(round(${duckDot("c.embedding", "r.rrow")}, 6) AS REAL)
+       |         ORDER BY r.k) AS embedding
+       |  FROM corr c CROSS JOIN $rmatName r
+       |  GROUP BY c.vec_id
+       |)""".stripMargin
 
   /** OPQ oracle chain: correlated corpus → literal-matrix rotation
     * (fold-ordered dot per component, round-6 → REAL — the engine's
@@ -1910,6 +1957,42 @@ object AnnQueries extends QueryPack {
       s"""WITH $duckOpqCtes
          |SELECT vec_id, adc FROM adcso
          |ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+
+    // two literal rotations → two rotated frames → two independent
+    // seed/2×Lloyd/codes chains → one distortion row each
+    "ann_opq_np_gain" -> mat {
+      def chain(tag: String, src: String): String =
+        s"""cbrows$tag AS (
+           |  SELECT rn - 1 AS j, embedding FROM (
+           |    SELECT embedding, row_number() OVER (
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id, embedding) AS rn
+           |    FROM $src
+           |  ) WHERE rn <= 16
+           |), cb${tag}0 AS (
+           |  SELECT sp.s, c.j, list_slice(c.embedding, sp.s*8 + 1, sp.s*8 + 8) AS cent
+           |  FROM subsp sp CROSS JOIN cbrows$tag c
+           |), ${duckPqRefine(1, s"cb${tag}0", src, tag)},
+           |${duckPqRefine(2, s"cb${tag}1", src, tag)},
+           |cbf$tag AS (SELECT * FROM cb${tag}2),
+           |${duckCodes(s"cbf$tag", tag, src)}""".stripMargin
+      s"""WITH $duckCorrCte,
+         |${duckRmatCteNamed("rmatgp", opqRotation)},
+         |${duckRmatCteNamed("rmatgn", opqNpRotation)},
+         |${duckRotCte("rotgp", "rmatgp")},
+         |${duckRotCte("rotgn", "rmatgn")},
+         |subsp AS (
+         |  SELECT CAST(unnest(range(0, 8)) AS INT) AS s
+         |),
+         |${chain("gp", "rotgp")},
+         |${chain("gn", "rotgn")}
+         |SELECT * FROM (
+         |  SELECT 'parametric' AS variant,
+         |    (${duckDistortion("cbfgp", "codesgp", "rotgp")}) AS distortion_q
+         |  UNION ALL
+         |  SELECT 'nonparam' AS variant,
+         |    (${duckDistortion("cbfgn", "codesgn", "rotgn")}) AS distortion_q
+         |) ORDER BY variant""".stripMargin
+    },
 
     "ann_opq_gain" -> mat(
       s"""WITH $duckOpqCtes,

@@ -166,6 +166,37 @@ class OpqSpec extends SparkSpec {
     df.unpersist(false)
   }
 
+  test("non-parametric refit: orthonormal, deterministic, and no worse than parametric") {
+    val df = corr(1500, 64, 63).toDF("vec_id", "embedding").persist()
+    val rp = Opq.trainRotation(df, dim = 64, m = 8, sampleN = 512)
+    val rn = Opq.trainRotationNonParametric(df, dim = 64, m = 8, ks = 16,
+      iters = 2, sampleN = 512, init = rp)
+    // Procrustes R = U Vᵀ is orthogonal up to the round-6 quantization
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(k => rn(i)(k).toDouble * rn(j)(k)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-3, s"row $i · row $j = $dot")
+    }
+    // deterministic function of the data, not the partitioning
+    val rn2 = Opq.trainRotationNonParametric(df.repartition(7), dim = 64,
+      m = 8, ks = 16, iters = 2, sampleN = 512, init = rp)
+    assert(rn.map(_.toSeq) === rn2.map(_.toSeq))
+    // the alternation's point: equal-byte distortion at or below the
+    // parametric chain's (small slack — the refit optimizes the sample,
+    // the measure is the full corpus)
+    def dist(rot: Seq[Array[Float]]): Long = {
+      val r = Opq.rotate(df, rot)
+      val pq = Pq.trainRefined(r, m = 8, ks = 16, iters = 2)
+      r.agg(sum(Pq.distortionCol($"embedding", pq))).head.getLong(0)
+    }
+    val dP = dist(rp)
+    val dN = dist(rn)
+    info(s"distortion_q: parametric=$dP nonparam=$dN")
+    assert(dN <= (dP * 1.02).toLong,
+      s"non-parametric distortion $dN above parametric $dP")
+    df.unpersist(false)
+  }
+
   test("OPQ beats plain PQ distortion at equal m×ks on a correlated corpus") {
     val df = corr(600, 64, 57).toDF("vec_id", "embedding")
     val pq = Pq.trainRefined(df, m = 8, ks = 16, iters = 2)
