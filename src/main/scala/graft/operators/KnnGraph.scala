@@ -331,7 +331,21 @@ object KnnGraph {
     * (left-anti + union, no recompute). Returns the updated edge frame
     * over corpus ∪ batch. `vectors` is the EXISTING corpus (not
     * including the batch); `seeds` = (qid, cand) graph entry points per
-    * new vector (the [[beamSearch]] seed contract). */
+    * new vector (the [[beamSearch]] seed contract).
+    *
+    * Sustained-ingest contract: land batches through
+    * [[graft.sources.GraphStore.writeBatch]] ([[insertBatchDelta]])
+    * rather than folding g → insertBatch → localCheckpoint → g
+    * in memory for many generations. A checkpoint carries the plan's
+    * ESTIMATED sizeInBytes into its LogicalRDD, and the repair tree's
+    * nested joins multiply that estimate every generation (Catalyst's
+    * size-only visitor takes the product over join children) — the
+    * estimate's bit-length doubles per fold until stats arithmetic
+    * itself stalls (observed at ~12–14 generations: minutes inside
+    * BigInt multiply during Dataset.checkpoint). A store roundtrip
+    * re-grounds stats in real file sizes each batch; short folds
+    * (streaming micro-batch tests, a handful of generations) are
+    * fine. */
   def insertBatch(vectors: DataFrame, graph: DataFrame, newVectors: DataFrame,
       seeds: DataFrame, m: Int, beam: Int = 12, hops: Int = 4,
       maxDegree: Int = 8,
@@ -409,6 +423,30 @@ object KnnGraph {
       .select(col("u").as(idCol), explode(col("nbrs")).as("h"))
       .select(col(idCol), col("h.id").as("nbr_id"))
     (touched, repaired.unionByName(newEdges).distinct())
+  }
+
+  /** Periodic re-descent maintenance for an incrementally grown search
+    * graph (the compaction-analog for the graph index): one NN-Descent
+    * round over the current edges re-unioned with fresh md5-ring long
+    * links over the CURRENT corpus, ring re-unioned on the output — the
+    * tail of [[buildSearchGraph]] applied to live state instead of a
+    * from-scratch rebuild. Repairs two slow erosion channels of
+    * sustained [[insertBatch]] ingest: touched-node capacity prunes
+    * dropping ring long links, and new nodes never being re-ranked
+    * against later arrivals. Cost = one descent round (N·(2m + m²)
+    * candidates), ~1/(rounds+blocking) of a rebuild; run it on the
+    * [[graft.sources.GraphStore]] compaction cadence. Erosion is slow —
+    * ProfileGraph's erosion row holds recall within noise of a rebuild
+    * over 20 sequential batches (2.7× corpus growth) — so this is a
+    * long-horizon maintenance op, not a per-batch one. */
+  def redescend(vectors: DataFrame, graph: DataFrame, m: Int, ringM: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val ring = ringInit(vectors, ringM, idCol).coalesce(1).localCheckpoint(true)
+    nnDescentRound(vectors,
+        graph.select(col(idCol), col("nbr_id")).unionByName(ring),
+        m, idCol, embCol)
+      .select(col(idCol), col("nbr_id"))
+      .unionByName(ring).distinct()
   }
 
   /** Batched HNSW insert across the WHOLE level stack (Malkov &

@@ -19,6 +19,7 @@ object ProfileGraph {
     import spark.implicits._
     if (args.headOption.contains("insert")) { insertProfile(spark); spark.stop(); return }
     if (args.headOption.contains("hier")) { hierProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("erosion")) { erosionProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
@@ -174,6 +175,110 @@ object ProfileGraph {
     * batch² intra + touched·maxDeg repair) and the touched-node count
     * must stay flat while N grows — the o(N) incremental-maintenance
     * claim of KnnGraph.insertBatch. */
+  /** Round-11 evidence row (VERDICT r10 #7): does sustained insertBatch
+    * ingest erode the graph? Base on the first 300 vectors, then 20
+    * sequential 10-vector batches (corpus ends 2.7× the base). At
+    * checkpoints: panel recall of the incrementally grown graph vs a
+    * from-scratch rebuild on the SAME corpus, survival of the base's
+    * ring long links, and at the end the effect of one
+    * KnnGraph.redescend maintenance round.
+    *
+    * Batches land through GraphStore (writeBatch delta → read), which
+    * is both the production ingest shape AND load-bearing here: a pure
+    * in-memory fold g → insertBatch → localCheckpoint → g stalls after
+    * ~12 generations, because LogicalRDD carries the checkpointed
+    * plan's ESTIMATED sizeInBytes forward and the repair tree's nested
+    * joins multiply it each round (SizeInBytesOnlyStatsPlanVisitor
+    * takes the product over join children) — the estimate's bit-length
+    * doubles per generation until stats arithmetic itself runs for
+    * minutes (observed: batch ~14 stuck in BigInt Toom–Cook inside
+    * Dataset.checkpoint). A store roundtrip re-grounds stats in real
+    * file sizes every batch; this is documented on insertBatch. */
+  private def erosionProfile(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Pq
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"embedding").persist()
+    val base = all.filter($"vec_id" < 300)
+    val store = java.nio.file.Files.createTempDirectory("graft-erosion").toString
+    val g0 = KnnGraph.buildSearchGraph(base, m = 6, ringM = 2, rounds = 3)
+    graft.sources.GraphStore.write(Seq(g0), store, buckets = 8)
+    var g = graft.sources.GraphStore.read(spark, store).persist()
+    g.count()
+    val baseRing = KnnGraph.ringInit(base, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Ann.collectCentroids(Ann.seedCentroids(base, 8))
+    val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+    val qRows = all.filter($"vec_id".isin(panelIds: _*))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qs = qRows.map { case (id, _) => id }.toSeq
+      .toDF("qid").join(all.select($"vec_id".as("qid"), $"embedding".as("qv")), "qid")
+    val seeds = qRows.flatMap { case (qid, qv) =>
+      cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+        .sorted.take(2).map { case (_, cid) => (qid, cid) }
+    }.toSeq.toDF("qid", "cand")
+    def recallOf(graph: org.apache.spark.sql.DataFrame, cap: Long): Long = {
+      val corpusRows = all.filter($"vec_id" < cap)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val exact10 = qRows.flatMap { case (qid, qv) =>
+        corpusRows.map { case (id, v) => (Pq.l2sqLocal(qv, v), id) }
+          .sortBy(identity).take(10).map { case (_, id) => (qid, id) }
+      }.toSet
+      KnnGraph.beamSearch(all.filter($"vec_id" < cap), graph, qs, seeds,
+          beam = 12, hops = 4, k = 10)
+        .select($"qid", $"vec_id").collect()
+        .count(r => exact10((r.getLong(0), r.getLong(1))))
+    }
+    (0 until 20).foreach { i =>
+      val cap = 310L + 10 * i
+      val corpus = all.filter($"vec_id" < cap - 10)
+      val batch = all.filter($"vec_id" >= cap - 10 && $"vec_id" < cap)
+      val bseeds = batch.select($"vec_id", $"embedding").collect().toSeq
+        .flatMap { r =>
+          val qv = r.getSeq[Float](1).toArray
+          cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+            .sorted.take(2).map { case (_, cid) => (r.getLong(0), cid) }
+        }.toDF("qid", "cand")
+      val delta = KnnGraph.insertBatchDelta(corpus, g, batch, bseeds, m = 6,
+        beam = 12, hops = 4, maxDegree = 8)
+      graft.sources.GraphStore.writeBatch(delta, store, batchId = i)
+      g.unpersist(false)
+      g = graft.sources.GraphStore.read(spark, store).persist()
+      g.count()
+      // mid-soak compaction — the maintenance cadence the store
+      // documents (also keeps the 20-generation resolution cheap)
+      if (i == 9) {
+        graft.sources.GraphStore.compact(spark, store)
+        g.unpersist(false)
+        g = graft.sources.GraphStore.read(spark, store).persist()
+        g.count()
+      }
+      if (i % 5 == 4) {
+        val rebuilt = KnnGraph
+          .buildSearchGraph(all.filter($"vec_id" < cap), m = 6, ringM = 2,
+            rounds = 3).persist()
+        val rInc = recallOf(g, cap)
+        val rReb = recallOf(rebuilt, cap)
+        val ringLeft = g.collect().map(r => (r.getLong(0), r.getLong(1)))
+          .count(baseRing)
+        println(f"batches=${i + 1}%2d N=$cap%4d: recall inc=$rInc%3d " +
+          f"rebuild=$rReb%3d ringSurvival=$ringLeft%3d/${baseRing.size}")
+        rebuilt.unpersist(false)
+      }
+      if (i == 19) {
+        val rd = KnnGraph.redescend(all.filter($"vec_id" < cap), g, m = 6,
+          ringM = 2).persist()
+        rd.count()
+        println(f"after redescend: recall=${recallOf(rd, cap)}%3d")
+        rd.unpersist(false)
+      }
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+  }
+
   private def insertProfile(spark: SparkSession): Unit = {
     import spark.implicits._
     import graft.operators.Pq
