@@ -140,6 +140,60 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendStream: streamed deltas land in the store ≡ sequential fold; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = e.filter($"vec_id" % 7 < 5)
+    val streamedRows = e.filter($"vec_id" % 7 >= 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val chunks = streamedRows
+      .grouped(math.max(1, streamedRows.length / 3 + 1)).toSeq
+    val g0 = KnnGraph.buildSearchGraph(base, m = 4, ringM = 2, rounds = 2)
+      .coalesce(1).localCheckpoint(true)
+    val dir = tmp("stream")
+    val ckpt = tmp("stream-ckpt")
+    try {
+      GraphStore.write(Seq(g0), dir, buckets = 8)
+      GraphStore.writeCorpus(base, dir)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = GraphStore.appendStream(
+        mem.toDF().toDF("vec_id", "embedding"), dir, ckpt, m = 4)
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // batch fold over identical splits with the stream's seed rule
+      // (md5-first 4 of the pre-batch corpus)
+      var corpusB = base
+      var gB = g0
+      chunks.foreach { c =>
+        val b = c.toSeq.toDF("vec_id", "embedding")
+        val seedFrame = corpusB
+          .orderBy(md5($"vec_id".cast("string")), $"vec_id")
+          .limit(4).select($"vec_id".as("cand"))
+        val seeds = b.select($"vec_id".as("qid")).crossJoin(broadcast(seedFrame))
+        gB = KnnGraph.insertBatch(corpusB, gB, b, seeds, m = 4)
+          .coalesce(1).localCheckpoint(true)
+        corpusB = corpusB.unionByName(b).localCheckpoint(true)
+      }
+      val expected = edgeSet(gB)
+      assert(edgeSet(GraphStore.read(spark, dir)) === expected,
+        "streamed store state diverged from the batch fold")
+      // the store corpus caught up too
+      assert(GraphStore.readCorpus(spark, dir).count() ===
+        base.count() + streamedRows.length)
+      // failure replay of the LAST batch: re-applying the same batch id
+      // re-derives the identical delta from pre-batch state and
+      // overwrites itself — store unchanged
+      val lastId = chunks.length - 1L
+      val lastBatch = chunks.last.toSeq.toDF("vec_id", "embedding")
+      GraphStore.applyStreamBatch(lastBatch, dir, lastId, m = 4, beam = 12,
+        hops = 4, maxDegree = 8, seedN = 4, "vec_id", "embedding")
+      assert(edgeSet(GraphStore.read(spark, dir)) === expected,
+        "batch replay changed the store")
+    } finally { rm(dir); rm(ckpt) }
+  }
+
   test("writeBatch entry takeover: a higher-level batch node becomes the descent entry") {
     val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
       maxLevel = 1)
