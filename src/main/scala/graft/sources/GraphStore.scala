@@ -313,6 +313,65 @@ object GraphStore {
       .outputMode("append")
       .start()
 
+  /** Pre-batch layer stack for a streaming hier batch. */
+  private def layersExcluding(spark: SparkSession, path: String,
+      batchId: Long, maxLevel: Int): Seq[DataFrame] =
+    (0 to maxLevel).map { l =>
+      resolveLatest(spark.read.parquet(s"$path/edges")
+        .filter(col("level") === l && col("batch_id") =!= batchId))
+    }
+
+  /** [[applyStreamBatch]] for a hierarchical store: the batch inserts
+    * into EVERY layer its members' level draws reach
+    * ([[KnnGraph.insertBatchHierDelta]] — the walked-handoff routing
+    * derives its own md5-first entry seeds from the pre-batch corpus),
+    * and the level-tagged delta lands under the batch's partitions.
+    * Same exactly-once contract: pre-batch reads exclude the batch's
+    * own partitions. */
+  private[graft] def applyStreamBatchHier(batch: DataFrame, path: String,
+      batchId: Long, m: Int, beam: Int, hops: Int, maxDegree: Int,
+      upperBeam: Int, upperHops: Int, handoff: Int, seedN: Int,
+      idCol: String, embCol: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("embedding"))
+      .localCheckpoint(true)
+    if (b.head(1).nonEmpty) {
+      val corpus = corpusExcluding(spark, path, batchId)
+      val maxLevel = statsHead(spark, path).getLong(2).toInt
+      val layers = layersExcluding(spark, path, batchId, maxLevel)
+      val delta = KnnGraph.insertBatchHierDelta(corpus, layers, b, m,
+        beam, hops, maxDegree, upperBeam, upperHops, handoff, seedN,
+        "vec_id", "embedding")
+      writeBatch(delta, path, batchId, "vec_id")
+      b.withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/vectors")
+    }
+  }
+
+  /** [[appendStream]] for a hierarchical store: streamed vectors join
+    * every layer up to their md5 level draw, so the routing stack keeps
+    * pace with the corpus under sustained ingest (the r10 missing-#2
+    * fix, streaming form). Build with [[write]] (the full
+    * [[KnnGraph.buildHierGraph]] stack) + [[writeCorpus]] first. */
+  def appendStreamHier(vectorStream: DataFrame, path: String,
+      checkpoint: String, m: Int, beam: Int = 12, hops: Int = 4,
+      maxDegree: Int = 8, upperBeam: Int = 4, upperHops: Int = 6,
+      handoff: Int = 4, seedN: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamBatchHier(batch, path, batchId, m, beam, hops,
+          maxDegree, upperBeam, upperHops, handoff, seedN, idCol, embCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Store-backed hierarchical search — [[KnnGraph.hierSearch]] with
     * the layer frames read from the store and the entry taken from
     * stats metadata (no per-query entry-derivation job, no rebuild):

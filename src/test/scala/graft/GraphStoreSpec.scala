@@ -194,6 +194,54 @@ class GraphStoreSpec extends SparkSpec {
     } finally { rm(dir); rm(ckpt) }
   }
 
+  test("appendStreamHier: streamed level-stack deltas ≡ sequential insertBatchHier fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = e.filter($"vec_id" % 7 < 5)
+    val streamedRows = e.filter($"vec_id" % 7 >= 5)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val chunks = streamedRows
+      .grouped(math.max(1, streamedRows.length / 3 + 1)).toSeq
+    val layers0 = KnnGraph.buildHierGraph(base, m = 4, ringM = 2,
+      rounds = 2, maxLevel = 1).map(_.coalesce(1).localCheckpoint(true))
+    val dir = tmp("hstream")
+    val ckpt = tmp("hstream-ckpt")
+    try {
+      GraphStore.write(layers0, dir, buckets = 8)
+      GraphStore.writeCorpus(base, dir)
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = GraphStore.appendStreamHier(
+        mem.toDF().toDF("vec_id", "embedding"), dir, ckpt, m = 4)
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // sequential hier fold over identical splits (3 generations —
+      // inside the in-memory fold contract)
+      var corpusB = base
+      var layersB = layers0
+      chunks.foreach { c =>
+        val b = c.toSeq.toDF("vec_id", "embedding")
+        layersB = KnnGraph.insertBatchHier(corpusB, layersB, b, m = 4)
+          .map(_.coalesce(1).localCheckpoint(true))
+        corpusB = corpusB.unionByName(b).localCheckpoint(true)
+      }
+      (0 to 1).foreach { l =>
+        assert(edgeSet(GraphStore.read(spark, dir, l)) ===
+          edgeSet(layersB(l)),
+          s"streamed layer $l diverged from the sequential hier fold")
+      }
+      // every streamed level>=1 vector is now a layer-1 source
+      val lvl1Streamed = streamedRows.map(_._1)
+        .filter(id => spark.range(1).select(
+          KnnGraph.levelCol(lit(id)) >= 1).head.getBoolean(0)).toSet
+      val l1src = GraphStore.read(spark, dir, 1)
+        .select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(lvl1Streamed.subsetOf(l1src),
+        s"streamed upper-level nodes missing from layer 1: ${lvl1Streamed -- l1src}")
+    } finally { rm(dir); rm(ckpt) }
+  }
+
   test("writeBatch entry takeover: a higher-level batch node becomes the descent entry") {
     val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
       maxLevel = 1)
