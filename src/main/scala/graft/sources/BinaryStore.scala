@@ -94,4 +94,61 @@ object BinaryStore {
         Bq.hammingWordsCol(col("sig"), querySig).as("hamming"))
       .orderBy(col("hamming"), col(idCol)).limit(k)
   }
+
+  /** Batch MIH from the store — [[Bq.mihBatchTopKWide]] answered from
+    * the persisted index: the batch's substring values collapse to one
+    * distinct (j, chunk) set (bounded by queries × substrings — a
+    * serving batch, collected once), whose disjunction prunes the scan
+    * to the UNION of all queries' partitions; candidates then match by
+    * the (j, chunk) equi-join against the broadcast query substrings,
+    * collapse per (query, id), and alone get the per-word Hamming +
+    * BottomK top-k. Result ≡ the scan form on the same signatures
+    * (BinaryStoreSpec). */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, idCol: String = "vec_id", queryIdCol: String = "query_id",
+      querySigCol: String = "qsig"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val st = spark.read.parquet(s"$path/stats").head
+    val nWords = st.getAs[Long]("words").toInt
+    val chunkBits = st.getAs[Long]("chunk_bits").toInt
+    val perWord = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1L
+    def chunksOf(sig: org.apache.spark.sql.Column) =
+      array((0 until nWords * perWord).map { j =>
+        val w = j / perWord
+        val off = chunkBits * (j % perWord)
+        struct(lit(j).as("j"),
+          shiftright(element_at(sig, w + 1), off)
+            .bitwiseAND(lit(mask)).as("chunk"))
+      }: _*)
+    val probes = queries
+      .select(col(queryIdCol), col(querySigCol),
+        explode(chunksOf(col(querySigCol))).as("c"))
+      .select(col(queryIdCol), col(querySigCol),
+        col("c.j").as("j"), col("c.chunk").as("chunk"))
+      .localCheckpoint(true)
+    val pairs = probes.select(col("j"), col("chunk")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    require(pairs.nonEmpty, "empty query batch")
+    val pruned = spark.read.parquet(s"$path/index")
+      .filter(pairs.map { case (j, c) =>
+        col("j") === lit(j) && col("chunk") === lit(c)
+      }.reduce(_ || _))
+    pruned.join(broadcast(probes), Seq("j", "chunk"))
+      .groupBy(col(queryIdCol), col("vec_id"))
+      .agg(max(col("sig")).as("sig"), max(col(querySigCol)).as("qs"))
+      .select(col(queryIdCol), col("vec_id"),
+        aggregate(
+          zip_with(col("sig"), col("qs"), (a, b) =>
+            bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hamming"))
+      .groupBy(col(queryIdCol))
+      .agg(graft.expressions.BottomK.bottomK(
+        col("hamming").cast("double"), col("vec_id"), k).as("topk"))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol),
+        col("col.id").as(idCol),
+        col("col.distance").cast("long").as("hamming"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

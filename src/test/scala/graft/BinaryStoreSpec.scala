@@ -55,6 +55,34 @@ class BinaryStoreSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("probeBatch ≡ mihBatchTopKWide; batch scan prunes to the queries' partition union") {
+    val wide = e.select($"vec_id",
+      concat($"embedding", transform($"embedding", x => -x),
+        reverse($"embedding")).as("embedding"))
+    val enc = Bq.encodeWide(wide, 192)
+    val qs = enc.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"sig".as("qsig"))
+    val scan = Bq.mihBatchTopKWide(enc, qs, k = 5, nWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val dir = tmp("batch")
+    try {
+      BinaryStore.write(enc, dir)
+      val stored = BinaryStore.probeBatch(spark, dir, qs, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(stored === scan, "batch store probe drifted from scan-form MIH")
+      // pruning: 4 queries × 24 substrings ≤ 96 of 24×256 partitions
+      val all = spark.read.parquet(s"$dir/index")
+      val total = all.count()
+      val pruned = PlanMetrics.scannedRows(
+        BinaryStore.probeBatch(spark, dir, qs, k = 5))
+      assert(pruned <= total / 8,
+        s"batch probe should prune ($pruned of $total rows)")
+      info(s"batch probe scanned $pruned of $total index rows")
+    } finally rm(dir)
+  }
+
   test("probe is a point lookup: reads ~matchRate·N rows, not the index") {
     val q = e.filter($"vec_id" === 0L).select($"embedding")
       .head.getSeq[Float](0).toArray
