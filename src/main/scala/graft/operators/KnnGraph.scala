@@ -183,10 +183,31 @@ object KnnGraph {
   def beamSearch(vectors: DataFrame, graph: DataFrame, queries: DataFrame,
       seeds: DataFrame, beam: Int, hops: Int, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val g = graph.select(col(idCol).as("cand"), col("nbr_id"))
+    beamSearchExpand(vectors, queries, seeds, beam, hops, k,
+      // the graph is the big side — the (queries × beam)-row frontier
+      // carries the broadcast hint
+      frontier => g.join(broadcast(frontier), "cand")
+        .select(col("qid"), col("nbr_id").as("cand")),
+      idCol, embCol)
+  }
+
+  /** [[beamSearch]] with a pluggable per-hop EXPANSION — the hook a
+    * persisted index needs: the in-memory walk expands by joining the
+    * whole edge frame ([[beamSearch]]'s closure), while a store-backed
+    * serving walk fetches ONLY the frontier's adjacency lists
+    * ([[graft.sources.GraphStore.hierSearchPointLookup]] — a pruned
+    * point lookup per hop instead of an index scan). `expand` maps a
+    * (qid, cand) frontier to its (qid, cand) neighbor rows; everything
+    * else (re-rank, pinning, ties, final top-k) is shared, so the two
+    * paths are value-identical by construction. */
+  def beamSearchExpand(vectors: DataFrame, queries: DataFrame,
+      seeds: DataFrame, beam: Int, hops: Int, k: Int,
+      expand: DataFrame => DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(beam > 0 && hops >= 0 && k > 0, "beam/hops/k must be positive")
     import graft.expressions.BottomK.bottomK
     val e = vectors.select(col(idCol).as("cand"), col(embCol).as("ce"))
-    val g = graph.select(col(idCol).as("cand"), col("nbr_id"))
     // (qid, cand) -> per-qid best `width` as (qid, cand, d)
     def rerank(pool: DataFrame, width: Int): DataFrame =
       pool.distinct()
@@ -208,10 +229,7 @@ object KnnGraph {
     def pin(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
     var frontier = pin(rerank(seeds.select(col("qid"), col("cand")), beam))
     (1 to hops).foreach { _ =>
-      // the graph is the big side — the (queries × beam)-row frontier
-      // carries the broadcast hint
-      val expanded = g.join(broadcast(frontier), "cand")
-        .select(col("qid"), col("nbr_id").as("cand"))
+      val expanded = expand(frontier)
       frontier = pin(rerank(frontier.select(col("qid"), col("cand"))
         .union(expanded), beam))
     }

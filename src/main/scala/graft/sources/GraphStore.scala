@@ -396,6 +396,41 @@ object GraphStore {
       beam, hops, k, idCol, embCol)
   }
 
+  /** The SERVING walk: [[hierSearch]] with the layer-0 expansion
+    * fetching ONLY the frontier's adjacency lists via [[neighborsOf]]
+    * — per hop, the walk collects its ≤ queries×beam frontier ids (a
+    * bounded driver hop, the point-lookup trade) and reads just their
+    * bucket partitions, instead of joining the whole layer-0 edge
+    * frame. At 100 TB layer 0 IS the index — this is the path where
+    * the store's layout pays; the upper routing layers are a geometric
+    * tail and read whole as before. Value-identical to [[hierSearch]]
+    * by construction ([[KnnGraph.beamSearchExpand]] shares every other
+    * stage); GraphStoreSpec pins it. */
+  def hierSearchPointLookup(spark: SparkSession, path: String,
+      vectors: DataFrame, queries: DataFrame, beam: Int, hops: Int, k: Int,
+      upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val st = statsHead(spark, path)
+    val entryLevel = st.getLong(3).toInt
+    val entryId = st.getLong(4)
+    var seeds = queries.select(col("qid"), lit(entryId).as("cand"))
+    (entryLevel to 1 by -1).foreach { l =>
+      seeds = KnnGraph.beamSearch(vectors, read(spark, path, l), queries,
+          seeds, upperBeam, upperHops, k = handoff, idCol, embCol)
+        .select(col("qid"), col(idCol).as("cand"))
+    }
+    KnnGraph.beamSearchExpand(vectors, queries, seeds, beam, hops, k,
+      frontier => {
+        val ids = frontier.select(col("cand")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        neighborsOf(spark, path, ids)
+          .join(broadcast(frontier),
+            col("vec_id") === frontier("cand"))
+          .select(frontier("qid"), col("nbr_id").as("cand"))
+      },
+      idCol, embCol)
+  }
+
   /** Fold every batch partition into the single `batch_id=-1` build
     * layout: latest-batch-wins applied once at rest per level, files
     * re-sorted by (vec_id, nbr_id) per bucket, stats collapsed to one

@@ -44,6 +44,12 @@ class GraphStoreSpec extends SparkSpec {
           beam = 8, hops = 3, k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
       assert(stored === mem, "store-backed search drifted from in-memory")
+      // the SERVING walk (layer-0 expansion = per-hop point lookups of
+      // the frontier's buckets only) is value-identical too
+      val served = GraphStore.hierSearchPointLookup(spark, dir, e, qs,
+          beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(served === mem, "point-lookup serving walk drifted")
       // entry metadata matches the in-memory derivation: md5-first node
       // of the highest non-empty layer
       val st = GraphStore.statsHead(spark, dir)
