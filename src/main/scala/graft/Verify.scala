@@ -37,10 +37,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // don't leak persisted frames OR dead localCheckpoint blocks —
-        // scoped to RDDs this query created
+        // scoped to RDDs this query created, minus the session index
+        // manager's live pins (shared across queries by design)
         spark.catalog.clearCache()
+        val keep = graft.util.IndexCache.pinnedRddIds
         spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => !persistedBefore.contains(id) }
+          .filter { case (id, _) =>
+            !persistedBefore.contains(id) && !keep.contains(id) }
           .values.foreach(_.unpersist(false))
       }
     }

@@ -144,6 +144,24 @@ object KnnGraph {
       rounds: Int = 2, targetBlock: Int = 64,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
+    // The build is a pure, deterministic, partitioning-invariant
+    // function of ((id, embedding) input, params) — the session index
+    // manager memoizes it, the way the reference serves every query
+    // from one loaded shard instead of rebuilding per request
+    // (vector_shard.cc:34-43). Keyed on the PROJECTED input plan so an
+    // extra carried column never defeats sharing.
+    graft.util.IndexCache.frame(vectors.select(col(idCol), col(embCol)),
+        Seq("searchGraph", m, ringM, rounds, targetBlock, idCol, embCol)) {
+      buildSearchGraphUncached(vectors, m, ringM, rounds, targetBlock,
+        idCol, embCol)
+    }
+  }
+
+  /** The always-build form of [[buildSearchGraph]] (profiling
+    * harnesses that measure build cost call this directly). */
+  private[graft] def buildSearchGraphUncached(vectors: DataFrame, m: Int,
+      ringM: Int, rounds: Int, targetBlock: Int,
+      idCol: String, embCol: String): DataFrame = {
     // each round reads its input three ways (edges, reversed, 2-hop
     // self-join): localCheckpoint per round — persist alone truncates
     // RECOMPUTE but not the LOGICAL plan, which grows 3^rounds across

@@ -1,0 +1,103 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped, content-addressed memo of deterministic index
+  * builds — the engine's index manager.
+  *
+  * The reference loads every index file once at startup and serves
+  * every query from that in-memory structure
+  * (`src/index/vector_shard.cc:34-43`); nothing in its serving path
+  * rebuilds an index per query. The Spark analog: an index BUILD
+  * (`KnnGraph.buildSearchGraph`, a quantizer training) is a pure
+  * function of (input plan, build parameters) — every build in this
+  * engine is deterministic and partitioning-invariant by contract (the
+  * cpu32-vs-cpu4 gate) — so two queries in one session requesting the
+  * identical build may share one materialization exactly as two
+  * requests against the reference share one loaded shard. Results are
+  * bit-identical to a fresh build by that determinism; the cache
+  * changes WHEN a build runs, never what any query returns.
+  *
+  * Key = md5 of the input's canonicalized analyzed plan (file
+  * locations, filters, projections all participate — sf0.01 and
+  * sf0.1, or two different id-subsets of one table, never collide) +
+  * the build's own parameters + the owning session's identity (a
+  * frame checkpointed in a dead session must never be served to a new
+  * one — restart means rebuild or reopen from a persisted store, the
+  * [[graft.sources.GraphStore]] path).
+  *
+  * Bounded: at `MaxEntries` the map is cleared wholesale — entries
+  * hold localCheckpointed frames whose blocks the ContextCleaner
+  * reclaims once unreferenced. `enabled = false` restores
+  * build-per-call for harnesses that measure build cost itself
+  * (ProfileGraph timings).
+  */
+object IndexCache {
+  @volatile var enabled: Boolean = true
+  private[graft] val MaxEntries = 64
+  private val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val values = scala.collection.concurrent.TrieMap.empty[String, Any]
+  // observability for specs: how many builds actually ran
+  private val missCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def misses: Long = missCounter.get()
+
+  /** RDD ids of the cache's pinned materializations. Harnesses that
+    * drop pass-created blocks between queries (Bench/Verify — the
+    * "callers own block cleanup" convention) must EXCLUDE these: the
+    * cache owns its blocks across queries; unpersisting them under a
+    * live entry turns the next hit into a dead-checkpoint read. */
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  def pinnedRddIds: Set[Int] = {
+    val it = pinned.iterator(); val b = Set.newBuilder[Int]
+    while (it.hasNext) b += it.next(); b.result()
+  }
+
+  def clear(): Unit = { frames.clear(); values.clear(); pinned.clear() }
+
+  private def key(input: DataFrame, params: Seq[Any]): String = {
+    val plan = input.queryExecution.analyzed.canonicalized.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planHash = md.digest(plan.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val session = System.identityHashCode(input.sparkSession).toString
+    (session +: planHash +: params).mkString("|")
+  }
+
+  /** Memoized frame build: returns the cached materialization for
+    * (input, params) or runs `build`, pins it (eager localCheckpoint —
+    * the pin is what makes the SECOND consumer a plain RDD scan instead
+    * of a plan re-execution), and caches it. The pin keeps the build's
+    * OWN partitioning: an index edge frame is O(N·m) — corpus-scaled,
+    * not model-sized — so collapsing it to one partition would be a
+    * scale cliff; at cluster scale the blocks stay spread across
+    * executors exactly like the build output they snapshot. */
+  def frame(input: DataFrame, params: Seq[Any])(build: => DataFrame): DataFrame = {
+    if (!enabled) return build
+    if (frames.size >= MaxEntries) clear()
+    frames.getOrElseUpdate(key(input, params), {
+      missCounter.incrementAndGet()
+      // force the body first (its own intra-build pins run here and
+      // remain pass-scoped garbage), then snapshot-diff the persistent
+      // set around the FINAL pin so `pinned` records exactly the
+      // entry's own checkpoint blocks
+      val built = build
+      val sc = input.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = built.localCheckpoint(true)
+      (sc.getPersistentRDDs.keySet -- before).foreach(pinned.add(_))
+      out
+    })
+  }
+
+  /** Memoized driver-side value (a trained model, a collected centroid
+    * table) derived deterministically from (input, params). */
+  def value[T](input: DataFrame, params: Seq[Any])(compute: => T): T = {
+    if (!enabled) return compute
+    if (values.size >= MaxEntries) clear()
+    values.getOrElseUpdate(key(input, params), {
+      missCounter.incrementAndGet()
+      compute.asInstanceOf[Any]
+    }).asInstanceOf[T]
+  }
+}

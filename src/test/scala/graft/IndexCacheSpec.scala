@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KnnGraph
+import graft.sources.Tables
+import graft.util.IndexCache
+
+/** The session index manager: identical deterministic builds share one
+  * materialization (the reference's one-loaded-shard-many-queries
+  * serving shape, vector_shard.cc:34-43), distinct inputs or params
+  * never collide, and the cached frame is value-identical to a fresh
+  * build. */
+class IndexCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = Tables.embeddings(spark, sf)
+
+  private def edges(df: org.apache.spark.sql.DataFrame) =
+    df.select($"vec_id", $"nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("identical build requests share one materialization, value-identical to uncached") {
+    IndexCache.clear()
+    val m0 = IndexCache.misses
+    val g1 = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 2)
+    val g2 = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 2)
+    assert(IndexCache.misses === m0 + 1, "second identical build must be a cache hit")
+    val fresh = KnnGraph.buildSearchGraphUncached(e, m = 4, ringM = 2,
+      rounds = 2, targetBlock = 64, idCol = "vec_id", embCol = "embedding")
+    assert(edges(g1) === edges(fresh), "cached build drifted from a fresh build")
+    assert(edges(g2) === edges(g1))
+  }
+
+  test("projection keying: a carried extra column does not defeat sharing; different subsets/params do") {
+    IndexCache.clear()
+    val m0 = IndexCache.misses
+    KnnGraph.buildSearchGraph(e.select($"vec_id", $"embedding"), m = 4,
+      ringM = 2, rounds = 1)
+    // same rows, extra label column carried: same (id, embedding) plan
+    KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    assert(IndexCache.misses === m0 + 1, "projection keying must share across carried columns")
+    // a different id-subset is a different index
+    KnnGraph.buildSearchGraph(e.filter($"vec_id" % 2 === 0), m = 4,
+      ringM = 2, rounds = 1)
+    assert(IndexCache.misses === m0 + 2)
+    // different params are a different index
+    KnnGraph.buildSearchGraph(e, m = 5, ringM = 2, rounds = 1)
+    assert(IndexCache.misses === m0 + 3)
+  }
+
+  test("hier layers ride the same cache: layer 0 of buildHierGraph == the flat build") {
+    IndexCache.clear()
+    val m0 = IndexCache.misses
+    val flat = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 2)
+    val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
+      maxLevel = 1)
+    // layer 0 is the identical request — only layer 1's build misses
+    assert(IndexCache.misses === m0 + 2)
+    assert(edges(layers.head) === edges(flat))
+  }
+
+  test("disabled cache builds per call") {
+    IndexCache.clear()
+    IndexCache.enabled = false
+    try {
+      val m0 = IndexCache.misses
+      KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+      KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+      assert(IndexCache.misses === m0, "disabled cache must not record entries")
+    } finally IndexCache.enabled = true
+  }
+}

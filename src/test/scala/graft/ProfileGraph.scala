@@ -16,6 +16,8 @@ object ProfileGraph {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // this harness MEASURES build cost — builds must actually run
+    graft.util.IndexCache.enabled = false
     import spark.implicits._
     if (args.headOption.contains("insert")) { insertProfile(spark); spark.stop(); return }
     if (args.headOption.contains("hier")) { hierProfile(spark); spark.stop(); return }
