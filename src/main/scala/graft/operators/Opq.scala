@@ -216,6 +216,17 @@ object Opq {
   def trainRotation(vectors: DataFrame, dim: Int, m: Int,
       embCol: String = "embedding", sampleN: Int = 2048,
       idCol: String = "vec_id"): Seq[Array[Float]] = {
+    // memoized: a trained rotation is a pure function of (projected
+    // input, params) — three suite queries request the identical one
+    // (the session index-manager contract, see Pq.train)
+    graft.util.IndexCache.value(vectors.select(col(idCol), col(embCol)),
+        Seq("opqRotation", dim, m, sampleN, idCol, embCol)) {
+      trainRotationBody(vectors, dim, m, embCol, sampleN, idCol)
+    }
+  }
+
+  private def trainRotationBody(vectors: DataFrame, dim: Int, m: Int,
+      embCol: String, sampleN: Int, idCol: String): Seq[Array[Float]] = {
     val src =
       if (sampleN <= 0) vectors
       else vectors
@@ -340,6 +351,20 @@ object Opq {
       ks: Int, iters: Int = 2, sampleN: Int = 2048,
       idCol: String = "vec_id", embCol: String = "embedding",
       init: Seq[Array[Float]] = Seq.empty): Seq[Array[Float]] = {
+    // memoized like trainRotation; `init` is driver data invisible to
+    // the input plan, so its full content joins the key
+    graft.util.IndexCache.value(vectors.select(col(idCol), col(embCol)),
+        Seq("opqRotationNp", dim, m, ks, iters, sampleN, idCol, embCol,
+          init.map(_.mkString(",")).mkString(";"))) {
+      trainRotationNonParametricBody(vectors, dim, m, ks, iters, sampleN,
+        idCol, embCol, init)
+    }
+  }
+
+  private def trainRotationNonParametricBody(vectors: DataFrame, dim: Int,
+      m: Int, ks: Int, iters: Int, sampleN: Int,
+      idCol: String, embCol: String,
+      init: Seq[Array[Float]]): Seq[Array[Float]] = {
     val r0 =
       if (init.nonEmpty) init
       else trainRotation(vectors, dim, m, embCol, sampleN, idCol)

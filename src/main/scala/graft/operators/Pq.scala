@@ -74,6 +74,19 @@ object Pq {
   def train(vectors: DataFrame, m: Int, ks: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
     require(m > 0 && ks > 0, "m and ks must be positive")
+    // Trained models are pure functions of (projected input, params) —
+    // the session index manager memoizes them the way the reference
+    // serves every query from one trained/loaded index rather than
+    // retraining per request (vector_shard.cc:34-43). Determinism is
+    // the already-gated contract (cpu32-vs-cpu4 bit-identical dumps).
+    graft.util.IndexCache.value(vectors.select(col(idCol), col(embCol)),
+        Seq("pqTrain", m, ks, idCol, embCol)) {
+      trainBody(vectors, m, ks, idCol, embCol)
+    }
+  }
+
+  private def trainBody(vectors: DataFrame, m: Int, ks: Int,
+      idCol: String, embCol: String): PqModel = {
     val sample = vectors
       .orderBy(md5(col(idCol).cast("string")), col(idCol), col(embCol))
       .limit(ks)
@@ -118,9 +131,14 @@ object Pq {
   def trainRefined(vectors: DataFrame, m: Int, ks: Int, iters: Int = 2,
       idCol: String = "vec_id", embCol: String = "embedding"): PqModel = {
     require(iters >= 0, "iters must be >= 0")
-    var model = train(vectors, m, ks, idCol, embCol)
-    (1 to iters).foreach { _ => model = refineStep(vectors, model, embCol) }
-    model
+    // memoized whole (see train): four suite queries request the
+    // identical (corpus, 8, 16, 2) training
+    graft.util.IndexCache.value(vectors.select(col(idCol), col(embCol)),
+        Seq("pqTrainRefined", m, ks, iters, idCol, embCol)) {
+      var model = train(vectors, m, ks, idCol, embCol)
+      (1 to iters).foreach { _ => model = refineStep(vectors, model, embCol) }
+      model
+    }
   }
 
   /** One Lloyd step over all m subspaces in one aggregation: codes are

@@ -56,7 +56,13 @@ object IndexCache {
   def clear(): Unit = { frames.clear(); values.clear(); pinned.clear() }
 
   private def key(input: DataFrame, params: Seq[Any]): String = {
-    val plan = input.queryExecution.analyzed.canonicalized.toString
+    val canon = input.queryExecution.analyzed.canonicalized
+    // toString + the canonicalized tree's content-based hashCode: plan
+    // printing elides some payloads (a LocalRelation prints its schema,
+    // not its rows; wide literal collections may truncate) — the
+    // case-class hash walks the actual values, so two builds over
+    // different data never share a key even when they PRINT alike.
+    val plan = canon.toString + "#" + canon.hashCode
     val md = java.security.MessageDigest.getInstance("MD5")
     val planHash = md.digest(plan.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -59,6 +59,22 @@ class IndexCacheSpec extends SparkSpec {
     assert(edges(layers.head) === edges(flat))
   }
 
+  test("literal payloads reach the key: trainings over differently-rotated frames never share") {
+    IndexCache.clear()
+    import graft.operators.{Opq, Pq}
+    val dim = e.select($"embedding").head.getSeq[Float](0).length
+    val ident = (0 until dim).map(i =>
+      Array.tabulate(dim)(j => if (i == j) 1.0f else 0.0f)).toSeq
+    val perm = (0 until dim).map(i =>
+      Array.tabulate(dim)(j => if ((i + 1) % dim == j) 1.0f else 0.0f)).toSeq
+    val m0 = IndexCache.misses
+    val a = Pq.train(Opq.rotate(e, ident), m = 4, ks = 4)
+    val b = Pq.train(Opq.rotate(e, perm), m = 4, ks = 4)
+    assert(IndexCache.misses === m0 + 2,
+      "two rotations differing only in literal content must key separately")
+    assert(a.codebooks !== b.codebooks)
+  }
+
   test("disabled cache builds per call") {
     IndexCache.clear()
     IndexCache.enabled = false
