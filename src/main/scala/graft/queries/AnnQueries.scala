@@ -640,6 +640,34 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // The persisted graph index served end-to-end: the SAME hier build
+    // as ann_graph_hier lands in a GraphStore (bucketed edge layout +
+    // stored entry metadata), a fresh read serves the walk with
+    // per-hop point lookups (hierSearchPointLookup — only the
+    // frontier's bucket partitions open per hop; at 100 TB layer 0 IS
+    // the index and never scans whole). The store roundtrip and the
+    // expansion path are value-preserving (GraphStoreSpec), so the
+    // oracle is ann_graph_hier's replay verbatim — which makes that
+    // invariance itself hash-checked at both SFs.
+    "ann_graph_store" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
+        ringM = 2, rounds = 3, maxLevel = 1)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_graph_store_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      graft.sources.GraphStore.write(layers, path)
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sources.GraphStore.hierSearchPointLookup(s, path, e, queries,
+          beam = 12, hops = 3, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
     // NSW batch insert, oracle-checked end to end (the reference's
     // point-upsert write path, `src/index/vector_shard.cc:46-57`, as a
     // graph-index maintenance op): base graph on the vec_id%50≠0
@@ -1568,7 +1596,16 @@ object AnnQueries extends QueryPack {
       |  CROSS JOIN (SELECT sig AS qsig FROM wsigs WHERE vec_id = 0) q
       |)""".stripMargin
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    val m = oracleBase
+    // the parquet store roundtrip and the point-lookup serving walk are
+    // value-preserving by construction (GraphStoreSpec pins both against
+    // the in-memory hier walk), so the persisted-index query replays the
+    // identical hier-build-and-walk SQL
+    m + ("ann_graph_store" -> m("ann_graph_hier"))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
 
     "ann_lsh" ->
       s"""WITH planes AS (
