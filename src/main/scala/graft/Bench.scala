@@ -115,6 +115,11 @@ object Bench {
     // how many builds ran inside each measured pass and in total, so a
     // reader can see exactly which timings amortize a build.
     val buildLog = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // build WALL seconds inside each pass (timer around IndexCache
+    // misses) — lets a reader split serve-vs-build cost per query and
+    // reconstruct the un-memoized total (VERDICT r11 #7: counts alone
+    // kept the 2× bar from being checkable under memoization)
+    val buildSecLog = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     /** Run `body`, return wall seconds (-1 on failure), then drop every
       * cache/persistent RDD the body created — and only those. */
@@ -123,6 +128,7 @@ object Bench {
       val gc0 = gcMillis()
       val sw0 = schedWaitNanos()
       val b0 = graft.util.IndexCache.misses
+      val bn0 = graft.util.IndexCache.buildNanos
       try {
         val t0 = System.nanoTime()
         body
@@ -134,6 +140,7 @@ object Bench {
       } finally {
         gcLog(what) = (gcMillis() - gc0) / 1e3
         buildLog(what) = graft.util.IndexCache.misses - b0
+        buildSecLog(what) = (graft.util.IndexCache.buildNanos - bn0) / 1e9
         schedLog(what) =
           if (sw0 < 0) -1.0 else math.max(0L, schedWaitNanos() - sw0) / 1e9
         spark.catalog.clearCache()
@@ -202,6 +209,19 @@ object Bench {
     val buildsJson = results.map { case (k, _) =>
       s"\"" + k + "\":" + buildLog.getOrElse(s"$k measured", 0L) }
       .mkString("{", ",", "}")
+    // build WALL seconds per query: `build_s` = builds paid INSIDE the
+    // measured pass (they inflate `queries`); `build_warm_s` = builds
+    // the warmup pass absorbed (what the measured pass would ALSO have
+    // paid with the cache off). total + Σ build_warm_s ≈ the
+    // un-memoized suite cost — both totals land in the JSON.
+    val buildSecJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(buildSecLog.getOrElse(s"$k measured", 0.0)) }
+      .mkString("{", ",", "}")
+    val buildWarmJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(buildSecLog.getOrElse(s"$k warmup", 0.0)) }
+      .mkString("{", ",", "}")
+    val buildWarmTotal = results.map { case (k, _) =>
+      buildSecLog.getOrElse(s"$k warmup", 0.0) }.sum
     val probesJson = probes.map { case (i, t) => s"\"" + i + "\":" + fmt(t) }
       .mkString("{", ",", "}")
     // stop() before the JSON so no further stdout follows — but never
@@ -216,6 +236,9 @@ object Bench {
       s""""gc":$gcs,"gc_total":$gcTotal,""" +
       s""""index_builds":$buildsJson,""" +
       s""""index_builds_total":${graft.util.IndexCache.misses},""" +
+      s""""build_s":$buildSecJson,"build_warm_s":$buildWarmJson,""" +
+      s""""build_warm_s_total":${fmt(buildWarmTotal)},""" +
+      s""""build_s_all_passes":${fmt(graft.util.IndexCache.buildNanos / 1e9)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it

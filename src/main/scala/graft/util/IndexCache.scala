@@ -21,10 +21,20 @@ import org.apache.spark.sql.DataFrame
   * Key = md5 of the input's canonicalized analyzed plan (file
   * locations, filters, projections all participate — sf0.01 and
   * sf0.1, or two different id-subsets of one table, never collide) +
-  * the build's own parameters + the owning session's identity (a
-  * frame checkpointed in a dead session must never be served to a new
-  * one — restart means rebuild or reopen from a persisted store, the
-  * [[graft.sources.GraphStore]] path).
+  * the build's own parameters + the owning session's UUID (a frame
+  * checkpointed in a dead session must never be served to a new one —
+  * restart means rebuild or reopen from a persisted store, the
+  * [[graft.sources.GraphStore]] path; the UUID is unique per session
+  * object for the JVM's lifetime, unlike an identity hash which the
+  * allocator may reuse after GC).
+  *
+  * Liveness: each entry records the RDD ids its localCheckpoint
+  * pinned; a hit first verifies those ids are still in the context's
+  * persistent set and silently rebuilds when a harness's blanket
+  * unpersist killed them — a stale pin must degrade to one extra
+  * build, never to a CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mid-query.
+  * Harnesses that drop pass-created blocks between queries should
+  * still use [[unpersistAllExcept]] so live entries keep amortizing.
   *
   * Bounded: at `MaxEntries` the map is cleared wholesale — entries
   * hold localCheckpointed frames whose blocks the ContextCleaner
@@ -35,25 +45,57 @@ import org.apache.spark.sql.DataFrame
 object IndexCache {
   @volatile var enabled: Boolean = true
   private[graft] val MaxEntries = 64
-  private val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private final case class Entry(df: DataFrame, rddIds: Set[Int])
+  private val frames = scala.collection.concurrent.TrieMap.empty[String, Entry]
   private val values = scala.collection.concurrent.TrieMap.empty[String, Any]
-  // observability for specs: how many builds actually ran
+  // observability for specs and the bench artifact: how many builds
+  // actually ran, and how much wall time they cost (the bench splits
+  // serve-vs-build cost per query with these)
   private val missCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val buildNanoCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def misses: Long = missCounter.get()
+
+  /** Cumulative wall nanoseconds spent inside cache-miss builds (frame
+    * materialization + checkpoint, or driver-side model training). */
+  def buildNanos: Long = buildNanoCounter.get()
 
   /** RDD ids of the cache's pinned materializations. Harnesses that
     * drop pass-created blocks between queries (Bench/Verify — the
     * "callers own block cleanup" convention) must EXCLUDE these: the
     * cache owns its blocks across queries; unpersisting them under a
-    * live entry turns the next hit into a dead-checkpoint read. */
-  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-  def pinnedRddIds: Set[Int] = {
-    val it = pinned.iterator(); val b = Set.newBuilder[Int]
-    while (it.hasNext) b += it.next(); b.result()
+    * live entry turns the next hit into a rebuild (never a crash —
+    * see the liveness check — but the amortization is lost). */
+  def pinnedRddIds: Set[Int] =
+    frames.values.iterator.flatMap(_.rddIds).toSet
+
+  /** Unpersist every persistent RDD of `sc` EXCEPT the cache's pinned
+    * blocks — the one correct form of the "drop everything between
+    * queries" harness convention (PlanSpec/Profile* sweeps). */
+  def unpersistAllExcept(sc: org.apache.spark.SparkContext): Unit = {
+    val keep = pinnedRddIds
+    sc.getPersistentRDDs
+      .filter { case (id, _) => !keep.contains(id) }
+      .values.foreach(_.unpersist(false))
   }
 
-  def clear(): Unit = { frames.clear(); values.clear(); pinned.clear() }
+  def clear(): Unit = { frames.clear(); values.clear() }
+
+  // Session identity for the key. identityHashCode alone is NOT unique
+  // (the allocator may reuse it after a stopped session is GC'd — a
+  // collision would serve a dead session's checkpointed frame, the very
+  // failure the key exists to prevent). Instead each session OBJECT
+  // gets a fresh UUID on first use, held weakly by reference so a dead
+  // session's entry vanishes with it and can never be re-issued.
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+  private def sessionId(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(s)
+      if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id) }
+      id
+    }
 
   private def key(input: DataFrame, params: Seq[Any]): String = {
     val canon = input.queryExecution.analyzed.canonicalized
@@ -66,7 +108,7 @@ object IndexCache {
     val md = java.security.MessageDigest.getInstance("MD5")
     val planHash = md.digest(plan.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val session = System.identityHashCode(input.sparkSession).toString
+    val session = sessionId(input.sparkSession)
     (session +: planHash +: params).mkString("|")
   }
 
@@ -81,19 +123,37 @@ object IndexCache {
   def frame(input: DataFrame, params: Seq[Any])(build: => DataFrame): DataFrame = {
     if (!enabled) return build
     if (frames.size >= MaxEntries) clear()
-    frames.getOrElseUpdate(key(input, params), {
-      missCounter.incrementAndGet()
-      // force the body first (its own intra-build pins run here and
-      // remain pass-scoped garbage), then snapshot-diff the persistent
-      // set around the FINAL pin so `pinned` records exactly the
-      // entry's own checkpoint blocks
-      val built = build
-      val sc = input.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val out = built.localCheckpoint(true)
-      (sc.getPersistentRDDs.keySet -- before).foreach(pinned.add(_))
-      out
-    })
+    val k = key(input, params)
+    val sc = input.sparkSession.sparkContext
+    frames.get(k) match {
+      case Some(e) if e.rddIds.subsetOf(sc.getPersistentRDDs.keySet) => e.df
+      case stale =>
+        // absent, or a blanket unpersist killed the pin: rebuild. The
+        // dead entry is dropped first so pinnedRddIds never advertises
+        // ids another job could re-pin by coincidence.
+        stale.foreach(_ => frames.remove(k))
+        val t0 = System.nanoTime()
+        missCounter.incrementAndGet()
+        // force the body first (its own intra-build pins run here and
+        // remain pass-scoped garbage), then snapshot-diff the persistent
+        // set around the FINAL pin so the entry records exactly its own
+        // checkpoint blocks
+        val built = build
+        val before = sc.getPersistentRDDs.keySet
+        val out = built.localCheckpoint(true)
+        val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+        buildNanoCounter.addAndGet(System.nanoTime() - t0)
+        frames.putIfAbsent(k, Entry(out, ids)) match {
+          case Some(raced) if raced.rddIds.subsetOf(sc.getPersistentRDDs.keySet) =>
+            // a concurrent builder won the slot; serve its frame and
+            // release ours (determinism makes the two bit-identical)
+            out.unpersist(false)
+            raced.df
+          case Some(_) => // racer's pin already dead — replace it
+            frames.put(k, Entry(out, ids)); out
+          case None => out
+        }
+    }
   }
 
   /** Memoized driver-side value (a trained model, a collected centroid
@@ -103,7 +163,10 @@ object IndexCache {
     if (values.size >= MaxEntries) clear()
     values.getOrElseUpdate(key(input, params), {
       missCounter.incrementAndGet()
-      compute.asInstanceOf[Any]
+      val t0 = System.nanoTime()
+      val v = compute.asInstanceOf[Any]
+      buildNanoCounter.addAndGet(System.nanoTime() - t0)
+      v
     }).asInstanceOf[T]
   }
 }

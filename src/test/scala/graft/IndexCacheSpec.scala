@@ -75,6 +75,46 @@ class IndexCacheSpec extends SparkSpec {
     assert(a.codebooks !== b.codebooks)
   }
 
+  test("self-heal: a blanket unpersist degrades the next hit to a rebuild, never a dead-checkpoint read") {
+    // the r11 red-suite failure mode: a harness sweeping
+    // getPersistentRDDs between queries killed a live pin and the next
+    // cache hit died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. The cache
+    // must detect the dead pin and rebuild.
+    IndexCache.clear()
+    val m0 = IndexCache.misses
+    val g1 = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    val ref = edges(g1)
+    assert(IndexCache.misses === m0 + 1)
+    // the hostile sweep (deliberately NOT the pin-preserving helper)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val g2 = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    assert(IndexCache.misses === m0 + 2, "dead pin must rebuild, not serve")
+    assert(edges(g2) === ref, "healed build drifted")
+    // and the healed entry serves hits again
+    KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    assert(IndexCache.misses === m0 + 2)
+  }
+
+  test("pin-preserving sweep keeps live entries serving") {
+    IndexCache.clear()
+    val m0 = IndexCache.misses
+    KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    IndexCache.unpersistAllExcept(spark.sparkContext)
+    KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    assert(IndexCache.misses === m0 + 1,
+      "the scoped sweep must not evict the live pin")
+  }
+
+  test("build wall time is accounted per miss") {
+    IndexCache.clear()
+    val b0 = IndexCache.buildNanos
+    KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    val afterMiss = IndexCache.buildNanos
+    assert(afterMiss > b0, "a miss must add build nanos")
+    KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 1)
+    assert(IndexCache.buildNanos === afterMiss, "a hit must add none")
+  }
+
   test("disabled cache builds per call") {
     IndexCache.clear()
     IndexCache.enabled = false

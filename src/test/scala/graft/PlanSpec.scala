@@ -99,7 +99,9 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q plans a quadratic join:\n$p")
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // drop pass garbage but keep the index manager's live pins — a
+      // blanket unpersist here turns later cache hits into rebuilds
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     }
   }
 
@@ -147,7 +149,7 @@ class PlanSpec extends SparkSpec {
           w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => w
       }
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
       if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,

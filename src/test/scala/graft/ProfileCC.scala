@@ -23,7 +23,7 @@ object ProfileCC {
     val cc = time("cc-total")(Dedup.simhashComponents(docs).count())
     println(s"PROF cc-rows=$cc")
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     // phase breakdown (JIT-warm)
     locally {
       val t0 = System.nanoTime()
@@ -42,12 +42,12 @@ object ProfileCC {
       val n = memberMap.join(repComp, "rep").count()
       println(f"PROF phase-expand: ${(System.nanoTime() - t3) / 1e9}%.2f s (rows=$n)")
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     }
     val cc2 = time("cc-total2")(Dedup.simhashComponents(docs).count())
     println(s"PROF cc2-rows=$cc2")
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     // job-level attribution for the loop passes
     val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
     val t0g = System.nanoTime()
@@ -87,7 +87,7 @@ object ProfileCC {
       jobLog.forEach { case (id, s, d) =>
         println(f"PROF   job=$id start=${s / 1e9}%.2f dur=${d / 1e9}%.3f") }
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     }
     spark.conf.unset("graft.cc.smallGraphEdges")
     spark.conf.unset("graft.cc.driverUnionFindEdges")

@@ -27,8 +27,10 @@ object ProfileForced {
         println(s"FORCED $name: FAILED ${e.getMessage.take(120)}")
       } finally {
         spark.catalog.clearCache()
+        val keep = graft.util.IndexCache.pinnedRddIds
         spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => !persistedBefore.contains(id) }
+          .filter { case (id, _) =>
+            !persistedBefore.contains(id) && !keep.contains(id) }
           .values.foreach(_.unpersist(false))
       }
     }

@@ -82,7 +82,7 @@ object ProfileGraph {
       val work = evals.sum / evals.length
       println(f"graph m=$m rounds=$rounds beam=$beam%2d hops=$hops seeds=$nseed: hits=$hits%3d  (~$work distinct evals/query)")
       g.unpersist(false)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
       qs.persist(); exact10.persist(); qs.count(); exact10.count()
     }
     spark.stop()
@@ -167,7 +167,7 @@ object ProfileGraph {
         println(f"N=$n%5d hier  l0hops=$hops0 ub=$ub s0=$s0 (layer1=${l1Nodes.size}%4d): " +
           f"hits=${hits.sum}%3d/100  evals/q=${evals.sum / 10}%4d")
       }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     }
   }
 
@@ -277,7 +277,7 @@ object ProfileGraph {
         rd.unpersist(false)
       }
     }
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
   }
 
@@ -315,7 +315,7 @@ object ProfileGraph {
       println(f"N=$n%5d batch=50: insert wall=$wall%5.1fs touched=$touched%3d " +
         f"deg=$degAvg%4.1f edges=$edgesAfter%6d ~evals/batch=${evals.round}%6d " +
         f"(evals/N=${evals / n}%5.1f)")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     }
   }
 }
