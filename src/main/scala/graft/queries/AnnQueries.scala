@@ -641,14 +641,17 @@ object AnnQueries extends QueryPack {
     }),
 
     // The persisted graph index served end-to-end: the SAME hier build
-    // as ann_graph_hier lands in a GraphStore (bucketed edge layout +
-    // stored entry metadata), a fresh read serves the walk with
-    // per-hop point lookups (hierSearchPointLookup — only the
-    // frontier's bucket partitions open per hop; at 100 TB layer 0 IS
-    // the index and never scans whole). The store roundtrip and the
-    // expansion path are value-preserving (GraphStoreSpec), so the
-    // oracle is ann_graph_hier's replay verbatim — which makes that
-    // invariance itself hash-checked at both SFs.
+    // as ann_graph_hier lands in a GraphStore (bucketed edge AND
+    // vector layouts + stored entry metadata), a fresh read serves the
+    // walk with per-hop point lookups on BOTH sides
+    // (hierSearchPointLookup — only the frontier's bucket partitions
+    // of the edges open per hop, and only the candidate pool's bucket
+    // partitions of the corpus feed each re-rank; at 100 TB layer 0
+    // and the raw vectors ARE the index and never scan whole). The
+    // store roundtrip and both point-lookup paths are value-preserving
+    // (GraphStoreSpec), so the oracle is ann_graph_hier's replay
+    // verbatim — which makes that invariance itself hash-checked at
+    // both SFs.
     "ann_graph_store" -> ((s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
@@ -660,9 +663,10 @@ object AnnQueries extends QueryPack {
           .getInstance("MD5").digest(dir.getBytes("UTF-8"))
           .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
       graft.sources.GraphStore.write(layers, path)
+      graft.sources.GraphStore.writeCorpus(e, path)
       val queries = e.filter($"vec_id" === 0L)
         .select($"vec_id".as("qid"), $"embedding".as("qv"))
-      graft.sources.GraphStore.hierSearchPointLookup(s, path, e, queries,
+      graft.sources.GraphStore.hierSearchPointLookup(s, path, queries,
           beam = 12, hops = 3, k = 10)
         .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
         .orderBy($"rank")
