@@ -495,6 +495,41 @@ object AnnQueries extends QueryPack {
         model, q, k = 10, nprobe = 2)
     }),
 
+    // The reference's restart lifecycle for TRAINED models, end to end
+    // (vector_shard.cc:34-43 reloads every index file on startup; until
+    // r12 only the corpus-scaled artifacts — codes, cells, postings,
+    // edges — had a persisted reopen path, while codebooks/rotations/
+    // bounds retrained per session): the SAME ann_ivfpq training lands
+    // its centroid table and residual codebook in a ModelStore and its
+    // codes in a cell-partitioned layout, then the search runs from the
+    // LOADED artifacts alone — zero training jobs after the reopen
+    // (ModelStoreSpec pins that on a genuinely fresh session). Floats
+    // roundtrip parquet bit-exactly and the ADC is integer arithmetic,
+    // so the oracle is ann_ivfpq's retrain-every-time replay verbatim —
+    // the store roundtrip invariance is itself hash-checked at both SFs.
+    "ann_ivfpq_model_store" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cents = refinedCents(s, e)
+      val model = Pq.trainResidual(e, cents, m = 8, ks = 16, iters = 2)
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_ivfpq_model_store_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      graft.sources.ModelStore.writeCentroids(s, cents, s"$root/cents")
+      graft.sources.ModelStore.writePq(s, model, s"$root/pq")
+      Pq.encodeIvfResidual(e, cents, model)
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
+      // reopen path: everything below this line reads ONLY the store
+      val cents2 = graft.sources.ModelStore.readCentroids(s, s"$root/cents")
+      val model2 = graft.sources.ModelStore.readPq(s, s"$root/pq")
+      val codes2 = s.read.parquet(s"$root/codes")
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Pq.ivfAdcTopKResidual(codes2, cents2, model2, q, k = 10, nprobe = 2)
+    }),
+
     // Encoding honesty rows: RAW-vector IVF-PQ (global codebook over
     // full vectors — the pre-round-9 form) vs RESIDUAL IVF-PQ at
     // identical code bytes (m=8 × ks=16), identical Lloyd-refined
@@ -1606,7 +1641,11 @@ object AnnQueries extends QueryPack {
     // value-preserving by construction (GraphStoreSpec pins both against
     // the in-memory hier walk), so the persisted-index query replays the
     // identical hier-build-and-walk SQL
-    m + ("ann_graph_store" -> m("ann_graph_hier"))
+    m + ("ann_graph_store" -> m("ann_graph_hier")) +
+      // trained-model literals roundtrip the ModelStore bit-exactly and
+      // the ADC is integer arithmetic, so the reopened-artifact search
+      // replays the identical retrain-every-time SQL
+      ("ann_ivfpq_model_store" -> m("ann_ivfpq"))
   }
 
   private def oracleBase: Map[String, String] = Map(
