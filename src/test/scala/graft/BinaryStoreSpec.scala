@@ -83,6 +83,77 @@ class BinaryStoreSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("appendStream: streamed signatures are probe-visible exactly-once; replay no-op; compact re-folds the layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wide = e.select($"vec_id",
+      concat($"embedding", transform($"embedding", x => -x),
+        reverse($"embedding")).as("embedding"))
+    val enc = Bq.encodeWide(wide, 192).localCheckpoint(true)
+    val base = enc.filter($"vec_id" % 7 < 5)
+    val streamedRows = enc.filter($"vec_id" % 7 >= 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val chunks = streamedRows
+      .grouped(math.max(1, streamedRows.length / 3 + 1)).toSeq
+    val q = wide.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    // the scan-form oracle over the FULL corpus — what the store must
+    // equal once every batch has landed
+    val scanAll = Bq.mihTopKWide(enc, Bq.signWordsLocal(q), k = 10,
+        chunkBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qs = enc.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"sig".as("qsig"))
+    val scanBatch = Bq.mihBatchTopKWide(enc, qs, k = 5, nWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val dir = tmp("stream")
+    val ckpt = tmp("stream-ckpt")
+    try {
+      BinaryStore.write(base, dir)
+      val mem = MemoryStream[(Long, Seq[Long])]
+      val sq = BinaryStore.appendStream(
+        mem.toDF().toDF("vec_id", "sig"), dir, ckpt)
+      try {
+        chunks.foreach { c => mem.addData(c.toSeq: _*); sq.processAllAvailable() }
+      } finally sq.stop()
+      def probeNow() = BinaryStore.probe(spark, dir, Bq.signWordsLocal(q), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(probeNow() === scanAll,
+        "streamed store probe diverged from the full-corpus scan form")
+      assert(BinaryStore.probeBatch(spark, dir, qs, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet === scanBatch,
+        "streamed store batch probe diverged from the scan form")
+      // failure replay of the LAST batch id overwrites itself — no-op
+      val lastId = chunks.length - 1L
+      BinaryStore.applyStreamBatch(
+        chunks.last.toSeq.toDF("vec_id", "sig"), dir, lastId, "vec_id")
+      assert(probeNow() === scanAll, "batch replay changed the store")
+      // compaction folds every batch into the build layout, values
+      // untouched
+      BinaryStore.compact(spark, dir)
+      assert(probeNow() === scanAll, "compaction changed probe values")
+      val batchDirs = new java.io.File(s"$dir/index").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.map(_.getName).toSeq === Seq("batch_id=-1"))
+    } finally { rm(dir); rm(ckpt) }
+  }
+
+  test("probeBatch rejects a query frame whose signature width differs from the store") {
+    val enc = Bq.encode(e, 64)
+    val dir = tmp("width")
+    try {
+      BinaryStore.write(enc.select($"vec_id", array($"sig").as("sig")), dir)
+      val badQs = enc.filter($"vec_id" < 2)
+        .select($"vec_id".as("query_id"), array($"sig", $"sig").as("qsig"))
+      val err = intercept[IllegalArgumentException] {
+        BinaryStore.probeBatch(spark, dir, badQs, k = 5)
+      }
+      assert(err.getMessage.contains("words"))
+    } finally rm(dir)
+  }
+
   test("probe is a point lookup: reads ~matchRate·N rows, not the index") {
     val q = e.filter($"vec_id" === 0L).select($"embedding")
       .head.getSeq[Float](0).toArray
