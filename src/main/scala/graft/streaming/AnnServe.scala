@@ -62,6 +62,66 @@ object AnnServe {
       .agg(bottomK(col("distance"), col(idCol).cast("long"), k).as("topk"))
   }
 
+  /** One serving micro-batch against the persisted graph index — the
+    * foreachBatch body of [[serveGraphStore]], exposed for the replay
+    * fixture: the batch's queries walk
+    * [[graft.sources.GraphStore.hierSearchPointLookup]] (per-hop
+    * edge AND embedding fetches pruned to the frontier's buckets) and
+    * the k results land under the batch's own `batch_id=` partition
+    * with dynamic partition overwrite — a replayed foreachBatch id
+    * recomputes the identical deterministic walk and replaces its own
+    * rows (exactly-once on failure replay, the GraphStore contract). */
+  private[graft] def applyServeGraphStoreBatch(batch: DataFrame,
+      path: String, resultPath: String, batchId: Long, k: Int, beam: Int,
+      hops: Int, upperBeam: Int, upperHops: Int, handoff: Int,
+      queryIdCol: String, queryVecCol: String): Unit = {
+    val qs = batch
+      .select(col(queryIdCol).cast("long").as("qid"),
+        col(queryVecCol).as("qv"))
+      .localCheckpoint(true)
+    if (qs.head(1).nonEmpty) {
+      graft.sources.GraphStore.hierSearchPointLookup(batch.sparkSession,
+          path, qs, beam, hops, k, upperBeam, upperHops, handoff)
+        .withColumnRenamed("qid", queryIdCol)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(resultPath)
+    }
+  }
+
+  /** Store-backed streaming serving — the reference's Search RPC loop
+    * against the PERSISTED index, end to end
+    * (`src/rpc/search_service_impl.cc:26-50` serves every request from
+    * the index loaded at startup, `vector_shard.cc:34-43`; until r12
+    * the streaming endpoint served IVF from in-memory frames): each
+    * query micro-batch walks the [[graft.sources.GraphStore]] via
+    * per-hop point lookups — no in-memory corpus, no layer frames, no
+    * build — and its results land exactly-once under the batch's own
+    * partition of `resultPath`. A restart resumes from the checkpoint
+    * with nothing to rebuild: the index IS the store. Re-sent query ids
+    * are dropped by the streaming dedup ahead of the sink (first
+    * arrival wins — the reference's query-cache analog, as in
+    * [[annServeStream]]). Build the store with `GraphStore.write` +
+    * `writeCorpus` first. */
+  def serveGraphStore(queryStream: DataFrame, path: String,
+      resultPath: String, checkpoint: String, k: Int, beam: Int = 12,
+      hops: Int = 3, upperBeam: Int = 4, upperHops: Int = 6,
+      handoff: Int = 4, queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream
+      .dropDuplicates(queryIdCol)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyServeGraphStoreBatch(batch, path, resultPath, batchId, k,
+          beam, hops, upperBeam, upperHops, handoff, queryIdCol,
+          queryVecCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
   /** Start an update-mode serving endpoint for [[annServeStream]] under
     * the reference's MICRO-BATCHING contract
     * (`BatchingConfig.max_batch_delay_ms`, `src/util/config.cc:44-47`,

@@ -70,4 +70,58 @@ class AnnServeSpec extends SparkSpec {
       assert(reEmits.forall(_.getLong(1) === 1L))
     } finally q.stop()
   }
+
+  test("store-backed streaming serving ≡ batch hierSearch per arriving batch; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KnnGraph
+    import graft.sources.GraphStore
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
+      maxLevel = 1).map(_.persist())
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-serve-$tag").toString
+    val dir = tmp("store"); val out = tmp("out"); val ckpt = tmp("ckpt")
+    try {
+      GraphStore.write(layers, dir, buckets = 8)
+      GraphStore.writeCorpus(e, dir)
+      layers.foreach(_.unpersist(false))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = AnnServe.serveGraphStore(
+        mem.toDF().toDF("query_id", "qvec"), dir, out, ckpt,
+        k = 5, beam = 8, hops = 3)
+      val panel = Seq(0L, 42L, 137L, 300L)
+      val qvecs = e.filter($"vec_id".isin(panel: _*))
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      try {
+        // two arrival waves
+        mem.addData(qvecs(0), qvecs(1)); q.processAllAvailable()
+        mem.addData(qvecs(2), qvecs(3)); q.processAllAvailable()
+      } finally q.stop()
+      def results() = spark.read.parquet(out)
+        .select($"query_id", $"vec_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = results()
+      // batch reference: the in-memory hier walk over the SAME store
+      // layers and the whole panel at once (value-identical to the
+      // point-lookup serving walk by the GraphStoreSpec contract)
+      val qs = e.filter($"vec_id".isin(panel: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val expect = GraphStore.hierSearch(spark, dir, e, qs,
+          beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got === expect,
+        "streamed store-served results drifted from the batch hier walk")
+      // failure replay: re-applying the LAST batch id recomputes the
+      // identical walk and overwrites its own partition — results
+      // unchanged
+      val lastBatch = Seq(qvecs(2), qvecs(3)).toDF("query_id", "qvec")
+      AnnServe.applyServeGraphStoreBatch(lastBatch, dir, out, 1L,
+        k = 5, beam = 8, hops = 3, upperBeam = 4, upperHops = 6,
+        handoff = 4, "query_id", "qvec")
+      assert(results() === expect, "batch replay changed the served results")
+    } finally {
+      Seq(dir, out, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }

@@ -328,6 +328,40 @@ class GraphStoreSpec extends SparkSpec {
     } finally { rm(dir); rm(ckpt) }
   }
 
+  test("maintain = compact ∘ redescend: layer 0 becomes the redescend of live state; store still serves point lookups") {
+    val base = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0)
+    val g = KnnGraph.buildSearchGraph(base, m = 4, ringM = 2, rounds = 2)
+    val dir = tmp("maintain")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeCorpus(base, dir)
+      // one ingest batch erodes: touched-node prunes can drop ring
+      // links, new nodes never re-rank against later arrivals
+      GraphStore.applyStreamBatch(batch, dir, 0L, m = 4, beam = 8,
+        hops = 3, maxDegree = 6, seedN = 4, "vec_id", "embedding")
+      // the maintenance contract, value form: post-maintain layer 0 ==
+      // the in-memory redescend of the pre-maintain live state over the
+      // stored corpus (deterministic by construction)
+      val expected = edgeSet(KnnGraph.redescend(
+        GraphStore.readCorpus(spark, dir), GraphStore.read(spark, dir),
+        m = 4, ringM = 2))
+      GraphStore.maintain(spark, dir, m = 4, ringM = 2)
+      assert(edgeSet(GraphStore.read(spark, dir)) === expected,
+        "maintain drifted from compact(redescend(live state))")
+      // folded to the build layout
+      val batchDirs = new java.io.File(s"$dir/edges").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.map(_.getName).toSeq === Seq("batch_id=-1"))
+      assert(spark.read.parquet(s"$dir/stats").count() === 1L)
+      // and the maintained store still serves pruned point lookups
+      val ids = Seq(3L, 17L)
+      val direct = edgeSet(GraphStore.read(spark, dir)
+        .filter(col("vec_id").isin(ids: _*)))
+      assert(edgeSet(GraphStore.neighborsOf(spark, dir, ids)) === direct)
+    } finally rm(dir)
+  }
+
   test("writeBatch entry takeover: a higher-level batch node becomes the descent entry") {
     val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
       maxLevel = 1)

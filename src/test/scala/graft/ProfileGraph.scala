@@ -205,6 +205,7 @@ object ProfileGraph {
     val store = java.nio.file.Files.createTempDirectory("graft-erosion").toString
     val g0 = KnnGraph.buildSearchGraph(base, m = 6, ringM = 2, rounds = 3)
     graft.sources.GraphStore.write(Seq(g0), store, buckets = 8)
+    graft.sources.GraphStore.writeCorpus(base, store)
     var g = graft.sources.GraphStore.read(spark, store).persist()
     g.count()
     val baseRing = KnnGraph.ringInit(base, 2)
@@ -246,6 +247,8 @@ object ProfileGraph {
       val delta = KnnGraph.insertBatchDelta(corpus, g, batch, bseeds, m = 6,
         beam = 12, hops = 4, maxDegree = 8)
       graft.sources.GraphStore.writeBatch(delta, store, batchId = i)
+      graft.sources.GraphStore.writeCorpusBatch(batch, store, batchId = i,
+        buckets = 8)
       g.unpersist(false)
       g = graft.sources.GraphStore.read(spark, store).persist()
       g.count()
@@ -270,10 +273,14 @@ object ProfileGraph {
         rebuilt.unpersist(false)
       }
       if (i == 19) {
-        val rd = KnnGraph.redescend(all.filter($"vec_id" < cap), g, m = 6,
-          ringM = 2).persist()
+        // the composed STORE maintenance op (compact ∘ redescend) — the
+        // production form of the in-memory redescend this row used to
+        // measure; recall is read back from the maintained store
+        graft.sources.GraphStore.maintain(spark, store, m = 6, ringM = 2)
+        val rd = graft.sources.GraphStore.read(spark, store).persist()
         rd.count()
-        println(f"after redescend: recall=${recallOf(rd, cap)}%3d")
+        println(f"after store maintain (compact o redescend): " +
+          f"recall=${recallOf(rd, cap)}%3d")
         rd.unpersist(false)
       }
     }
