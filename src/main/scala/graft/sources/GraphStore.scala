@@ -470,32 +470,56 @@ object GraphStore {
       upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     // stats read ONCE per walk; every per-hop lookup reuses the bucket
-    // count instead of re-reading the stats parquet
+    // count instead of re-reading the stats parquet. Likewise the
+    // batch-resolution question is decided once: on a compacted
+    // (single-write) store every per-hop lookup is a plain pruned scan
+    // — the latest-batch-wins window would add a shuffle PER HOP for
+    // nothing (measured: the walk's wall cost is job/shuffle overhead,
+    // not data, at local scale).
     val st = statsHead(spark, path)
     val buckets = st.getLong(1).toInt
     val entryLevel = st.getLong(3).toInt
     val entryId = st.getLong(4)
+    val multiBatch = spark.read.parquet(s"$path/stats")
+      .select(col("batch_id")).distinct().count() > 1
+    // base frames resolved ONCE per walk: every per-hop fetch filters
+    // these shared frames, so partition discovery (directory listing +
+    // schema resolution over the bucket tree) happens once instead of
+    // per fetch — at ~17 pruned reads per walk the re-listing was a
+    // measurable slice of the serving wall time
+    val vecTable = spark.read.parquet(s"$path/vectors")
+    val edgeTable = spark.read.parquet(s"$path/edges")
     // frames consumed twice per re-rank (the eager id collect + the
     // lazy join) are pinned so the second consumer reads memory, not
     // the store — without the pin every pool evaluation would re-open
     // the pruned parquet reads
     def pin(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
+    // ONE driver job per fetch: the pool's (id, bucket) pairs together
+    // — ids for the pushed IN filter, buckets for partition pruning
+    // (bucket values still computed in-engine; no driver xxhash mirror)
+    def idsAndBuckets(frame: DataFrame, c: String): (Seq[Long], Seq[Long]) = {
+      val rows = frame.select(col(c), bucketCol(col(c), buckets).as("b"))
+        .distinct().collect()
+      (rows.map(_.getLong(0)).toSeq, rows.map(_.getLong(1)).distinct.toSeq)
+    }
     // pool -> (cand, ce): the pruned corpus fetch of exactly the pool's
     // ids (pool = frontier ∪ its neighbors — bounded by parameters)
     val fetchEmb: DataFrame => DataFrame = pool => {
-      val ids = pool.select(col("cand")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      if (ids.isEmpty) readCorpus(spark, path).limit(0)
+      val (ids, bkts) = idsAndBuckets(pool, "cand")
+      if (ids.isEmpty) vecTable.limit(0)
         .select(col("vec_id").as("cand"), col("embedding").as("ce"))
-      else embeddingsOfPruned(spark, path, ids, buckets)
+      else vecTable
+        .filter(col("b").isin(bkts: _*) && col("vec_id").isin(ids: _*))
         .select(col("vec_id").as("cand"), col("embedding").as("ce"))
     }
     var seeds = queries.select(col("qid"), lit(entryId).as("cand"))
     (entryLevel to 1 by -1).foreach { l =>
       // the layer-l edge frame is tiny (16^-l of layer 0): read whole,
       // frontier side broadcasts — only the CORPUS side point-looks-up
-      val g = read(spark, path, l).select(col("vec_id").as("cand"),
-        col("nbr_id"))
+      val lf = edgeTable.filter(col("level") === l)
+      val g = (if (multiBatch) resolveLatest(lf)
+        else lf.select(col("vec_id"), col("nbr_id")))
+        .select(col("vec_id").as("cand"), col("nbr_id"))
       seeds = pin(KnnGraph.beamSearchExpandFetch(queries, seeds, upperBeam,
           upperHops, k = handoff,
           frontier => pin(g.join(broadcast(frontier), "cand")
@@ -505,9 +529,14 @@ object GraphStore {
     }
     KnnGraph.beamSearchExpandFetch(queries, seeds, beam, hops, k,
       frontier => {
-        val ids = frontier.select(col("cand")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        pin(neighborsOfPruned(spark, path, ids, 0, buckets)
+        val (ids, bkts) = idsAndBuckets(frontier, "cand")
+        val pruned = edgeTable
+          .filter(col("level") === 0 && col("b").isin(bkts: _*) &&
+            col("vec_id").isin(ids: _*))
+        val adj =
+          if (multiBatch) resolveLatest(pruned)
+          else pruned.select(col("vec_id"), col("nbr_id"))
+        pin(adj
           .join(broadcast(frontier),
             col("vec_id") === frontier("cand"))
           .select(frontier("qid"), col("nbr_id").as("cand")))
