@@ -616,6 +616,29 @@ object GraphStore {
         lit(st.getLong(3)).as("entry_level"),
         lit(st.getLong(4)).as("entry_id"))
       .write.mode("overwrite").parquet(tmpS.toString)
+    // the corpus folds too (when present): thousands of ingest batches
+    // would otherwise leave batch_id= directories forever — the
+    // small-files debt compaction exists to pay down. Ids are
+    // batch-disjoint, so the fold is a re-layout, not a resolution.
+    // Runs AFTER the edge tmp write: a maintain()'s redescended layer
+    // reads the live corpus during that materialization, and the fold
+    // replaces the files its captured listing points at.
+    val vecsPath = new Path(s"$path/vectors")
+    if (fs.exists(vecsPath)) {
+      val tmpV = new Path(s"$path/_vectors_compact_tmp")
+      spark.read.parquet(vecsPath.toString)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("batch_id", lit(-1L))
+        .withColumn("b", bucketCol(col("vec_id"), buckets))
+        .repartition(col("b"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.partitionBy("batch_id", "b")
+        .mode("overwrite").parquet(tmpV.toString)
+      val bakV = new Path(s"$path/_vectors_bak")
+      fs.rename(vecsPath, bakV)
+      fs.rename(tmpV, vecsPath)
+      fs.delete(bakV, true)
+    }
     val statsPath = new Path(s"$path/stats")
     val bakE = new Path(s"$path/_edges_bak")
     val bakS = new Path(s"$path/_stats_bak")
@@ -633,7 +656,7 @@ object GraphStore {
   private def recoverCompact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("edges", "stats").foreach { d =>
+    Seq("edges", "stats", "vectors").foreach { d =>
       val live = new Path(s"$path/$d")
       val bak = new Path(s"$path/_${d}_bak")
       if (!fs.exists(live) && fs.exists(bak)) fs.rename(bak, live)

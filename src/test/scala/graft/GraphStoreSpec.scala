@@ -346,19 +346,56 @@ class GraphStoreSpec extends SparkSpec {
       val expected = edgeSet(KnnGraph.redescend(
         GraphStore.readCorpus(spark, dir), GraphStore.read(spark, dir),
         m = 4, ringM = 2))
+      val corpusBefore = GraphStore.readCorpus(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
       GraphStore.maintain(spark, dir, m = 4, ringM = 2)
       assert(edgeSet(GraphStore.read(spark, dir)) === expected,
         "maintain drifted from compact(redescend(live state))")
-      // folded to the build layout
-      val batchDirs = new java.io.File(s"$dir/edges").listFiles()
+      // folded to the build layout — edges AND corpus
+      def batchDirs(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      assert(batchDirs.map(_.getName).toSeq === Seq("batch_id=-1"))
+        .map(_.getName).toSeq
+      assert(batchDirs("edges") === Seq("batch_id=-1"))
+      assert(batchDirs("vectors") === Seq("batch_id=-1"),
+        "corpus batch partitions should fold at compaction")
       assert(spark.read.parquet(s"$dir/stats").count() === 1L)
-      // and the maintained store still serves pruned point lookups
+      assert(GraphStore.readCorpus(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+        === corpusBefore, "corpus fold changed values")
+      // and the maintained store still serves pruned point lookups on
+      // both sides
       val ids = Seq(3L, 17L)
       val direct = edgeSet(GraphStore.read(spark, dir)
         .filter(col("vec_id").isin(ids: _*)))
       assert(edgeSet(GraphStore.neighborsOf(spark, dir, ids)) === direct)
+      assert(GraphStore.embeddingsOf(spark, dir, ids)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet === ids.toSet)
+    } finally rm(dir)
+  }
+
+  test("point-lookup serving walk on a MULTI-batch store resolves latest-wins ≡ the whole-frame walk") {
+    // the walk decides batch resolution once per walk; this pins the
+    // multiBatch=true branch — per-hop lookups must apply
+    // latest-batch-wins exactly like read()
+    val base = e.filter($"vec_id" % 5 =!= 0)
+    val batch = e.filter($"vec_id" % 5 === 0)
+    val g = KnnGraph.buildSearchGraph(base, m = 4, ringM = 2, rounds = 2)
+    val dir = tmp("mbwalk")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeCorpus(base, dir)
+      GraphStore.applyStreamBatch(batch, dir, 0L, m = 4, beam = 8,
+        hops = 3, maxDegree = 6, seedN = 4, "vec_id", "embedding")
+      val qs = e.filter($"vec_id".isin(0L, 42L, 137L))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val full = GraphStore.hierSearch(spark, dir,
+          GraphStore.readCorpus(spark, dir), qs, beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val pl = GraphStore.hierSearchPointLookup(spark, dir, qs,
+          beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(pl === full,
+        "multi-batch point-lookup walk drifted from the whole-frame walk")
     } finally rm(dir)
   }
 
