@@ -614,6 +614,33 @@ object AnnQueries extends QueryPack {
       Sq.sqTopK(Sq.encode(e, model), model, q, k = 10)
     }),
 
+    // ModelStore restart lifecycle for the SQ family (the
+    // ann_ivfpq_model_store pattern on the second quantizer class):
+    // trained per-dimension bounds land as (d, mn, mx) literal rows and
+    // the persisted SQ8 codes land beside them; the search runs from
+    // LOADED artifacts alone. Bounds are floats (bit-exact through
+    // parquet) and the SQ distance is integer arithmetic, so the
+    // oracle is ann_sq's retrain-every-time replay verbatim.
+    "ann_sq_store" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Sq.train(e)
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_sq_store_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      graft.sources.ModelStore.writeSq(s, model, s"$root/sq")
+      Sq.encode(e, model)
+        .write.mode("overwrite").parquet(s"$root/codes")
+      // reopen path: everything below this line reads ONLY the store
+      val model2 = graft.sources.ModelStore.readSq(s, s"$root/sq")
+      val codes2 = s.read.parquet(s"$root/codes")
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      Sq.sqTopK(codes2, model2, q, k = 10)
+    }),
+
     // SQ serving pipeline: integer-distance shortlist of 50 over the
     // 1-byte codes, exact L2 re-rank of just those rows — the
     // ann_pq_rerank shape at 4× instead of 32× compression.
@@ -1645,7 +1672,8 @@ object AnnQueries extends QueryPack {
       // trained-model literals roundtrip the ModelStore bit-exactly and
       // the ADC is integer arithmetic, so the reopened-artifact search
       // replays the identical retrain-every-time SQL
-      ("ann_ivfpq_model_store" -> m("ann_ivfpq"))
+      ("ann_ivfpq_model_store" -> m("ann_ivfpq")) +
+      ("ann_sq_store" -> m("ann_sq"))
   }
 
   private def oracleBase: Map[String, String] = Map(
