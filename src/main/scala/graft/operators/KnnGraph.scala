@@ -248,19 +248,46 @@ object KnnGraph {
       expand: DataFrame => DataFrame,
       fetchEmb: DataFrame => DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    require(beam > 0 && hops >= 0 && k > 0, "beam/hops/k must be positive")
-    import graft.expressions.BottomK.bottomK
-    // (qid, cand) -> per-qid best `width` as (qid, cand, d)
-    def rerank(pool: DataFrame, width: Int): DataFrame = {
-      val p = pool.distinct()
+    require(k > 0, "k must be positive")
+    // (qid, cand) distinct pool -> (qid, cand, d) by true distance
+    val score: DataFrame => DataFrame = p =>
       p.join(fetchEmb(p), "cand")
         .join(broadcast(queries), "qid")
         .select(col("qid"), col("cand"), l2sq(col("ce"), col("qv")).as("d"))
-        .groupBy(col("qid"))
-        .agg(bottomK(col("d"), col("cand").cast("long"), width).as("topw"))
-        .select(col("qid"), posexplode(col("topw")))
-        .select(col("qid"), col("col.id").as("cand"), col("col.distance").as("d"))
-    }
+    val frontier = beamWalkScore(seeds, beam, hops, expand, score)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("cand"))
+    rerankWith(score, frontier.select(col("qid"), col("cand")), k)
+      .select(col("qid"), col("cand").as(idCol), col("d").as("distance"),
+        row_number().over(w).cast("long").as("rank"))
+  }
+
+  /** (qid, cand) pool → per-qid best `width` rows as (qid, cand, d),
+    * scored by `score` ((distance, id) ties via the BottomK heap). */
+  private[graft] def rerankWith(score: DataFrame => DataFrame,
+      pool: DataFrame, width: Int): DataFrame = {
+    import graft.expressions.BottomK.bottomK
+    score(pool.distinct())
+      .groupBy(col("qid"))
+      .agg(bottomK(col("d"), col("cand").cast("long"), width).as("topw"))
+      .select(col("qid"), posexplode(col("topw")))
+      .select(col("qid"), col("col.id").as("cand"), col("col.distance").as("d"))
+  }
+
+  /** The hop loop of [[beamSearchExpandFetch]] with the SCORER itself
+    * pluggable — the third hook a persisted index needs: a DiskANN-shape
+    * serving walk navigates by compressed-code distance (integer ADC
+    * over m-byte PQ codes — [[graft.sources.GraphStore.searchPointLookupAdc]])
+    * and touches full embeddings only for the caller's final re-rank,
+    * while the exact paths score by true l2sq. `score` maps a distinct
+    * (qid, cand) pool to (qid, cand, d) rows; returns the FINAL FRONTIER
+    * (qid, cand, d), `beam` rows per qid. Hop mechanics (pinning, union,
+    * (d, cand) ties via BottomK) are shared, so every path's traversal
+    * is value-identical by construction given equal scores. */
+  def beamWalkScore(seeds: DataFrame, beam: Int, hops: Int,
+      expand: DataFrame => DataFrame,
+      score: DataFrame => DataFrame): DataFrame = {
+    require(beam > 0 && hops >= 0, "beam/hops must be positive")
     // each hop consumes the previous frontier TWICE (kept + expanded):
     // localCheckpoint per hop — without it the plan re-derives the
     // whole graph-build subtree 2^hops times (observed: a 9 GB JVM
@@ -270,17 +297,14 @@ object KnnGraph {
     // block cleanup (Dedup convention).
     // frontier is queries × beam rows — one partition is its shape
     def pin(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
-    var frontier = pin(rerank(seeds.select(col("qid"), col("cand")), beam))
+    var frontier =
+      pin(rerankWith(score, seeds.select(col("qid"), col("cand")), beam))
     (1 to hops).foreach { _ =>
       val expanded = expand(frontier)
-      frontier = pin(rerank(frontier.select(col("qid"), col("cand"))
-        .union(expanded), beam))
+      frontier = pin(rerankWith(score,
+        frontier.select(col("qid"), col("cand")).union(expanded), beam))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("d"), col("cand"))
-    rerank(frontier.select(col("qid"), col("cand")), k)
-      .select(col("qid"), col("cand").as(idCol), col("d").as("distance"),
-        row_number().over(w).cast("long").as("rank"))
+    frontier
   }
 
   /** Deterministic geometric level (the HNSW level draw, Malkov &

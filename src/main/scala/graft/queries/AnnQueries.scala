@@ -734,6 +734,52 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // DiskANN-shape serving from persisted artifacts ONLY (Subramanya
+    // et al., NeurIPS'19, composed with the reference's load-at-startup
+    // lifecycle, `vector_shard.cc:34-43`): the ann_pq codebook and the
+    // ann_graph search graph land in a ModelStore + GraphStore (edges,
+    // corpus, AND the m-byte PQ codes, all bucket-partitioned), then
+    // the serve path holds nothing in memory — entry seeds from the
+    // LOADED centroid table, beam navigation scored by integer ADC
+    // over pruned code point-lookups (each hop reads m bytes per
+    // candidate instead of d floats — 32× less vector-side IO at
+    // d=64/m=8), and ONE exact re-rank of the final beam from the
+    // corpus store. Every stage is deterministic (the ADC is exact
+    // integer arithmetic), so the oracle replays train + build + the
+    // hop-unrolled ADC walk + the exact tail.
+    "ann_graph_adc_store" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+      val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6,
+        ringM = 2, rounds = 3)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_graph_adc_store_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      graft.sources.GraphStore.write(Seq(g), path)
+      graft.sources.GraphStore.writeCorpus(e, path)
+      graft.sources.GraphStore.writeCodes(Pq.encode(e, model), path)
+      graft.sources.ModelStore.writePq(s, model, s"$path/model/pq")
+      graft.sources.ModelStore.writeCentroids(s,
+        Ann.collectCentroids(Ann.seedCentroids(e, 8)), s"$path/model/cents")
+      // serve from LOADED artifacts alone — no in-memory model/graph
+      val loaded = graft.sources.ModelStore.readPq(s, s"$path/model/pq")
+      val cents = graft.sources.ModelStore.readCentroids(s, s"$path/model/cents")
+      val q0 = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      val seedIds = cents.map { case (cid, c) => (Pq.l2sqLocal(q0, c), cid) }
+        .sorted.take(2).map(_._2)
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val seeds = seedIds.map(cid => (0L, cid)).toDF("qid", "cand")
+      graft.sources.GraphStore.searchPointLookupAdc(s, path, queries, seeds,
+          loaded, beam = 12, hops = 4, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
     // NSW batch insert, oracle-checked end to end (the reference's
     // point-upsert write path, `src/index/vector_shard.cc:46-57`, as a
     // graph-index maintenance op): base graph on the vec_id%50≠0
@@ -1797,6 +1843,52 @@ object AnnQueries extends QueryPack {
          |    SELECT s.cand, row_number() OVER (
          |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, s.cand) AS rn
          |    FROM seeds s JOIN embeddings e ON e.vec_id = s.cand CROSS JOIN q
+         |  ) WHERE rn <= 12
+         |),
+         |$hops
+         |SELECT vec_id, round(d, 4) AS distance, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |  FROM f4 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY rank""".stripMargin
+    },
+
+    // DiskANN serving replay: the refined-PQ train chain (cb / codes /
+    // lut / adcs — defines q too), the search-graph build chain (gs),
+    // exact-distance entry seeding from the centroid table, the
+    // hop-unrolled walk ranked by INTEGER ADC (a.adc — every hop's
+    // re-rank reads compressed codes, never embeddings), and the exact
+    // top-10 tail over the final beam only. The store roundtrips
+    // (edges, corpus, codes, model literals) are value-preserving
+    // (GraphStoreSpec / ModelStoreSpec), so this one SQL hash-checks
+    // train + build + persist + reopen + the ADC-navigated serve.
+    "ann_graph_adc_store" -> mat {
+      val hops = (1 to 4).map { h =>
+        s"""p$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM f${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM f${h - 1} f JOIN gs g ON g.vec_id = f.cand
+           |  )
+           |), f$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (ORDER BY a.adc, p.cand) AS rn
+           |    FROM p$h p JOIN adcs a ON a.vec_id = p.cand
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckPqCtes,
+         |$duckSearchGraphCtes,
+         |seeds AS (
+         |  SELECT cell AS cand FROM (
+         |    SELECT c.cell, row_number() OVER (
+         |      ORDER BY ${duckL2sq("q.qv", "c.centroid")}, c.cell) AS crn
+         |    FROM ($duckCentroids) c CROSS JOIN q
+         |  ) WHERE crn <= 2
+         |), f0 AS (
+         |  SELECT cand FROM (
+         |    SELECT s.cand, row_number() OVER (ORDER BY a.adc, s.cand) AS rn
+         |    FROM seeds s JOIN adcs a ON a.vec_id = s.cand
          |  ) WHERE rn <= 12
          |),
          |$hops

@@ -291,6 +291,42 @@ object GraphStore {
       .select(col("vec_id"), col("embedding"))
   }
 
+  /** Persist the corpus's PQ codes under the same bucket layout
+    * (`codes/`) — the DiskANN serving layout (Subramanya et al.,
+    * NeurIPS'19: navigate the graph by compressed-code distance, touch
+    * full vectors only for the final re-rank). A serving hop's re-rank
+    * then reads m-byte code rows instead of d-float embedding rows from
+    * the pruned bucket partitions: at d=64 float vs m=8 byte codes
+    * that is a 32× cut in the walk's per-candidate vector-side bytes.
+    * `codes` = [[graft.operators.Pq.encode]] output (vec_id, codes). */
+  def writeCodes(codes: DataFrame, path: String,
+      idCol: String = "vec_id", codeCol: String = "codes"): Unit = {
+    val buckets = statsHead(codes.sparkSession, path).getLong(1).toInt
+    codes
+      .select(col(idCol).cast("long").as("vec_id"), col(codeCol).as("codes"))
+      .withColumn("batch_id", lit(-1L))
+      .withColumn("b", bucketCol(col("vec_id"), buckets))
+      .repartition(col("b"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.partitionBy("batch_id", "b").mode("overwrite")
+      .parquet(s"$path/codes")
+  }
+
+  /** Point lookup, code side: the PQ codes of `ids` — the
+    * [[embeddingsOf]] pruning on the `codes/` layout. */
+  def codesOf(spark: SparkSession, path: String, ids: Seq[Long])
+      : DataFrame = {
+    require(ids.nonEmpty, "ids must be non-empty")
+    import spark.implicits._
+    val buckets = statsHead(spark, path).getLong(1).toInt
+    val bkts = ids.toDF("id")
+      .select(bucketCol(col("id"), buckets).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$path/codes")
+      .filter(col("b").isin(bkts: _*) && col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("codes"))
+  }
+
   /** The store state a given batch must see: everything EXCEPT the
     * batch's own partitions. This is what makes the streaming fold
     * exactly-once — a replayed foreachBatch id re-derives its delta
@@ -542,6 +578,86 @@ object GraphStore {
           .select(frontier("qid"), col("nbr_id").as("cand")))
       },
       fetchEmb, idCol, embCol)
+  }
+
+  /** DiskANN-shape serving from the persisted index (Subramanya et
+    * al., NeurIPS'19; FAISS's ADC + refine, composed with the graph
+    * walk): beam navigation over the stored layer-0 edges scored by
+    * integer ADC against the m-byte `codes/` point lookups —
+    * [[Pq.adcBatchCol]]'s exact ×1e6 quantization, so ties are
+    * integer-deterministic — with full d-float embeddings fetched
+    * ONCE, for the final beam's exact re-rank. Per-hop IO is
+    * O(frontier·maxDegree) edge rows plus the pool's code rows (m
+    * bytes each, ~32× less than raw embeddings at d=64/m=8); the
+    * corpus contributes ≤ queries×beam embedding rows total,
+    * at the very end. The walk itself is
+    * [[KnnGraph.beamWalkScore]] — hop mechanics shared with every
+    * exact path, so given equal scores the traversal is
+    * value-identical by construction. Requires [[write]] +
+    * [[writeCorpus]] + [[writeCodes]]; `queries` = (qid, qv),
+    * `seeds` = (qid, cand). Returns (qid, vec_id, distance
+    * [exact l2sq], rank ≤ k). */
+  def searchPointLookupAdc(spark: SparkSession, path: String,
+      queries: DataFrame, seeds: DataFrame, model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int, k: Int): DataFrame = {
+    import graft.operators.Pq
+    import graft.functions.VectorFunctions.l2sq
+    val st = statsHead(spark, path)
+    val buckets = st.getLong(1).toInt
+    val multiBatch = spark.read.parquet(s"$path/stats")
+      .select(col("batch_id")).distinct().count() > 1
+    val vecTable = spark.read.parquet(s"$path/vectors")
+    val edgeTable = spark.read.parquet(s"$path/edges")
+    val codeTable = spark.read.parquet(s"$path/codes")
+    def pin(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
+    def idsAndBuckets(frame: DataFrame, c: String): (Seq[Long], Seq[Long]) = {
+      val rows = frame.select(col(c), bucketCol(col(c), buckets).as("b"))
+        .distinct().collect()
+      (rows.map(_.getLong(0)).toSeq, rows.map(_.getLong(1)).distinct.toSeq)
+    }
+    // navigation scorer: the pool's PQ codes (pruned point lookup) ×
+    // the broadcast query set — integer ADC, cast to double for the
+    // shared BottomK heap (exact: values ≪ 2^53)
+    val score: DataFrame => DataFrame = pool => {
+      val (ids, bkts) = idsAndBuckets(pool, "cand")
+      val codes =
+        if (ids.isEmpty) codeTable.limit(0)
+          .select(col("vec_id").as("cand"), col("codes"))
+        else codeTable
+          .filter(col("b").isin(bkts: _*) && col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("cand"), col("codes"))
+      pool.join(codes, "cand").join(broadcast(queries), "qid")
+        .select(col("qid"), col("cand"),
+          Pq.adcBatchCol(col("codes"), col("qv"), model)
+            .cast("double").as("d"))
+    }
+    val expand: DataFrame => DataFrame = frontier => {
+      val (ids, bkts) = idsAndBuckets(frontier, "cand")
+      val pruned = edgeTable
+        .filter(col("level") === 0 && col("b").isin(bkts: _*) &&
+          col("vec_id").isin(ids: _*))
+      val adj =
+        if (multiBatch) resolveLatest(pruned)
+        else pruned.select(col("vec_id"), col("nbr_id"))
+      pin(adj
+        .join(broadcast(frontier), col("vec_id") === frontier("cand"))
+        .select(frontier("qid"), col("nbr_id").as("cand")))
+    }
+    val frontier = KnnGraph.beamWalkScore(seeds, beam, hops, expand, score)
+    // exact tail: ONE pruned corpus fetch of the final beam's ids
+    val exactScore: DataFrame => DataFrame = pool => {
+      val (ids, bkts) = idsAndBuckets(pool, "cand")
+      val emb = vecTable
+        .filter(col("b").isin(bkts: _*) && col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("cand"), col("embedding").as("ce"))
+      pool.join(emb, "cand").join(broadcast(queries), "qid")
+        .select(col("qid"), col("cand"), l2sq(col("ce"), col("qv")).as("d"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("cand"))
+    KnnGraph.rerankWith(exactScore, frontier.select(col("qid"), col("cand")), k)
+      .select(col("qid"), col("cand").as("vec_id"), col("d").as("distance"),
+        row_number().over(w).cast("long").as("rank"))
   }
 
   /** Fold every batch partition into the single `batch_id=-1` build

@@ -202,6 +202,116 @@ class GraphStoreSpec extends SparkSpec {
     } finally { rm(dir); qs.unpersist(false) }
   }
 
+  test("codesOf is a pruned point lookup: scan reads a fraction of the code store") {
+    val g = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 2)
+    val model = graft.operators.Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+    val dir = tmp("codeprobe")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeCodes(graft.operators.Pq.encode(e, model), dir)
+      val all = spark.read.parquet(s"$dir/codes")
+      val total = all.count()
+      val ids = Seq(3L, 17L)
+      val pruned = PlanMetrics.scannedRows(
+        GraphStore.codesOf(spark, dir, ids))
+      val control = PlanMetrics.scannedRows(
+        all.filter(col("vec_id").isin(ids: _*) || col("vec_id").isNotNull))
+      assert(control >= total, s"control should scan all $total rows")
+      assert(pruned <= total / 4,
+        s"bucket+id pruning should cut the code scan ($pruned of $total rows)")
+      assert(GraphStore.codesOf(spark, dir, ids)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet === ids.toSet)
+    } finally rm(dir)
+  }
+
+  test("searchPointLookupAdc ≡ the in-memory ADC walk; navigation reads code bytes, not embeddings") {
+    // The DiskANN serving shape: navigate by integer ADC over m-byte
+    // codes, exact re-rank only at the end. Value check: the store walk
+    // (adcBatchCol per hop over pruned code lookups) must equal an
+    // in-memory replay built from the OTHER ADC form (driver LUT +
+    // adcCol over full frames) — exercising both kernels' declared
+    // value-identity through a whole traversal. IO check: the per-hop
+    // asymmetry the design buys — for the SAME id set on the SAME
+    // bucket layout, the codes fetch (m bytes/row) reads fewer file
+    // bytes than the embeddings fetch (d floats/row). (A walk-total
+    // comparison is NOT asserted: at sf0.01 parquet footers dominate
+    // row data, so end-to-end bytes measure file count, not the
+    // per-candidate row width the ADC layout actually cuts.)
+    import graft.operators.Pq
+    import graft.functions.VectorFunctions.l2sq
+    import scala.jdk.CollectionConverters._
+    def fsBytesRead(): Long =
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    val big = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", $"embedding")
+    val model = Pq.trainRefined(big, m = 8, ks = 16, iters = 1)
+    val g = KnnGraph.buildSearchGraph(big, m = 4, ringM = 2, rounds = 1)
+      .persist()
+    g.count()
+    val codes = Pq.encode(big, model).persist()
+    codes.count()
+    val qs = big.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).persist()
+    qs.count()
+    val q0 = qs.head.getSeq[Float](1).toArray
+    val seeds = Seq((0L, 3L), (0L, 17L)).toDF("qid", "cand")
+    // in-memory replay: LUT-form ADC over full frames, same hop kernel
+    val lut = Pq.lut(model, q0)
+    val gAdj = g.select($"vec_id".as("cand"), $"nbr_id")
+    val frontier = KnnGraph.beamWalkScore(seeds, beam = 8, hops = 3,
+      f => gAdj.join(broadcast(f), "cand")
+        .select($"qid", $"nbr_id".as("cand")),
+      pool => pool.join(codes.select($"vec_id".as("cand"), $"codes"), "cand")
+        .select($"qid", $"cand",
+          Pq.adcCol($"codes", lut).cast("double").as("d")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d", $"cand")
+    val mem = frontier.select($"qid", $"cand")
+      .join(big.select($"vec_id".as("cand"), $"embedding".as("ce")), "cand")
+      .join(broadcast(qs), "qid")
+      .select($"qid", $"cand", l2sq($"ce", $"qv").as("d"))
+      .select($"qid", $"cand", $"d",
+        org.apache.spark.sql.functions.row_number().over(w).as("rn"))
+      .filter($"rn" <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dir = tmp("adcwalk")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 64)
+      GraphStore.writeCorpus(big, dir)
+      GraphStore.writeCodes(codes, dir)
+      g.unpersist(false)
+      codes.unpersist(false)
+      def measure[A](body: => A): (A, Long) = {
+        val b0 = fsBytesRead()
+        val r = body
+        (r, fsBytesRead() - b0)
+      }
+      val (got, adcBytes) = measure {
+        GraphStore.searchPointLookupAdc(spark, dir, qs, seeds, model,
+            beam = 8, hops = 3, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3).toInt))
+          .toSet
+      }
+      assert(got === mem, "store ADC walk drifted from the in-memory ADC replay")
+      assert(adcBytes > 0L, "walk measurement saw no file reads")
+      // per-hop vector-side asymmetry, same ids + same bucket layout:
+      // code rows (m bytes) vs embedding rows (d floats) — footer/open
+      // overhead is identical on both sides by construction, so the
+      // delta is pure row width
+      val poolIds = (mem.map(_._2) ++ Seq(3L, 17L)).toSeq.distinct
+      val (_, codeBytes) = measure {
+        GraphStore.codesOf(spark, dir, poolIds).collect()
+      }
+      val (_, embBytes) = measure {
+        GraphStore.embeddingsOf(spark, dir, poolIds).collect()
+      }
+      assert(codeBytes < embBytes,
+        s"a hop's code fetch should read fewer file bytes than the same " +
+          s"ids' embedding fetch ($codeBytes vs $embBytes)")
+    } finally { rm(dir); qs.unpersist(false) }
+  }
+
   test("hier delta lands per level: store layers ≡ insertBatchHier output") {
     val base = e.filter($"vec_id" % 10 =!= 0)
     val batch = e.filter($"vec_id" % 10 === 0)
