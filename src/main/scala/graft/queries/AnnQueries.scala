@@ -780,6 +780,38 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // The full hierarchical serve under ADC navigation — ann_graph_hier's
+    // build persisted (edges, corpus, codes, model), then EVERY stage of
+    // the serve runs from the store with code-row vector IO: entry from
+    // the stored stats row, the layer-1 routing descent ranked by
+    // integer ADC, the layer-0 walk likewise, one exact re-rank of the
+    // final beam. The DiskANN compressed-navigation layout composed
+    // with the HNSW level stack — at 100 TB the whole descent's
+    // vector-side reads are m-byte code rows, never d-float embeddings.
+    "ann_graph_adc_hier" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+      val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
+        ringM = 2, rounds = 3, maxLevel = 1)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_graph_adc_hier_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      graft.sources.GraphStore.write(layers, path)
+      graft.sources.GraphStore.writeCorpus(e, path)
+      graft.sources.GraphStore.writeCodes(Pq.encode(e, model), path)
+      graft.sources.ModelStore.writePq(s, model, s"$path/model/pq")
+      val loaded = graft.sources.ModelStore.readPq(s, s"$path/model/pq")
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sources.GraphStore.hierSearchPointLookupAdc(s, path, queries,
+          loaded, beam = 12, hops = 3, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
     // NSW batch insert, oracle-checked end to end (the reference's
     // point-upsert write path, `src/index/vector_shard.cc:46-57`, as a
     // graph-index maintenance op): base graph on the vec_id%50≠0
@@ -1896,6 +1928,67 @@ object AnnQueries extends QueryPack {
          |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
          |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
          |  FROM f4 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY rank""".stripMargin
+    },
+
+    // ann_graph_hier's two-layer descent replayed with EVERY per-hop
+    // rank coming from the integer ADC table (a.adc) instead of exact
+    // distances — upper layer (gsh over l1src, 6 hops, width 4), the
+    // layer-boundary handoff, the layer-0 walk (gs, 3 hops, width 12),
+    // then the one exact top-10 tail. Store + model roundtrips are
+    // value-preserving (GraphStoreSpec / ModelStoreSpec), so this SQL
+    // hash-checks the whole persisted hierarchical ADC serve.
+    "ann_graph_adc_hier" -> mat {
+      val upper = (1 to 6).map { h =>
+        s"""aup$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM auf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM auf${h - 1} f JOIN gsh g ON g.vec_id = f.cand
+           |  )
+           |), auf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (ORDER BY a.adc, p.cand) AS rn
+           |    FROM aup$h p JOIN adcs a ON a.vec_id = p.cand
+           |  ) WHERE rn <= 4
+           |)""".stripMargin
+      }.mkString(",\n")
+      val lower = (1 to 3).map { h =>
+        s"""alp$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM alf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM alf${h - 1} f JOIN gs g ON g.vec_id = f.cand
+           |  )
+           |), alf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (ORDER BY a.adc, p.cand) AS rn
+           |    FROM alp$h p JOIN adcs a ON a.vec_id = p.cand
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckPqCtes,
+         |$duckSearchGraphCtes,
+         |l1src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE length(regexp_extract(md5(CAST(vec_id AS VARCHAR)), '^0*')) >= 1
+         |),
+         |${duckSearchGraphCtesFor("l1src", "h")},
+         |auf0 AS (
+         |  SELECT vec_id AS cand FROM l1src
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+         |),
+         |$upper,
+         |alf0 AS (
+         |  SELECT cand FROM (
+         |    SELECT s.cand, row_number() OVER (ORDER BY a.adc, s.cand) AS rn
+         |    FROM auf6 s JOIN adcs a ON a.vec_id = s.cand
+         |  ) WHERE rn <= 12
+         |),
+         |$lower
+         |SELECT vec_id, round(d, 4) AS distance, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |  FROM alf3 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
          |) WHERE rn <= 10
          |ORDER BY rank""".stripMargin
     },

@@ -327,6 +327,58 @@ object GraphStore {
       .select(col("vec_id"), col("codes"))
   }
 
+  /** Code-side maintenance: encode the corpus rows whose codes are
+    * MISSING and land them as one exactly-once batch of the `codes/`
+    * layout. Streaming ingest ([[appendStream]]/[[appendStreamHier]])
+    * lands corpus rows per micro-batch but not codes — encoding needs a
+    * trained [[graft.operators.Pq.PqModel]] (reopened from the
+    * ModelStore on the serving side), so codes refresh on the
+    * maintenance cadence instead, keeping [[searchPointLookupAdc]]
+    * complete over everything ingested since the last refresh.
+    * Exactly-once shape = [[writeBatch]]'s: the landing partition is
+    * the corpus's high-water `batch_id`, and the delta is derived
+    * EXCLUDING that partition's own codes — a crash-replay re-derives
+    * the identical full delta and dynamic-overwrites it with the same
+    * bytes (never a partial subset that would drop rows an interrupted
+    * attempt already landed in the same bucket partition). The
+    * anti-join construction also keeps `codes/` free of duplicate
+    * vec_ids, the invariant the ADC walk's per-hop join relies on.
+    * Run against a quiesced store (the [[compact]] cadence; `maintain`
+    * callers refresh before folding). Returns the delta row count. */
+  def refreshCodes(spark: SparkSession, path: String,
+      model: graft.operators.Pq.PqModel): Long = {
+    import graft.operators.Pq
+    val buckets = statsHead(spark, path).getLong(1).toInt
+    val codeTable = spark.read.parquet(s"$path/codes")
+    // fully-refreshed store → no-op (a row present in ANY partition is
+    // valid — codes are immutable per vec_id)
+    val anyMissing = readCorpus(spark, path).select(col("vec_id"))
+      .join(codeTable.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .head(1).nonEmpty
+    if (!anyMissing) return 0L
+    val hw = spark.read.parquet(s"$path/vectors")
+      .agg(max(col("batch_id").cast("long"))).head.getLong(0)
+    val have = codeTable
+      .filter(col("batch_id") =!= hw).select(col("vec_id"))
+    val missing = readCorpus(spark, path)
+      .select(col("vec_id"), col("embedding"))
+      .join(have, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val n = missing.count()
+    if (n > 0) {
+      Pq.encode(missing, model)
+        .select(col("vec_id").cast("long").as("vec_id"), col("codes"))
+        .withColumn("batch_id", lit(hw))
+        .withColumn("b", bucketCol(col("vec_id"), buckets))
+        .repartition(col("b"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.partitionBy("batch_id", "b")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/codes")
+    }
+    n
+  }
+
   /** The store state a given batch must see: everything EXCEPT the
     * batch's own partitions. This is what makes the streaming fold
     * exactly-once — a replayed foreachBatch id re-derives its delta
@@ -660,6 +712,68 @@ object GraphStore {
         row_number().over(w).cast("long").as("rank"))
   }
 
+  /** The full hierarchical serve under ADC navigation — the DiskANN
+    * compressed-navigation layout composed with the HNSW level stack
+    * (Malkov & Yashunin '16): entry comes from the STORED stats row
+    * (no caller seeds, the reference's load-at-startup shape), each
+    * routing layer descends by integer ADC over the m-byte code
+    * lookups exactly like layer 0 — so the whole descent's vector-side
+    * IO is code rows; full embeddings are read once, in
+    * [[searchPointLookupAdc]]'s final exact re-rank. Upper layers'
+    * edge frames are the geometric tail (16× smaller per level, read
+    * whole); layer 0 expansion + every code/corpus fetch is a pruned
+    * point lookup. Parameters mirror [[hierSearchPointLookup]];
+    * handoff ≤ upperBeam rows per query cross each layer boundary. */
+  def hierSearchPointLookupAdc(spark: SparkSession, path: String,
+      queries: DataFrame, model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int, k: Int,
+      upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4)
+      : DataFrame = {
+    import graft.operators.Pq
+    val st = statsHead(spark, path)
+    val buckets = st.getLong(1).toInt
+    val entryLevel = st.getLong(3).toInt
+    val entryId = st.getLong(4)
+    val multiBatch = spark.read.parquet(s"$path/stats")
+      .select(col("batch_id")).distinct().count() > 1
+    val edgeTable = spark.read.parquet(s"$path/edges")
+    val codeTable = spark.read.parquet(s"$path/codes")
+    def pin(df: DataFrame): DataFrame = df.coalesce(1).localCheckpoint(true)
+    def idsAndBuckets(frame: DataFrame, c: String): (Seq[Long], Seq[Long]) = {
+      val rows = frame.select(col(c), bucketCol(col(c), buckets).as("b"))
+        .distinct().collect()
+      (rows.map(_.getLong(0)).toSeq, rows.map(_.getLong(1)).distinct.toSeq)
+    }
+    val score: DataFrame => DataFrame = pool => {
+      val (ids, bkts) = idsAndBuckets(pool, "cand")
+      val codes =
+        if (ids.isEmpty) codeTable.limit(0)
+          .select(col("vec_id").as("cand"), col("codes"))
+        else codeTable
+          .filter(col("b").isin(bkts: _*) && col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("cand"), col("codes"))
+      pool.join(codes, "cand").join(broadcast(queries), "qid")
+        .select(col("qid"), col("cand"),
+          Pq.adcBatchCol(col("codes"), col("qv"), model)
+            .cast("double").as("d"))
+    }
+    var seeds = queries.select(col("qid"), lit(entryId).as("cand"))
+    (entryLevel to 1 by -1).foreach { l =>
+      val lf = edgeTable.filter(col("level") === l)
+      val g = (if (multiBatch) resolveLatest(lf)
+        else lf.select(col("vec_id"), col("nbr_id")))
+        .select(col("vec_id").as("cand"), col("nbr_id"))
+      val fr = KnnGraph.beamWalkScore(seeds, upperBeam, upperHops,
+        frontier => pin(g.join(broadcast(frontier), "cand")
+          .select(col("qid"), col("nbr_id").as("cand"))),
+        score)
+      seeds = pin(KnnGraph.rerankWith(score,
+          fr.select(col("qid"), col("cand")), handoff)
+        .select(col("qid"), col("cand")))
+    }
+    searchPointLookupAdc(spark, path, queries, seeds, model, beam, hops, k)
+  }
+
   /** Fold every batch partition into the single `batch_id=-1` build
     * layout: latest-batch-wins applied once at rest per level, files
     * re-sorted by (vec_id, nbr_id) per bucket, stats collapsed to one
@@ -755,6 +869,25 @@ object GraphStore {
       fs.rename(tmpV, vecsPath)
       fs.delete(bakV, true)
     }
+    // the codes layout folds the same way (when present): ids are
+    // unique across partitions (refreshCodes' anti-join invariant), so
+    // this too is a re-layout, not a resolution
+    val codesPath = new Path(s"$path/codes")
+    if (fs.exists(codesPath)) {
+      val tmpC = new Path(s"$path/_codes_compact_tmp")
+      spark.read.parquet(codesPath.toString)
+        .select(col("vec_id"), col("codes"))
+        .withColumn("batch_id", lit(-1L))
+        .withColumn("b", bucketCol(col("vec_id"), buckets))
+        .repartition(col("b"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.partitionBy("batch_id", "b")
+        .mode("overwrite").parquet(tmpC.toString)
+      val bakC = new Path(s"$path/_codes_bak")
+      fs.rename(codesPath, bakC)
+      fs.rename(tmpC, codesPath)
+      fs.delete(bakC, true)
+    }
     val statsPath = new Path(s"$path/stats")
     val bakE = new Path(s"$path/_edges_bak")
     val bakS = new Path(s"$path/_stats_bak")
@@ -772,7 +905,7 @@ object GraphStore {
   private def recoverCompact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    Seq("edges", "stats", "vectors").foreach { d =>
+    Seq("edges", "stats", "vectors", "codes").foreach { d =>
       val live = new Path(s"$path/$d")
       val bak = new Path(s"$path/_${d}_bak")
       if (!fs.exists(live) && fs.exists(bak)) fs.rename(bak, live)

@@ -122,6 +122,62 @@ object AnnServe {
       .outputMode("update")
       .start()
 
+  /** One ADC serving micro-batch — the foreachBatch body of
+    * [[serveGraphStoreAdc]], exposed for the replay fixture. Same
+    * exactly-once landing contract as [[applyServeGraphStoreBatch]];
+    * the walk is [[graft.sources.GraphStore.hierSearchPointLookupAdc]]
+    * (per-hop vector-side IO = m-byte code rows, one exact re-rank). */
+  private[graft] def applyServeGraphStoreAdcBatch(batch: DataFrame,
+      path: String, resultPath: String, batchId: Long,
+      model: graft.operators.Pq.PqModel, k: Int, beam: Int,
+      hops: Int, upperBeam: Int, upperHops: Int, handoff: Int,
+      queryIdCol: String, queryVecCol: String): Unit = {
+    val qs = batch
+      .select(col(queryIdCol).cast("long").as("qid"),
+        col(queryVecCol).as("qv"))
+      .localCheckpoint(true)
+    if (qs.head(1).nonEmpty) {
+      graft.sources.GraphStore.hierSearchPointLookupAdc(batch.sparkSession,
+          path, qs, model, beam, hops, k, upperBeam, upperHops, handoff)
+        .withColumnRenamed("qid", queryIdCol)
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(resultPath)
+    }
+  }
+
+  /** [[serveGraphStore]] under DiskANN-shape ADC navigation: the PQ
+    * model is loaded ONCE from the ModelStore when the stream starts
+    * (the reference's load-at-startup lifecycle, `vector_shard.cc:
+    * 34-43`) and every query micro-batch descends the persisted level
+    * stack scored by integer ADC over pruned m-byte code lookups, with
+    * one exact re-rank per batch — the serving loop's vector-side IO
+    * is code rows, never full embeddings. Requires `GraphStore.write`
+    * + `writeCorpus` + `writeCodes` and a `ModelStore.writePq` at
+    * `modelPath`. Exactly-once results per `batch_id=` partition;
+    * restart = reopen model + resume checkpoint, nothing rebuilds. */
+  def serveGraphStoreAdc(queryStream: DataFrame, path: String,
+      modelPath: String, resultPath: String, checkpoint: String, k: Int,
+      beam: Int = 12, hops: Int = 3, upperBeam: Int = 4,
+      upperHops: Int = 6, handoff: Int = 4,
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = graft.sources.ModelStore.readPq(
+      queryStream.sparkSession, modelPath)
+    queryStream
+      .dropDuplicates(queryIdCol)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyServeGraphStoreAdcBatch(batch, path, resultPath, batchId,
+          model, k, beam, hops, upperBeam, upperHops, handoff,
+          queryIdCol, queryVecCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+  }
+
   /** Start an update-mode serving endpoint for [[annServeStream]] under
     * the reference's MICRO-BATCHING contract
     * (`BatchingConfig.max_batch_delay_ms`, `src/util/config.cc:44-47`,

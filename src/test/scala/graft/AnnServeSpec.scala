@@ -124,4 +124,59 @@ class AnnServeSpec extends SparkSpec {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     }
   }
+
+  test("ADC streaming serving ≡ the batch hier ADC walk per arriving batch; replay is a no-op") {
+    // the serveGraphStore fixture under compressed navigation: model
+    // loaded once from the ModelStore at stream start, every micro-batch
+    // descends the persisted level stack by integer ADC, results land
+    // exactly-once per batch partition
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{KnnGraph, Pq}
+    import graft.sources.{GraphStore, ModelStore}
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+    val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
+      maxLevel = 1).map(_.persist())
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-serve-$tag").toString
+    val dir = tmp("adcstore"); val out = tmp("adcout"); val ckpt = tmp("adcckpt")
+    try {
+      GraphStore.write(layers, dir, buckets = 8)
+      GraphStore.writeCorpus(e, dir)
+      GraphStore.writeCodes(Pq.encode(e, model), dir)
+      ModelStore.writePq(spark, model, s"$dir/model/pq")
+      layers.foreach(_.unpersist(false))
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = AnnServe.serveGraphStoreAdc(
+        mem.toDF().toDF("query_id", "qvec"), dir, s"$dir/model/pq", out,
+        ckpt, k = 5, beam = 8, hops = 3)
+      val panel = Seq(0L, 42L, 137L, 300L)
+      val qvecs = e.filter($"vec_id".isin(panel: _*))
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      try {
+        mem.addData(qvecs(0), qvecs(1)); q.processAllAvailable()
+        mem.addData(qvecs(2), qvecs(3)); q.processAllAvailable()
+      } finally q.stop()
+      def results() = spark.read.parquet(out)
+        .select($"query_id", $"vec_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = results()
+      // batch reference: the same hier ADC walk over the whole panel
+      val qs = e.filter($"vec_id".isin(panel: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val expect = GraphStore.hierSearchPointLookupAdc(spark, dir, qs,
+          model, beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got === expect,
+        "streamed ADC-served results drifted from the batch hier ADC walk")
+      val lastBatch = Seq(qvecs(2), qvecs(3)).toDF("query_id", "qvec")
+      AnnServe.applyServeGraphStoreAdcBatch(lastBatch, dir, out, 1L,
+        model, k = 5, beam = 8, hops = 3, upperBeam = 4, upperHops = 6,
+        handoff = 4, "query_id", "qvec")
+      assert(results() === expect, "batch replay changed the served results")
+    } finally {
+      Seq(dir, out, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    }
+  }
 }

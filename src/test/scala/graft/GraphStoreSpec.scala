@@ -312,6 +312,83 @@ class GraphStoreSpec extends SparkSpec {
     } finally { rm(dir); qs.unpersist(false) }
   }
 
+  test("refreshCodes keeps ADC serving complete under ingest; compact folds the codes layout") {
+    // streaming ingest lands corpus rows but not codes (encoding needs
+    // the trained model) — refreshCodes is the maintenance op that
+    // closes the gap: delta = corpus ∖ codes, exactly-once landing,
+    // no duplicate vec_ids, replay no-op; after it an ingested vector
+    // is ADC-servable end to end; compact folds codes to batch_id=-1
+    // with values unchanged.
+    import graft.operators.Pq
+    val base = e.filter($"vec_id" % 20 =!= 0)
+    val batch = e.filter($"vec_id" % 20 === 0)
+    val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+    val g = KnnGraph.buildSearchGraph(base, m = 4, ringM = 2, rounds = 2)
+      .persist()
+    val seedIds = base.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(4).select($"vec_id").collect().map(_.getLong(0))
+    val seeds = batch.select($"vec_id".as("qid"),
+      explode(lit(seedIds)).as("cand"))
+    val delta = KnnGraph.insertBatchDelta(base, g, batch, seeds, m = 4,
+      beam = 8, hops = 3, maxDegree = 6).persist()
+    delta.count()
+    val dir = tmp("coderefresh")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeCorpus(base, dir)
+      GraphStore.writeCodes(Pq.encode(base, model), dir)
+      GraphStore.writeBatch(delta, dir, batchId = 3L)
+      GraphStore.writeCorpusBatch(
+        batch.select($"vec_id", $"embedding"), dir, 3L, buckets = 8)
+      val n = GraphStore.refreshCodes(spark, dir, model)
+      assert(n === batch.count(), "delta must be exactly the ingested rows")
+      val codeRows = spark.read.parquet(s"$dir/codes")
+        .select($"vec_id", $"codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).toList))
+      val corpusIds = GraphStore.readCorpus(spark, dir)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(codeRows.map(_._1).toSet === corpusIds,
+        "codes must cover the whole corpus after refresh")
+      assert(codeRows.length === corpusIds.size,
+        "codes layout must hold each id exactly once")
+      val want = Pq.encode(e, model).collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).toList)).toMap
+      assert(codeRows.forall { case (id, c) => want(id) == c },
+        "stored codes drifted from a direct encode")
+      assert(GraphStore.refreshCodes(spark, dir, model) === 0L,
+        "a fully-refreshed store must be a no-op")
+      // an ingested vector is ADC-servable: querying its own embedding
+      // seeded at itself must return it at rank 1, distance 0
+      val newId = batch.select($"vec_id").orderBy($"vec_id")
+        .head.getLong(0)
+      val qs = e.filter($"vec_id" === newId)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      def top1() = GraphStore.searchPointLookupAdc(spark, dir, qs,
+          Seq((newId, newId)).toDF("qid", "cand"), model,
+          beam = 4, hops = 1, k = 1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(top1() === Seq((newId, 0.0)),
+        "refreshed store failed to serve the ingested vector by ADC")
+      GraphStore.compact(spark, dir)
+      val batchDirs = new java.io.File(s"$dir/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      assert(batchDirs.map(_.getName).toSeq === Seq("batch_id=-1"),
+        "compact must fold the codes layout")
+      val folded = spark.read.parquet(s"$dir/codes")
+        .select($"vec_id", $"codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Any](1).toList))
+      assert(folded.length === corpusIds.size &&
+        folded.forall { case (id, c) => want(id) == c },
+        "compaction changed code values")
+      assert(top1() === Seq((newId, 0.0)),
+        "compacted store failed to serve the ingested vector by ADC")
+    } finally {
+      rm(dir)
+      delta.unpersist(false)
+      g.unpersist(false)
+    }
+  }
+
   test("hier delta lands per level: store layers ≡ insertBatchHier output") {
     val base = e.filter($"vec_id" % 10 =!= 0)
     val batch = e.filter($"vec_id" % 10 === 0)
