@@ -815,6 +815,19 @@ object GraphStore {
       st)
   }
 
+  /** [[maintain]] for an ADC-serving store: refresh the codes of
+    * everything ingested since the last maintenance (BEFORE the fold,
+    * so the refresh lands exactly-once under the ingest high-water
+    * partition and the fold collapses it), then redescend + compact.
+    * After it the store serves [[hierSearchPointLookupAdc]] complete
+    * over the whole corpus from the single `batch_id=-1` layout. */
+  def maintain(spark: SparkSession, path: String, m: Int,
+      ringM: Int, model: graft.operators.Pq.PqModel): Unit = {
+    recoverCompact(spark, path) // heal a crashed swap before reading codes
+    refreshCodes(spark, path, model)
+    maintain(spark, path, m, ringM)
+  }
+
   /** Write `layers` (element l = layer l's resolved edge frame) as the
     * single `batch_id=-1` build layout and promote it over the live
     * store: tmp write → rename live aside → promote → delete backup

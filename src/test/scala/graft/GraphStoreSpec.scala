@@ -389,6 +389,62 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("maintain with model: one entry point leaves an ADC-complete folded store") {
+    // the ADC-serving maintenance cadence: refreshCodes ∘ redescend ∘
+    // compact as one call — after it codes cover the corpus exactly
+    // once in the single batch_id=-1 layout and the ingested vector is
+    // ADC-servable (redescend value-identity is pinned by the maintain
+    // test; the composition's codes lifecycle is what's under test)
+    import graft.operators.Pq
+    val base = e.filter($"vec_id" % 20 =!= 0)
+    val batch = e.filter($"vec_id" % 20 === 0)
+    val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+    val g = KnnGraph.buildSearchGraph(base, m = 4, ringM = 2, rounds = 2)
+      .persist()
+    val seedIds = base.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(4).select($"vec_id").collect().map(_.getLong(0))
+    val seeds = batch.select($"vec_id".as("qid"),
+      explode(lit(seedIds)).as("cand"))
+    val delta = KnnGraph.insertBatchDelta(base, g, batch, seeds, m = 4,
+      beam = 8, hops = 3, maxDegree = 6).persist()
+    delta.count()
+    val dir = tmp("maintmodel")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeCorpus(base, dir)
+      GraphStore.writeCodes(Pq.encode(base, model), dir)
+      GraphStore.writeBatch(delta, dir, batchId = 3L)
+      GraphStore.writeCorpusBatch(
+        batch.select($"vec_id", $"embedding"), dir, 3L, buckets = 8)
+      GraphStore.maintain(spark, dir, m = 4, ringM = 2, model)
+      val corpusIds = GraphStore.readCorpus(spark, dir)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val codeRows = spark.read.parquet(s"$dir/codes")
+        .select($"vec_id").collect().map(_.getLong(0))
+      assert(codeRows.toSet === corpusIds && codeRows.length === corpusIds.size,
+        "maintained store must hold each corpus id's codes exactly once")
+      Seq("edges", "codes", "vectors").foreach { d =>
+        val dirs = new java.io.File(s"$dir/$d").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        assert(dirs.map(_.getName).toSeq === Seq("batch_id=-1"),
+          s"maintain must fold the $d layout")
+      }
+      val newId = batch.select($"vec_id").orderBy($"vec_id").head.getLong(0)
+      val qs = e.filter($"vec_id" === newId)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val top1 = GraphStore.searchPointLookupAdc(spark, dir, qs,
+          Seq((newId, newId)).toDF("qid", "cand"), model,
+          beam = 4, hops = 1, k = 1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(top1 === Seq((newId, 0.0)),
+        "maintained store failed to serve the ingested vector by ADC")
+    } finally {
+      rm(dir)
+      delta.unpersist(false)
+      g.unpersist(false)
+    }
+  }
+
   test("hier delta lands per level: store layers ≡ insertBatchHier output") {
     val base = e.filter($"vec_id" % 10 =!= 0)
     val batch = e.filter($"vec_id" % 10 === 0)

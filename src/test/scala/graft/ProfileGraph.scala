@@ -22,6 +22,7 @@ object ProfileGraph {
     if (args.headOption.contains("insert")) { insertProfile(spark); spark.stop(); return }
     if (args.headOption.contains("hier")) { hierProfile(spark); spark.stop(); return }
     if (args.headOption.contains("erosion")) { erosionProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("adc")) { adcProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
@@ -324,5 +325,86 @@ object ProfileGraph {
         f"(evals/N=${evals / n}%5.1f)")
       graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
     }
+  }
+
+  /** Round-12 evidence: exact vs ADC store serving on a replicated
+    * sf0.1 corpus (16× = 32k vectors; ids offset, vectors shifted per
+    * replica — the ProfileScale convention, so local density is
+    * constant and bucket files hold ~1000 rows, a data-to-footer ratio
+    * closer to a production layout than the 2k-row base table where
+    * parquet footers swamp row width). Measures wall, FS bytes read,
+    * and exact-top-10 recall for the persisted hier walk: exact scorer
+    * vs ADC at matched beam, ADC with a wider beam (the DiskANN
+    * recall-recovery lever), and ADC with a finer m=16 quantizer. */
+  private def adcProfile(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Pq
+    import graft.sources.GraphStore
+    import scala.jdk.CollectionConverters._
+    def fsBytes(): Long =
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    val dir = "/root/testdata/sf0.1"
+    val embBase = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val rep = 16
+    val e = (0 until rep).map { i =>
+      embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+        transform($"embedding", x => x + lit(i * 10.0f)).as("embedding"))
+    }.reduce(_ unionByName _).persist()
+    val n = e.count()
+    val layers = KnnGraph.buildHierGraph(e, m = 6, ringM = 2, rounds = 3,
+      maxLevel = 1).map(_.persist())
+    layers.foreach(_.count())
+    val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+    val qs = e.filter($"vec_id".isin(panelIds: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv")).persist()
+    qs.count()
+    import graft.expressions.BottomK.bottomK
+    val exact10 = e.crossJoin(broadcast(qs))
+      .select($"qid", $"vec_id",
+        graft.functions.VectorFunctions.l2sq($"embedding", $"qv").as("score"))
+      .groupBy($"qid").agg(bottomK($"score", $"vec_id".cast("long"), 10).as("t"))
+      .select($"qid", explode($"t").as("h"))
+      .select($"qid", $"h.id".as("vec_id")).persist()
+    exact10.count()
+    val m8 = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+    val m16 = Pq.trainRefined(e, m = 16, ks = 16, iters = 2)
+    val store = java.nio.file.Files.createTempDirectory("graft-adcprof").toString
+    try {
+      GraphStore.write(layers, store, buckets = 32)
+      GraphStore.writeCorpus(e, store)
+      layers.foreach(_.unpersist(false))
+      println(s"N=$n buckets=32 (~${n / 32} rows/bucket)")
+      def run(tag: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+        val b0 = fsBytes(); val t0 = System.nanoTime()
+        val res = body.select($"qid", $"vec_id").persist()
+        res.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bytes = fsBytes() - b0
+        val hits = res.join(exact10, Seq("qid", "vec_id")).count()
+        println(f"$tag%-14s wall=$wall%6.2f s  bytes=${bytes / 1024}%8d KiB  hits=$hits%3d/100")
+        res.unpersist(false)
+        graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+      }
+      GraphStore.writeCodes(Pq.encode(e, m8), store)
+      // pass 1 warms the page cache/footers; compare within-pass pairs
+      (1 to 2).foreach { p =>
+        run(s"exact-b12-p$p") { GraphStore.hierSearchPointLookup(spark,
+          store, qs, beam = 12, hops = 3, k = 10) }
+        run(s"adc8-b12-p$p") { GraphStore.hierSearchPointLookupAdc(spark,
+          store, qs, m8, beam = 12, hops = 3, k = 10) }
+      }
+      run("adc8-b24") { GraphStore.hierSearchPointLookupAdc(spark, store,
+        qs, m8, beam = 24, hops = 4, k = 10) }
+      GraphStore.writeCodes(Pq.encode(e, m16), store)
+      run("adc16-b12") { GraphStore.hierSearchPointLookupAdc(spark, store,
+        qs, m16, beam = 12, hops = 3, k = 10) }
+      run("adc16-b24") { GraphStore.hierSearchPointLookupAdc(spark, store,
+        qs, m16, beam = 24, hops = 4, k = 10) }
+      run("exact-b24") { GraphStore.hierSearchPointLookup(spark, store,
+        qs, beam = 24, hops = 4, k = 10) }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(store))
   }
 }
