@@ -120,6 +120,15 @@ object Bench {
     // reconstruct the un-memoized total (VERDICT r11 #7: counts alone
     // kept the 2× bar from being checkable under memoization)
     val buildSecLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // store-WRITE wall seconds inside each pass (timer in the
+    // GraphStore/ModelStore/BinaryStore/IndexStore/VectorStore write
+    // paths — graft.util.StoreMeter): the lifecycle queries persist
+    // edges/corpora/codes/models inside their passes, and without this
+    // split their `queries` seconds conflate parquet-write throughput
+    // with serving cost (VERDICT r12 missing #4). `store_write_s` =
+    // persist wall the MEASURED pass paid; `store_write_warm_s` = what
+    // the warmup pass absorbed (memoized store builds land there).
+    val storeSecLog = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     /** Run `body`, return wall seconds (-1 on failure), then drop every
       * cache/persistent RDD the body created — and only those. */
@@ -129,6 +138,7 @@ object Bench {
       val sw0 = schedWaitNanos()
       val b0 = graft.util.IndexCache.misses
       val bn0 = graft.util.IndexCache.buildNanos
+      val sn0 = graft.util.StoreMeter.nanos
       try {
         val t0 = System.nanoTime()
         body
@@ -141,6 +151,7 @@ object Bench {
         gcLog(what) = (gcMillis() - gc0) / 1e3
         buildLog(what) = graft.util.IndexCache.misses - b0
         buildSecLog(what) = (graft.util.IndexCache.buildNanos - bn0) / 1e9
+        storeSecLog(what) = (graft.util.StoreMeter.nanos - sn0) / 1e9
         schedLog(what) =
           if (sw0 < 0) -1.0 else math.max(0L, schedWaitNanos() - sw0) / 1e9
         spark.catalog.clearCache()
@@ -222,6 +233,14 @@ object Bench {
       .mkString("{", ",", "}")
     val buildWarmTotal = results.map { case (k, _) =>
       buildSecLog.getOrElse(s"$k warmup", 0.0) }.sum
+    val storeSecJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(storeSecLog.getOrElse(s"$k measured", 0.0)) }
+      .mkString("{", ",", "}")
+    val storeWarmJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(storeSecLog.getOrElse(s"$k warmup", 0.0)) }
+      .mkString("{", ",", "}")
+    val storeMeasuredTotal = results.map { case (k, _) =>
+      storeSecLog.getOrElse(s"$k measured", 0.0) }.sum
     val probesJson = probes.map { case (i, t) => s"\"" + i + "\":" + fmt(t) }
       .mkString("{", ",", "}")
     // stop() before the JSON so no further stdout follows — but never
@@ -239,6 +258,10 @@ object Bench {
       s""""build_s":$buildSecJson,"build_warm_s":$buildWarmJson,""" +
       s""""build_warm_s_total":${fmt(buildWarmTotal)},""" +
       s""""build_s_all_passes":${fmt(graft.util.IndexCache.buildNanos / 1e9)},""" +
+      s""""store_write_s":$storeSecJson,""" +
+      s""""store_write_warm_s":$storeWarmJson,""" +
+      s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
+      s""""store_write_s_all_passes":${fmt(graft.util.StoreMeter.nanos / 1e9)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it

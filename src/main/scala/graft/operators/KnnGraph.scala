@@ -287,7 +287,8 @@ object KnnGraph {
   def beamWalkScore(seeds: DataFrame, beam: Int, hops: Int,
       expand: DataFrame => DataFrame,
       score: DataFrame => DataFrame): DataFrame = {
-    require(beam > 0 && hops >= 0, "beam/hops must be positive")
+    require(beam > 0 && hops >= 0,
+      "beam must be positive and hops non-negative")
     // each hop consumes the previous frontier TWICE (kept + expanded):
     // localCheckpoint per hop — without it the plan re-derives the
     // whole graph-build subtree 2^hops times (observed: a 9 GB JVM

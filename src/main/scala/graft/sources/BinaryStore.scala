@@ -59,7 +59,7 @@ object BinaryStore {
     * only (j, chunk), so the extra partition level costs them
     * nothing). */
   def write(encoded: DataFrame, path: String, chunkBits: Int = 8,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit = graft.util.StoreMeter.timed {
     require(chunkBits >= 1 && chunkBits <= 8 && 64 % chunkBits == 0,
       s"chunkBits $chunkBits must divide 64 and be <= 8 for the partition layout")
     val nWords = encoded.select(size(col("sig"))).head.getInt(0)
@@ -85,7 +85,7 @@ object BinaryStore {
     * append-only by contract (batch-disjoint vec_ids), so probes need
     * no batch resolution — every id lives in exactly one batch. */
   private[graft] def applyStreamBatch(batch: DataFrame, path: String,
-      batchId: Long, idCol: String): Unit = {
+      batchId: Long, idCol: String): Unit = graft.util.StoreMeter.timed {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint(true)
     if (b.head(1).nonEmpty) {
@@ -132,7 +132,8 @@ object BinaryStore {
     * re-layout, not a resolution). Crash-safe rename-aside swap with
     * the [[IndexStore.compact]] self-repair preamble. Run against a
     * quiesced store. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+      graft.util.StoreMeter.timed {
     import org.apache.hadoop.fs.Path
     recoverCompact(spark, path)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

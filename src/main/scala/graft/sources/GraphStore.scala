@@ -53,7 +53,7 @@ object GraphStore {
   /** Persist a hierarchical layer stack (element l = layer l's edge
     * frame; pass `Seq(g)` for a flat graph). Overwrites `path`. */
   def write(layers: Seq[DataFrame], path: String, buckets: Int = 16,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit = graft.util.StoreMeter.timed {
     require(layers.nonEmpty, "need at least layer 0")
     require(buckets >= 1, "buckets must be positive")
     val edges = layers.zipWithIndex.map { case (g, l) =>
@@ -102,7 +102,7 @@ object GraphStore {
     * entry level can take over the descent start (smaller md5 wins
     * within a level — the same deterministic rule as the build). */
   def writeBatch(delta: DataFrame, path: String, batchId: Long,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id"): Unit = graft.util.StoreMeter.timed {
     val spark = delta.sparkSession
     val st = statsHead(spark, path)
     val buckets = st.getLong(1).toInt
@@ -237,7 +237,8 @@ object GraphStore {
     * Build-time rows land under `batch_id=-1`. Call [[write]] first:
     * the bucket count comes from the stats row. */
   def writeCorpus(vectors: DataFrame, path: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit =
+      graft.util.StoreMeter.timed {
     val buckets = statsHead(vectors.sparkSession, path).getLong(1).toInt
     vectors
       .select(col(idCol).cast("long").as("vec_id"),
@@ -254,7 +255,7 @@ object GraphStore {
     * partitions — same bucket layout and dynamic-overwrite
     * exactly-once contract as [[writeBatch]]'s edges. */
   private[graft] def writeCorpusBatch(b: DataFrame, path: String,
-      batchId: Long, buckets: Int): Unit =
+      batchId: Long, buckets: Int): Unit = graft.util.StoreMeter.timed {
     b.withColumn("batch_id", lit(batchId))
       .withColumn("b", bucketCol(col("vec_id"), buckets))
       .repartition(col("b"))
@@ -262,6 +263,7 @@ object GraphStore {
       .write.partitionBy("batch_id", "b")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$path/vectors")
+  }
 
   /** The full stored corpus (base + every committed batch). */
   def readCorpus(spark: SparkSession, path: String): DataFrame =
@@ -300,7 +302,8 @@ object GraphStore {
     * that is a 32× cut in the walk's per-candidate vector-side bytes.
     * `codes` = [[graft.operators.Pq.encode]] output (vec_id, codes). */
   def writeCodes(codes: DataFrame, path: String,
-      idCol: String = "vec_id", codeCol: String = "codes"): Unit = {
+      idCol: String = "vec_id", codeCol: String = "codes"): Unit =
+      graft.util.StoreMeter.timed {
     val buckets = statsHead(codes.sparkSession, path).getLong(1).toInt
     codes
       .select(col(idCol).cast("long").as("vec_id"), col(codeCol).as("codes"))
@@ -346,7 +349,7 @@ object GraphStore {
     * Run against a quiesced store (the [[compact]] cadence; `maintain`
     * callers refresh before folding). Returns the delta row count. */
   def refreshCodes(spark: SparkSession, path: String,
-      model: graft.operators.Pq.PqModel): Long = {
+      model: graft.operators.Pq.PqModel): Long = graft.util.StoreMeter.timed {
     import graft.operators.Pq
     val buckets = statsHead(spark, path).getLong(1).toInt
     val codeTable = spark.read.parquet(s"$path/codes")
@@ -781,7 +784,8 @@ object GraphStore {
     * pins identical search results through compaction. Crash-safe
     * rename-aside swap, and self-repair preamble, exactly as
     * [[IndexStore.compact]]. Run against a quiesced store. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+      graft.util.StoreMeter.timed {
     recoverCompact(spark, path)
     val st = statsHead(spark, path)
     val all = spark.read.parquet(s"$path/edges")
@@ -804,7 +808,7 @@ object GraphStore {
     * Run on the compaction cadence against a quiesced store whose
     * corpus is present ([[writeCorpus]] + ingest batches). */
   def maintain(spark: SparkSession, path: String, m: Int,
-      ringM: Int = 2): Unit = {
+      ringM: Int = 2): Unit = graft.util.StoreMeter.timed {
     recoverCompact(spark, path)
     val st = statsHead(spark, path)
     val maxLevel = st.getLong(2).toInt
@@ -822,7 +826,8 @@ object GraphStore {
     * After it the store serves [[hierSearchPointLookupAdc]] complete
     * over the whole corpus from the single `batch_id=-1` layout. */
   def maintain(spark: SparkSession, path: String, m: Int,
-      ringM: Int, model: graft.operators.Pq.PqModel): Unit = {
+      ringM: Int, model: graft.operators.Pq.PqModel): Unit =
+      graft.util.StoreMeter.timed {
     recoverCompact(spark, path) // heal a crashed swap before reading codes
     refreshCodes(spark, path, model)
     maintain(spark, path, m, ringM)

@@ -75,7 +75,7 @@ object IndexStore {
     * compactor's job, as with [[VectorStore]]. */
   private[graft] def writeBatch(docs: DataFrame, path: String, buckets: Int,
       batchId: Long, overwrite: Boolean,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String): Unit = graft.util.StoreMeter.timed {
     val pf = postingsFrame(docs, buckets, idCol, textCol)
       .withColumn("batch_id", lit(batchId))
       .persist()
@@ -146,7 +146,7 @@ object IndexStore {
     * discarded); leftover tmp/backup dirs from completed runs are
     * cleared. */
   def compact(spark: SparkSession, path: String,
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id"): Unit = graft.util.StoreMeter.timed {
     import org.apache.hadoop.fs.Path
     recoverCompact(spark, path)
     val stRow = statsAgg(spark, path).head

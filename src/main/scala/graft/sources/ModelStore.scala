@@ -36,7 +36,9 @@ import graft.operators.{Opq, Pq, Sq}
 object ModelStore {
 
   private def writeRows(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    graft.util.StoreMeter.timed {
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+    }
 
   private def floats(r: org.apache.spark.sql.Row, i: Int): Array[Float] =
     r.getSeq[Float](i).toArray

@@ -20,7 +20,9 @@ object VectorStore {
     * row groups give the intra-shard parallelism the reference got from
     * OpenMP. */
   def write(state: DataFrame, path: String): Unit =
-    state.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    graft.util.StoreMeter.timed {
+      state.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    }
 
   /** Load a snapshot (startup analog). Partition pruning on `shard_id`
     * replaces the reference's explicit shard routing
@@ -44,11 +46,13 @@ object VectorStore {
     * count, unlike shuffle partitions, is fixed at write time). */
   def writeBucketed(state: DataFrame, table: String, nBuckets: Int,
       keys: Seq[String]): Unit =
-    state.write.mode("overwrite")
-      .format("parquet")
-      .bucketBy(nBuckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    graft.util.StoreMeter.timed {
+      state.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(nBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    }
 
   /** Read a bucketed snapshot with its bucket metadata live (a plain
     * `read.parquet` of the files would lose the distribution and
@@ -118,7 +122,8 @@ object VectorStore {
     * checkpoint (or rebuild from the durable mutation log), exactly the
     * reference's reload-from-snapshot lifecycle. */
   def compact(spark: SparkSession, path: String, maxFilesPerCell: Int = 4,
-      targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+      targetFileBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] =
+      graft.util.StoreMeter.timed {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
