@@ -470,9 +470,14 @@ object KnnGraph {
     import graft.expressions.BottomK.bottomK
     val q = newVectors.select(col(idCol).as("qid"), col(embCol).as("qv"))
     // routed nearest existing nodes; referenced three times below —
-    // pin the (batch × m)-row result once
+    // pin the (batch × m)-row result once. A routed neighbor equal to
+    // the new node itself is dropped: possible only when the batch
+    // re-ingests an existing id (upsert, `vector_shard.cc:46-57` —
+    // the walk can find the id's own pre-upsert row), and a node is
+    // never its own neighbor; with batch-disjoint ids this is a no-op.
     val found = beamSearch(vectors, graph, q, seeds, beam, hops, k = m)
       .select(col("qid"), col(idCol).as("nbrId"), col("distance"))
+      .filter(col("qid") =!= col("nbrId"))
       .coalesce(1).localCheckpoint(true)
     val forward = found.select(col("qid").as("nid"),
       col("nbrId").as("w"), col("distance").as("d"))

@@ -163,6 +163,11 @@ class GraphStoreSpec extends SparkSpec {
     // sf0.01 corpus with 64 buckets and a single-query walk: the pruned
     // fetches touch ~frontier-many bucket files per hop while the
     // whole-frame walk re-scans all N rows per re-rank.
+    // env coupling (ADVICE r12): the byte counters are process-global
+    // Hadoop FileSystem statistics — valid only because suites run
+    // serially here — and the regime needs the sf0.01 testdata
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory,
+      "sf0.01 testdata not present")
     import scala.jdk.CollectionConverters._
     def fsBytesRead(): Long =
       org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
@@ -239,6 +244,9 @@ class GraphStoreSpec extends SparkSpec {
     // per-candidate row width the ADC layout actually cuts.)
     import graft.operators.Pq
     import graft.functions.VectorFunctions.l2sq
+    // env coupling (ADVICE r12): see the frontier-bounded IO test
+    assume(new java.io.File("/root/testdata/sf0.01").isDirectory,
+      "sf0.01 testdata not present")
     import scala.jdk.CollectionConverters._
     def fsBytesRead(): Long =
       org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
@@ -639,6 +647,142 @@ class GraphStoreSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
       assert(pl === full,
         "multi-batch point-lookup walk drifted from the whole-frame walk")
+    } finally rm(dir)
+  }
+
+  test("deleteBatch: tombstoned ids vanish from every read and the serving walk; replay is a no-op; compact purges") {
+    val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2, rounds = 2,
+      maxLevel = 1).map(_.persist())
+    val dir = tmp("delete")
+    try {
+      GraphStore.write(layers, dir, buckets = 8)
+      GraphStore.writeCorpus(e, dir)
+      layers.foreach(_.unpersist(false))
+      // delete a slice INCLUDING the current entry node — the descent
+      // start must move to a live node (the deleteBatch recompute rule)
+      val entry0 = GraphStore.statsHead(spark, dir).getLong(4)
+      val delIds = e.filter($"vec_id" % 7 === 3)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet + entry0
+      GraphStore.deleteBatch(delIds.toSeq.toDF("vec_id"), dir, 0L)
+      val st = GraphStore.statsHead(spark, dir)
+      assert(!delIds.contains(st.getLong(4)), "entry must move to a live node")
+      // every read filters: corpus, edges (both endpoints), point lookups
+      assert(GraphStore.readCorpus(spark, dir)
+        .filter($"vec_id".isin(delIds.toSeq: _*)).count() === 0L)
+      val edges = GraphStore.read(spark, dir).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(edges.intersect(delIds).isEmpty,
+        "deleted ids still present in the resolved edge frame")
+      val probeIds = (delIds.take(1) ++ Seq(2L)).toSeq
+      assert(GraphStore.embeddingsOf(spark, dir, probeIds)
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // the serving walk never returns (or routes through) a dead id,
+      // and equals the in-memory hier walk over the live state
+      val qs = e.filter($"vec_id".isin(Seq(0L, 42L, 137L).filterNot(delIds): _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      def serve() = GraphStore.hierSearchPointLookup(spark, dir, qs,
+          beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val served = serve()
+      assert(served.map(_._2).intersect(delIds).isEmpty,
+        "serving walk returned a deleted id")
+      val expected = GraphStore.hierSearch(spark, dir,
+          GraphStore.readCorpus(spark, dir), qs, beam = 8, hops = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(served === expected,
+        "delete-filtered serving walk drifted from the live-state walk")
+      // failure replay: the same delete batch overwrites itself
+      GraphStore.deleteBatch(delIds.toSeq.toDF("vec_id"), dir, 0L)
+      assert(serve() === served, "delete replay changed the store")
+      // compact purges: tombstones spent, dead ids physically gone
+      GraphStore.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "compact must clear spent tombstones")
+      Seq("edges", "vectors").foreach { d =>
+        val ids = spark.read.parquet(s"$dir/$d").select($"vec_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(ids.intersect(delIds).isEmpty, s"dead ids survived in $d")
+      }
+      assert(spark.read.parquet(s"$dir/edges").select($"nbr_id")
+        .collect().map(_.getLong(0)).toSet.intersect(delIds).isEmpty,
+        "dangling edges to dead ids survived the purge")
+      assert(serve() === served, "purge changed serving values")
+    } finally rm(dir)
+  }
+
+  test("upsert: re-ingesting an id serves the NEW embedding exactly once; delete-then-reinsert revives") {
+    import graft.operators.Pq
+    val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+    val g = KnnGraph.buildSearchGraph(e, m = 4, ringM = 2, rounds = 2)
+      .persist()
+    val dir = tmp("upsert")
+    try {
+      GraphStore.write(Seq(g), dir, buckets = 8)
+      GraphStore.writeCorpus(e, dir)
+      GraphStore.writeCodes(Pq.encode(e, model), dir)
+      g.unpersist(false)
+      // the upsert: id 7 re-ingested with id 493's embedding (a real
+      // corpus vector far from 7's) through the streaming apply path
+      val target = 7L
+      val newEmb = e.filter($"vec_id" === 493L).select($"embedding")
+        .head.getSeq[Float](0)
+      val batch = Seq((target, newEmb)).toDF("vec_id", "embedding")
+      GraphStore.applyStreamBatch(batch, dir, 0L, m = 4, beam = 8,
+        hops = 3, maxDegree = 6, seedN = 4, "vec_id", "embedding")
+      // the corpus holds the id ONCE, with the new values
+      val got = GraphStore.readCorpus(spark, dir)
+        .filter($"vec_id" === target).collect()
+      assert(got.length === 1, "upserted id must resolve to one corpus row")
+      assert(got.head.getSeq[Float](1) === newEmb, "old embedding won")
+      // the walk serves the NEW embedding exactly once: querying it
+      // returns the id at distance 0, rank 1 (hops sized so the flat
+      // walk converges on this corpus — the fixture is deterministic),
+      // and the point-lookup serve equals the live-state whole-frame
+      // walk
+      val qs = Seq((target, newEmb)).toDF("qid", "qv")
+      val hit = GraphStore.hierSearchPointLookup(spark, dir, qs,
+          beam = 12, hops = 6, k = 3)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(hit.count(_._1 == target) === 1,
+        s"upserted id must appear exactly once in the serve: ${hit.toSeq}")
+      assert(hit.head === ((target, 0.0)),
+        s"walk must serve the NEW embedding at rank 1: ${hit.toSeq}")
+      val expectedU = GraphStore.hierSearch(spark, dir,
+          GraphStore.readCorpus(spark, dir), qs, beam = 12, hops = 6, k = 3)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(hit.toSeq === expectedU,
+        "upsert-resolved serving walk drifted from the live-state walk")
+      // refreshCodes re-encodes the upserted id (ADVICE r12: stale
+      // codes must not survive an upsert) and ADC serving agrees
+      assert(GraphStore.refreshCodes(spark, dir, model) === 1L,
+        "refresh must re-encode exactly the upserted id")
+      val adc = GraphStore.searchPointLookupAdc(spark, dir, qs,
+          Seq((target, target)).toDF("qid", "cand"), model,
+          beam = 4, hops = 1, k = 1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(adc === Seq((target, 0.0)),
+        "ADC serve must see the re-encoded upserted embedding")
+      // delete-then-reinsert revives: tombstone at batch 1, re-ingest
+      // at batch 2 — the id serves again (the vector_shard.cc:46-57
+      // delete-then-insert order)
+      GraphStore.deleteBatch(Seq(target).toDF("vec_id"), dir, 1L)
+      assert(GraphStore.readCorpus(spark, dir)
+        .filter($"vec_id" === target).count() === 0L)
+      GraphStore.applyStreamBatch(batch, dir, 2L, m = 4, beam = 8,
+        hops = 3, maxDegree = 6, seedN = 4, "vec_id", "embedding")
+      val revived = GraphStore.hierSearchPointLookup(spark, dir, qs,
+          beam = 12, hops = 6, k = 1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(revived === Seq((target, 0.0)),
+        "re-inserted id must serve again after a delete")
+      // and the fold collapses all of it: one live row, still serving
+      GraphStore.refreshCodes(spark, dir, model)
+      GraphStore.compact(spark, dir)
+      assert(GraphStore.readCorpus(spark, dir)
+        .filter($"vec_id" === target).count() === 1L)
+      assert(spark.read.parquet(s"$dir/codes")
+        .filter($"vec_id" === target).count() === 1L,
+        "code fold must keep exactly the winning code row")
     } finally rm(dir)
   }
 
