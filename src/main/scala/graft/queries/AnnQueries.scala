@@ -734,6 +734,46 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // The reference's DELETE path landing in a served index
+    // (`src/index/vector_shard.cc:59-70` remove_ids, routed at
+    // `shard_manager.cc:93-103`; FreshDiskANN's tombstone shape): the
+    // ann_graph_hier build persists, a delete batch tombstones the
+    // vec_id % 7 = 3 slice — including, whenever the md5 order says so,
+    // the stored descent entry, which deleteBatch recomputes over live
+    // nodes — and the serve runs the store walk with every expansion's
+    // dead targets filtered. The oracle replays both layer builds, the
+    // live entry rule, and both walks with the same liveness filter, so
+    // delete → filtered-serve is hash-checked end to end.
+    "ann_graph_delete" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_graph_delete_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      // store lifecycle memoized per session (the reference writes the
+      // index once and serves many queries from it) — the measured
+      // bench pass pays the SERVE; write wall lands in
+      // store_write_warm_s / build_s with full attribution
+      graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
+          Seq("annGraphDeleteStore", path)) {
+        val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
+          ringM = 2, rounds = 3, maxLevel = 1)
+        graft.sources.GraphStore.write(layers, path)
+        graft.sources.GraphStore.writeCorpus(e, path)
+        graft.sources.GraphStore.deleteBatch(
+          e.filter($"vec_id" % 7 === 3).select($"vec_id"), path, 0L)
+        ()
+      }
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      graft.sources.GraphStore.hierSearchPointLookup(s, path, queries,
+          beam = 12, hops = 3, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
     // DiskANN-shape serving from persisted artifacts ONLY (Subramanya
     // et al., NeurIPS'19, composed with the reference's load-at-startup
     // lifecycle, `vector_shard.cc:34-43`): the ann_pq codebook and the
@@ -2142,6 +2182,72 @@ object AnnQueries extends QueryPack {
          |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
          |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
          |  FROM lf3 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY rank""".stripMargin
+    },
+
+    // the ann_graph_hier replay under the delete's liveness filter:
+    // identical layer builds (tombstones never change the stored
+    // edges — the filter is read-side until the purge), the entry =
+    // md5-first LIVE layer-1 node (deleteBatch's recompute rule), and
+    // every hop expansion drops dead targets (vec_id % 7 = 3); seeds
+    // and frontiers stay live by induction, so no other stage filters
+    "ann_graph_delete" -> mat {
+      val upper = (1 to 6).map { h =>
+        s"""dup$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM duf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM duf${h - 1} f
+           |      JOIN gsh g ON g.vec_id = f.cand WHERE g.nbr_id % 7 <> 3
+           |  )
+           |), duf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM dup$h p JOIN embeddings e ON e.vec_id = p.cand CROSS JOIN q
+           |  ) WHERE rn <= 4
+           |)""".stripMargin
+      }.mkString(",\n")
+      val lower = (1 to 3).map { h =>
+        s"""dlp$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM dlf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM dlf${h - 1} f
+           |      JOIN gs g ON g.vec_id = f.cand WHERE g.nbr_id % 7 <> 3
+           |  )
+           |), dlf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (
+           |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, p.cand) AS rn
+           |    FROM dlp$h p JOIN embeddings e ON e.vec_id = p.cand CROSS JOIN q
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckSearchGraphCtes,
+         |l1src AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE length(regexp_extract(md5(CAST(vec_id AS VARCHAR)), '^0*')) >= 1
+         |),
+         |${duckSearchGraphCtesFor("l1src", "h")},
+         |q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+         |), duf0 AS (
+         |  SELECT vec_id AS cand FROM l1src WHERE vec_id % 7 <> 3
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+         |),
+         |$upper,
+         |dlf0 AS (
+         |  SELECT cand FROM (
+         |    SELECT s.cand, row_number() OVER (
+         |      ORDER BY ${duckL2sq("e.embedding", "q.qv")}, s.cand) AS rn
+         |    FROM duf6 s JOIN embeddings e ON e.vec_id = s.cand CROSS JOIN q
+         |  ) WHERE rn <= 12
+         |),
+         |$lower
+         |SELECT vec_id, round(d, 4) AS distance, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |  FROM dlf3 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
          |) WHERE rn <= 10
          |ORDER BY rank""".stripMargin
     },
