@@ -715,6 +715,70 @@ object GraphStore {
     }
   }
 
+  /** One micro-batch of the reference's WHOLE write path applied to
+    * the served graph index — the Raft apply loop
+    * (`src/raft/raft_state.cc:416-459`) routing UPSERT/DELETE commands
+    * into the index (`shard_manager.cc:86-103`), re-expressed as
+    * mutation-log-driven maintenance: the batch folds to its last op
+    * per id (the [[graft.operators.MutationLog.replay]] rule, by
+    * `log_index`), surviving upserts route and land as one hier insert
+    * delta (re-ingested ids resolve latest-batch-wins — upsert =
+    * delete-then-insert, `vector_shard.cc:46-57`), and deletes
+    * tombstone via [[deleteBatch]].
+    *
+    * Exactly-once on replay under the unique-batch-id contract: the
+    * insert half lands under partition `2·batchId`, the delete half
+    * under `2·batchId+1`. Inserts land FIRST, so the delete's stats
+    * row (the one every later read resolves, being the max batch) is
+    * computed against the same post-insert state on first run and on
+    * replay. `batch` columns: (`log_index`, `op`, idCol, embCol);
+    * embCol may be null on DELETE rows. */
+  def applyMutationBatch(batch: DataFrame, path: String, batchId: Long,
+      m: Int, beam: Int = 12, hops: Int = 4, maxDegree: Int = 8,
+      upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4,
+      seedN: Int = 4,
+      idCol: String = "id", embCol: String = "embedding"): Unit = {
+    import graft.operators.MutationLog
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("log_index").desc)
+    val last = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .localCheckpoint(true)
+    val ups = last.filter(col("op") === MutationLog.Upsert)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(embCol).as("embedding"))
+    applyStreamBatchHier(ups, path, 2 * batchId, m, beam, hops,
+      maxDegree, upperBeam, upperHops, handoff, seedN,
+      "vec_id", "embedding")
+    val dels = last.filter(col("op") === MutationLog.Delete)
+      .select(col(idCol).cast("long").as("vec_id"))
+    if (dels.head(1).nonEmpty) deleteBatch(dels, path, 2 * batchId + 1)
+  }
+
+  /** The reference's write path as a STREAM landing in the served
+    * index: a mutation micro-batch stream (log_index, op, id,
+    * embedding) folds through [[applyMutationBatch]] — upserts
+    * insert/replace, deletes tombstone, everything exactly-once on
+    * checkpoint replay, and the store serves the applied state the
+    * moment a batch commits. Build with [[write]] + [[writeCorpus]]
+    * first; run [[maintain]] on the compaction cadence to purge
+    * tombstones and repair erosion. */
+  def applyMutationStream(mutations: DataFrame, path: String,
+      checkpoint: String, m: Int, beam: Int = 12, hops: Int = 4,
+      maxDegree: Int = 8, upperBeam: Int = 4, upperHops: Int = 6,
+      handoff: Int = 4, seedN: Int = 4,
+      idCol: String = "id", embCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mutations.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMutationBatch(batch, path, batchId, m, beam, hops, maxDegree,
+          upperBeam, upperHops, handoff, seedN, idCol, embCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** [[appendStream]] for a hierarchical store: streamed vectors join
     * every layer up to their md5 level draw, so the routing stack keeps
     * pace with the corpus under sustained ingest (the r10 missing-#2

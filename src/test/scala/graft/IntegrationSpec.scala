@@ -41,6 +41,95 @@ class IntegrationSpec extends SparkSpec {
     assert(stale.count() !== n) // deletes/moves at +10000/+20000 invisible
   }
 
+  test("mutation log drives the served graph index: streamed upserts + deletes fold into the GraphStore ≡ log replay") {
+    // the reference's ENTIRE write path (raft_state.cc:416-459 apply
+    // loop → shard_manager routing of UPSERT/DELETE) landing in the
+    // served ANN index: a mutation stream folds through
+    // GraphStore.applyMutationStream — upserts insert/replace,
+    // deletes tombstone — and afterward (a) the store corpus IS the
+    // MutationLog.replay of the full history, (b) the walk serves
+    // upserted state and never a deleted id, (c) a replayed batch is a
+    // no-op, (d) maintain purges the tombstones with values intact.
+    import graft.sources.GraphStore
+    import graft.operators.KnnGraph
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val base = e.filter($"vec_id" % 4 === 0)
+    val embOf: Map[Long, Seq[Float]] = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    // three mutation batches: fresh inserts, then deletes + an
+    // upsert-of-existing (id 0 takes id 16's embedding), then a
+    // REVIVING re-upsert of a deleted id + a delete of a streamed id
+    val b1 = e.filter($"vec_id" % 4 === 1).collect().zipWithIndex.map {
+      case (r, i) => (1000L + i, MutationLog.Upsert, r.getLong(0),
+        r.getSeq[Float](1).toSeq)
+    }.toSeq
+    val b2 = Seq(
+      (2000L, MutationLog.Delete, 4L, Seq.empty[Float]),
+      (2001L, MutationLog.Delete, 8L, Seq.empty[Float]),
+      (2002L, MutationLog.Upsert, 0L, embOf(16L)))
+    val b3 = Seq(
+      (3000L, MutationLog.Upsert, 8L, embOf(20L)), // revive
+      (3001L, MutationLog.Delete, 1L, Seq.empty[Float]))
+    val dir = Files.createTempDirectory("graft-mutgraph").toString
+    val ckpt = Files.createTempDirectory("graft-mutgraph-ckpt").toString
+    val layers = KnnGraph.buildHierGraph(base, m = 4, ringM = 2,
+      rounds = 2, maxLevel = 1)
+    GraphStore.write(layers, dir, buckets = 8)
+    GraphStore.writeCorpus(base, dir)
+    val mem = MemoryStream[(Long, String, Long, Seq[Float])]
+    val q = GraphStore.applyMutationStream(
+      mem.toDF().toDF("log_index", "op", "id", "embedding"),
+      dir, ckpt, m = 4, beam = 8, hops = 3, maxDegree = 6)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // (a) corpus ≡ replay of the full history (base rows as the
+    // initial upsert prefix)
+    val log = base.select(($"vec_id" + lit(0L)).as("id"), $"embedding",
+        lit("s0").as("shard_id"), lit(MutationLog.Upsert).as("op"),
+        $"vec_id".as("log_index"))
+      .unionByName((b1 ++ b2 ++ b3)
+        .toDF("log_index", "op", "id", "embedding")
+        .select($"id", $"embedding", lit("s0").as("shard_id"), $"op",
+          $"log_index"))
+    val expected = MutationLog.replay(log)
+      .select($"id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet
+    def corpusState() = GraphStore.readCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet
+    assert(corpusState() === expected,
+      "store corpus diverged from the mutation-log replay")
+    // (b) serving semantics: the upserted id answers at its NEW
+    // embedding; the revived id serves; the deleted ids never appear
+    def top1(qv: Seq[Float]) = GraphStore.hierSearchPointLookup(spark,
+        dir, Seq((99L, qv)).toDF("qid", "qv"), beam = 12, hops = 6, k = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(top1(embOf(16L)) === Seq((0L, 0.0)),
+      "upserted id must serve its new embedding")
+    assert(top1(embOf(20L)) === Seq((8L, 0.0)),
+      "revived id must serve again")
+    val nearDeleted = GraphStore.hierSearchPointLookup(spark, dir,
+        Seq((99L, embOf(4L))).toDF("qid", "qv"), beam = 12, hops = 6, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!nearDeleted.contains(4L) && !nearDeleted.contains(1L),
+      "deleted ids leaked into the serve")
+    // (c) failure replay of the last batch is a no-op
+    GraphStore.applyMutationBatch(
+      b3.toDF("log_index", "op", "id", "embedding"), dir, 2L,
+      m = 4, beam = 8, hops = 3, maxDegree = 6)
+    assert(corpusState() === expected, "batch replay changed the store")
+    // (d) maintain purges tombstones, values intact, still serving
+    GraphStore.maintain(spark, dir, m = 4, ringM = 2)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(corpusState() === expected, "maintain changed the state")
+    assert(top1(embOf(16L)) === Seq((0L, 0.0)),
+      "maintained store lost the upserted state")
+  }
+
   test("streaming file source tails the mutation log incrementally") {
     val logDir = Files.createTempDirectory("graft-log").toString
     val out = s"graft_stream_out_${System.nanoTime()}"
