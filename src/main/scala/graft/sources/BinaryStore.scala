@@ -63,6 +63,13 @@ object BinaryStore {
     require(chunkBits >= 1 && chunkBits <= 8 && 64 % chunkBits == 0,
       s"chunkBits $chunkBits must divide 64 and be <= 8 for the partition layout")
     val nWords = encoded.select(size(col("sig"))).head.getInt(0)
+    // a full rebuild supersedes every accumulated delete
+    locally {
+      val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val fs = t.getFileSystem(
+        encoded.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(t)) fs.delete(t, true)
+    }
     chunkRows(encoded, nWords, chunkBits, idCol)
       .withColumn("batch_id", lit(-1L))
       .repartition(col("j"), col("chunk"))
@@ -126,11 +133,61 @@ object BinaryStore {
       .outputMode("append")
       .start()
 
+  /** Land one DELETE batch — O-5 for the MIH family (VERDICT r12
+    * missing #1: a deleted signature stayed probe-visible until a full
+    * rebuild). Tombstone rows (vec_id) land under their own
+    * `tombstones/batch_id=` partition (dynamic overwrite — replay
+    * idempotent); [[probe]]/[[probeBatch]] drop dead candidates after
+    * the partition-pruned read; [[compact]] physically purges and
+    * clears the spent tombstones. Dead iff the id's latest tombstone
+    * batch ≥ its index batch (a later re-ingest revives — the
+    * GraphStore liveness rule); `batchId` must be unique across
+    * [[appendStream]] AND delete batches. */
+  def deleteBatch(ids: DataFrame, path: String, batchId: Long,
+      idCol: String = "vec_id"): Unit = graft.util.StoreMeter.timed {
+    val t = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    if (t.head(1).nonEmpty) {
+      t.withColumn("batch_id", lit(batchId))
+        .coalesce(1)
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/tombstones")
+    }
+  }
+
+  /** The currently-dead ids as a (vec_id, tb) frame, or None when the
+    * store has never seen a delete — the probe-side filter input
+    * (bounded by the delete rate between compactions). */
+  private def tombWins(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString)
+      .groupBy(col("vec_id"))
+      .agg(max(col("batch_id").cast("long")).as("__tb")))
+  }
+
+  /** Candidate rows → live candidate rows: drop ids whose latest
+    * tombstone is ≥ their index batch. `rows` must carry `vec_id` and
+    * `__ib` (the candidate's max index batch). */
+  private def liveOnly(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    tombWins(spark, path) match {
+      case None => rows.drop("__ib")
+      case Some(t) => rows
+        .join(broadcast(t), Seq("vec_id"), "left")
+        .filter(col("__tb").isNull || col("__tb") < col("__ib"))
+        .drop("__tb", "__ib")
+    }
+
   /** Fold every batch partition back into the single `batch_id=-1`
     * build layout: files re-sorted by vec_id per (j, chunk) directory,
     * values untouched (ids are batch-disjoint — the fold is a
-    * re-layout, not a resolution). Crash-safe rename-aside swap with
-    * the [[IndexStore.compact]] self-repair preamble. Run against a
+    * re-layout, not a resolution) except dead ids, which purge here
+    * (tombstones cleared last — a crash replays onto purged data as a
+    * no-op). Crash-safe rename-aside swap with the
+    * [[IndexStore.compact]] self-repair preamble. Run against a
     * quiesced store. */
   def compact(spark: SparkSession, path: String): Unit =
       graft.util.StoreMeter.timed {
@@ -139,7 +196,16 @@ object BinaryStore {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val indexPath = new Path(s"$path/index")
     val tmp = new Path(s"$path/_index_compact_tmp")
-    spark.read.parquet(indexPath.toString)
+    val all = spark.read.parquet(indexPath.toString)
+    val live = tombWins(spark, path) match {
+      case None => all
+      case Some(t) => all
+        .join(broadcast(t), Seq("vec_id"), "left")
+        .filter(col("__tb").isNull ||
+          col("__tb") < col("batch_id").cast("long"))
+        .drop("__tb")
+    }
+    live
       .select(col("vec_id"), col("sig"), col("j"), col("chunk"))
       .withColumn("batch_id", lit(-1L))
       .repartition(col("j"), col("chunk"))
@@ -150,6 +216,8 @@ object BinaryStore {
     fs.rename(indexPath, bak)
     fs.rename(tmp, indexPath)
     fs.delete(bak, true)
+    val tombs = new Path(s"$path/tombstones")
+    if (fs.exists(tombs)) fs.delete(tombs, true)
   }
 
   private def recoverCompact(spark: SparkSession, path: String): Unit = {
@@ -186,10 +254,12 @@ object BinaryStore {
       val qc = (querySig(w) >>> off) & mask
       col("j") === lit(j) && col("chunk") === lit(qc)
     }.reduce(_ || _)
-    spark.read.parquet(s"$path/index")
+    val cands = spark.read.parquet(s"$path/index")
       .filter(anyChunk)
       .groupBy(col("vec_id"))
-      .agg(max(col("sig")).as("sig"))
+      .agg(max(col("sig")).as("sig"),
+        max(col("batch_id").cast("long")).as("__ib"))
+    liveOnly(spark, path, cands)
       .select(col("vec_id").as(idCol),
         Bq.hammingWordsCol(col("sig"), querySig).as("hamming"))
       .orderBy(col("hamming"), col(idCol)).limit(k)
@@ -240,9 +310,11 @@ object BinaryStore {
       .filter(pairs.map { case (j, c) =>
         col("j") === lit(j) && col("chunk") === lit(c)
       }.reduce(_ || _))
-    pruned.join(broadcast(probes), Seq("j", "chunk"))
+    val cands = pruned.join(broadcast(probes), Seq("j", "chunk"))
       .groupBy(col(queryIdCol), col("vec_id"))
-      .agg(max(col("sig")).as("sig"), max(col(querySigCol)).as("qs"))
+      .agg(max(col("sig")).as("sig"), max(col(querySigCol)).as("qs"),
+        max(col("batch_id").cast("long")).as("__ib"))
+    liveOnly(spark, path, cands)
       .select(col(queryIdCol), col("vec_id"),
         aggregate(
           zip_with(col("sig"), col("qs"), (a, b) =>

@@ -51,6 +51,12 @@ object IndexStore {
   def write(docs: DataFrame, path: String, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(buckets >= 1, "buckets must be positive")
+    // a full rebuild supersedes every accumulated delete
+    locally {
+      val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      val fs = t.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(t)) fs.delete(t, true)
+    }
     writeBatch(docs, path, buckets, -1L, overwrite = true, idCol, textCol)
   }
 
@@ -126,6 +132,77 @@ object IndexStore {
       .start()
   }
 
+  /** Land one DELETE batch — O-5 for the lexical family (VERDICT r12
+    * missing #1: a deleted document stayed retrievable from the
+    * postings until a full rebuild). Tombstone rows (doc_id) land
+    * under their own `tombstones/batch_id=` partition (dynamic
+    * overwrite — replay idempotent), and ONE negative stats increment
+    * lands beside them so BM25's corpus constants (n, sumdl) track the
+    * live corpus exactly: [[bm25TopK]] after a delete is
+    * value-identical to a fresh index over the surviving documents
+    * (IndexStoreSpec pins it). Document frequencies need no
+    * correction — they derive from the pruned posting rows, which the
+    * probe filters. The increment counts only docs not ALREADY
+    * tombstoned by an earlier batch (its own partition excluded, so a
+    * crash replay re-derives the identical row); deletes are terminal
+    * until [[compact]]/[[write]] — re-adding a doc id flows through
+    * the rebuild path, per the streaming contract. `batchId` must be
+    * unique across [[appendStream]] AND delete batches. */
+  def deleteBatch(ids: DataFrame, path: String, batchId: Long,
+      idCol: String = "doc_id"): Unit = graft.util.StoreMeter.timed {
+    val spark = ids.sparkSession
+    val t = ids.select(col(idCol).cast(
+        spark.read.parquet(s"$path/postings").schema(idCol).dataType)
+        .as(idCol)).distinct()
+      .localCheckpoint(true)
+    if (t.head(1).nonEmpty) {
+      val already = tombstoneIds(spark, path, excludeBatch = Some(batchId))
+      val fresh = already.fold(t)(a =>
+        t.join(a, Seq(idCol), "left_anti")).localCheckpoint(true)
+      t.withColumn("batch_id", lit(batchId))
+        .coalesce(1)
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/tombstones")
+      // the batch's live-corpus decrement: docs actually present and
+      // not already dead; dl is constant per doc (one distinct pair)
+      val gone = spark.read.parquet(s"$path/postings")
+        .join(fresh, Seq(idCol), "left_semi")
+        .select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+        .head
+      spark.range(1).select(
+          lit(-gone.getLong(0)).as("n"),
+          lit(-gone.getLong(1)).as("sumdl"),
+          lit(statsAgg(spark, path).head.getAs[Long]("buckets")).as("buckets"),
+          lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(s"$path/stats")
+    }
+  }
+
+  /** The tombstoned doc ids (deduped), or None when the store has
+    * never seen a delete. */
+  private def tombstoneIds(spark: SparkSession, path: String,
+      excludeBatch: Option[Long] = None): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val t0 = spark.read.parquet(p.toString)
+      val t = excludeBatch.fold(t0)(b => t0.filter(col("batch_id") =!= b))
+      Some(t.drop("batch_id").distinct())
+    }
+  }
+
+  private def dropDead(spark: SparkSession, path: String,
+      rows: DataFrame, idCol: String): DataFrame =
+    tombstoneIds(spark, path) match {
+      case None => rows
+      case Some(t) => rows.join(
+        broadcast(t.select(col(t.columns.head).as(idCol))),
+        Seq(idCol), "left_anti")
+    }
+
   /** Quiesced-window compaction — the rebuild path the streaming
     * contract documents: fold every accumulated batch partition back
     * into the single `batch_id=-1` build layout (bucket-partitioned,
@@ -153,7 +230,9 @@ object IndexStore {
     val postingsPath = new Path(s"$path/postings")
     val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tmpP = new Path(s"$path/_postings_compact_tmp")
-    spark.read.parquet(postingsPath.toString)
+    // dead docs purge at rest; the folded single stats row nets their
+    // negative increments, so postings and constants stay consistent
+    dropDead(spark, path, spark.read.parquet(postingsPath.toString), idCol)
       .withColumn("batch_id", lit(-1L))
       .repartition(col("b"))
       .sortWithinPartitions(col("term"), col(idCol))
@@ -174,6 +253,10 @@ object IndexStore {
     fs.rename(tmpS, statsPath)
     fs.delete(bakP, true)
     fs.delete(bakS, true)
+    // purge complete — tombstones are spent (cleared LAST: a crash
+    // replays them onto purged data as a no-op)
+    val tombs = new Path(s"$path/tombstones")
+    if (fs.exists(tombs)) fs.delete(tombs, true)
   }
 
   /** Self-repair preamble for [[compact]]: restore a backup whose
@@ -210,14 +293,17 @@ object IndexStore {
     * mirror to drift), then bucket partition pruning + pushed term
     * filter. */
   private def postingsForBuckets(spark: SparkSession, path: String,
-      terms: Seq[String], buckets: Int): DataFrame = {
+      terms: Seq[String], buckets: Int,
+      idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     import spark.implicits._
     val bkts = terms.toDF("term")
       .select(bucketCol(col("term"), buckets).as("b"))
       .distinct().collect().map(_.getLong(0))
-    spark.read.parquet(s"$path/postings")
-      .filter(col("b").isin(bkts: _*) && col("term").isin(terms: _*))
+    dropDead(spark, path,
+      spark.read.parquet(s"$path/postings")
+        .filter(col("b").isin(bkts: _*) && col("term").isin(terms: _*)),
+      idCol)
   }
 
   /** The pruned posting read for a term set. */
@@ -236,7 +322,7 @@ object IndexStore {
       idCol: String = "doc_id"): DataFrame = {
     val st = statsAgg(spark, path).head
     val tf = postingsForBuckets(spark, path, terms,
-        st.getAs[Long]("buckets").toInt)
+        st.getAs[Long]("buckets").toInt, idCol)
       .select(col(idCol), col("term"), col("dl"), col("tf"))
     val stats = tf.sparkSession.range(1)
       .select(lit(st.getAs[Long]("n")).as("n"),

@@ -140,6 +140,41 @@ class BinaryStoreSpec extends SparkSpec {
     } finally { rm(dir); rm(ckpt) }
   }
 
+  test("deleteBatch: dead signatures vanish from probes; probe ≡ scan form on survivors; replay no-op; compact purges") {
+    val q = e.filter($"vec_id" === 0L).select($"embedding")
+      .head.getSeq[Float](0).toArray
+    val enc = Bq.encode(e, 64)
+    val dir = tmp("delete")
+    try {
+      BinaryStore.write(enc.select($"vec_id", array($"sig").as("sig")), dir)
+      // delete the scan-form top-3 — ids guaranteed probe-visible before
+      val top3 = Bq.mihTopK(enc, Bq.signBitsLocal(q), k = 3, chunkBits = 8)
+        .collect().map(_.getLong(0)).toSeq
+      BinaryStore.deleteBatch(top3.toDF("vec_id"), dir, 0L)
+      def probeNow() = BinaryStore.probe(spark, dir,
+          Array(Bq.signBitsLocal(q)), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = probeNow()
+      assert(got.map(_._1).toSet.intersect(top3.toSet).isEmpty,
+        "deleted ids still probe-visible")
+      // value check: the filtered probe ≡ the scan form on survivors
+      val want = Bq.mihTopK(enc.filter(!$"vec_id".isin(top3: _*)),
+          Bq.signBitsLocal(q), k = 10, chunkBits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want, "delete-filtered probe drifted from scan form")
+      // replay no-op
+      BinaryStore.deleteBatch(top3.toDF("vec_id"), dir, 0L)
+      assert(probeNow() === want, "delete replay changed the store")
+      // compact purges + clears tombstones, values intact
+      BinaryStore.compact(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      assert(spark.read.parquet(s"$dir/index")
+        .filter($"vec_id".isin(top3: _*)).count() === 0L,
+        "dead rows survived the purge")
+      assert(probeNow() === want, "purge changed probe values")
+    } finally rm(dir)
+  }
+
   test("probeBatch rejects a query frame whose signature width differs from the store") {
     val enc = Bq.encode(e, 64)
     val dir = tmp("width")

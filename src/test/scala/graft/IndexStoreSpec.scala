@@ -113,6 +113,54 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("deleteBatch: deleted docs vanish from bm25TopK, score-identical to a fresh index over survivors; replay no-op; compact nets stats") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxdel").toString
+    try {
+      IndexStore.write(docs, dir, buckets = 8)
+      val top3 = IndexStore.bm25TopK(spark, dir, terms, k = 3)
+        .collect().map(_.getLong(0)).toSeq
+      IndexStore.deleteBatch(top3.toDF("doc_id"), dir, 0L)
+      def scores() = IndexStore.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = scores()
+      assert(got.map(_._1).toSet.intersect(top3.toSet).isEmpty,
+        "deleted docs still retrievable")
+      // the strong value check: delete must leave BOTH the postings
+      // filter and the (n, sumdl) constants exactly as a fresh index
+      // over the surviving documents — BM25 idf/length-norm included
+      val freshDir = java.nio.file.Files
+        .createTempDirectory("graft-idxdel-fresh").toString
+      try {
+        IndexStore.write(docs.filter(!$"doc_id".isin(top3: _*)),
+          freshDir, buckets = 8)
+        val want = IndexStore.bm25TopK(spark, freshDir, terms, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got === want,
+          "post-delete scores drifted from a fresh survivor index")
+        // replay no-op (stats increment re-derived identically)
+        IndexStore.deleteBatch(top3.toDF("doc_id"), dir, 0L)
+        assert(scores() === want, "delete replay changed scores")
+        // a second delete batch of an ALREADY-dead doc must not
+        // double-subtract the stats
+        IndexStore.deleteBatch(Seq(top3.head).toDF("doc_id"), dir, 1L)
+        assert(scores() === want, "re-deleting a dead doc skewed stats")
+        // compact purges postings, nets the negative increments into
+        // the single folded stats row, clears tombstones
+        IndexStore.compact(spark, dir)
+        assert(!new java.io.File(s"$dir/tombstones").exists())
+        assert(spark.read.parquet(s"$dir/postings")
+          .filter($"doc_id".isin(top3: _*)).count() === 0L,
+          "dead postings survived the purge")
+        assert(spark.read.parquet(s"$dir/stats").count() === 1L)
+        assert(scores() === want, "compaction changed post-delete scores")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(freshDir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("compact swap is crash-recoverable: backup restores, leftovers clear") {
     val docs = Tables.documents(spark, sf).limit(40)
     val dir = java.nio.file.Files.createTempDirectory("graft-idx4").toString
