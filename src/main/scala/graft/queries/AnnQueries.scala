@@ -1011,6 +1011,45 @@ object AnnQueries extends QueryPack {
         .orderBy($"level", $"vec_id", $"nbr_id")
     }),
 
+    // The reference's UPSERT write path landing in the PERSISTED index
+    // (vector_shard.cc:46-57 delete-then-insert by id, batched): the
+    // flat graph + corpus persist, then ONE streaming batch RE-INGESTS
+    // the vec_id%40=7 slice with changed embeddings (list-reversed —
+    // an exact permutation both engines replay bit-identically). The
+    // batch routes against the pre-upsert corpus (finding, and
+    // dropping, its own old rows as self-neighbors), its delta lands
+    // under its own batch partition, and the resolved read serves the
+    // upserted ids' NEW edge lists — latest-batch-wins. The oracle
+    // replays build + routing walk (self rows consume their rank slots
+    // before the drop) + capped forward ∪ intra + touched-node repair
+    // + the upsert carryover rule; the dump is the ENTIRE resolved
+    // final edge list.
+    "ann_graph_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_graph_upsert_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      // build + persist + the one upsert batch memoized per session
+      // (write-once / serve-many); attribution via store_write_warm_s
+      graft.util.IndexCache.value(e, Seq("annGraphUpsertBuild", path)) {
+        val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6,
+          ringM = 2, rounds = 3)
+        graft.sources.GraphStore.write(Seq(g), path)
+        graft.sources.GraphStore.writeCorpus(e, path)
+        val batch = e.filter($"vec_id" % 40 === 7)
+          .select($"vec_id", reverse($"embedding").as("embedding"))
+        graft.sources.GraphStore.applyStreamBatch(batch, path, 1L, m = 6,
+          beam = 12, hops = 4, maxDegree = 8, seedN = 4,
+          "vec_id", "embedding")
+        ()
+      }
+      graft.sources.GraphStore.read(s, path, 0)
+        .orderBy($"vec_id", $"nbr_id")
+    }),
+
     // Honesty rows: panel recall@10 of the graph walk vs IVF nprobe=2
     // at comparable candidate work — measured ~134 distinct distance
     // evaluations per query for the walk vs ~125 scanned by the 2-cell
@@ -1750,7 +1789,18 @@ object AnnQueries extends QueryPack {
     * ending in `${p}final` (vec_id, nbr_id). Shared by the flat and
     * hierarchical insert oracles. */
   private def duckInsertReplayCtes(p: String, graph: String, src: String,
-      batch: String, seeds: String): String = {
+      batch: String, seeds: String, upsert: Boolean = false): String = {
+    // upsert = the batch re-ingests EXISTING ids (new embeddings):
+    //  - the routing walk can find a batch id's own pre-upsert row;
+    //    the engine ranks first (the self row consumes its beam/top-m
+    //    slot) and THEN drops self-neighbors — replayed by the post-
+    //    rank w <> qid filter;
+    //  - the store resolves the upserted ids' edge lists latest-batch-
+    //    wins, so the untouched carryover additionally excludes the
+    //    batch's own ids.
+    val selfF = if (upsert) " AND w <> qid" else ""
+    val carryF = if (upsert)
+      s" AND g.vec_id NOT IN (SELECT qid FROM $batch)" else ""
     val hops = (1 to 4).map { h =>
       s"""${p}ip$h AS (
          |  SELECT DISTINCT qid, cand FROM (
@@ -1784,7 +1834,7 @@ object AnnQueries extends QueryPack {
        |        ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
        |    FROM ${p}if4 f JOIN $src e ON e.vec_id = f.cand
        |    JOIN $batch q ON q.qid = f.qid
-       |  ) WHERE rn <= 6
+       |  ) WHERE rn <= 6$selfF
        |), ${p}newe AS (
        |  SELECT vec_id, nbr_id FROM (
        |    SELECT vec_id, nbr_id, row_number() OVER (PARTITION BY vec_id
@@ -1820,7 +1870,7 @@ object AnnQueries extends QueryPack {
        |), ${p}final AS (
        |  SELECT DISTINCT vec_id, nbr_id FROM (
        |    SELECT g.vec_id, g.nbr_id FROM $graph g
-       |    WHERE g.vec_id NOT IN (SELECT u FROM ${p}touched)
+       |    WHERE g.vec_id NOT IN (SELECT u FROM ${p}touched)$carryF
        |    UNION ALL SELECT vec_id, nbr_id FROM ${p}repair
        |    UNION ALL SELECT vec_id, nbr_id FROM ${p}newe
        |  )
@@ -2179,6 +2229,28 @@ object AnnQueries extends QueryPack {
          |  FROM alf3 f JOIN embeddings e ON e.vec_id = f.cand CROSS JOIN q
          |) WHERE rn <= 10
          |ORDER BY rank""".stripMargin
+    },
+
+    // full-corpus build, the %40=7 slice re-ingested with list-reversed
+    // embeddings — the shared insert replay under upsert=true (post-rank
+    // self-neighbor drop; carryover excludes the batch's own ids, the
+    // store's latest-batch-wins resolution); seeds = md5-first 4 of the
+    // pre-upsert corpus
+    "ann_graph_upsert" -> mat {
+      s"""WITH $duckSearchGraphCtes,
+         |nq AS (
+         |  SELECT vec_id AS qid, list_reverse(embedding) AS qv
+         |  FROM embeddings WHERE vec_id % 40 = 7
+         |), sd AS (
+         |  SELECT q.qid, s.cand FROM nq q CROSS JOIN (
+         |    SELECT vec_id AS cand FROM embeddings
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+         |  ) s
+         |),
+         |${duckInsertReplayCtes("u", "gs", "embeddings", "nq", "sd",
+            upsert = true)}
+         |SELECT vec_id, nbr_id FROM ufinal
+         |ORDER BY vec_id, nbr_id""".stripMargin
     },
 
     // base build on the %50≠0 subset, per-new-vector routing walk,

@@ -199,7 +199,7 @@ object GraphStore {
         .write.partitionBy("batch_id", "b")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$path/tombstones")
-      val dead = deadIdSeq(spark, path)
+      val dead = deadIdSeq(spark, path, bucketsHint = buckets)
       val (entryLevel, entryId) = (maxLevel to 0 by -1).view.map { l =>
         val nodes = spark.read.parquet(s"$path/edges")
           .filter(col("level") === l)
@@ -276,7 +276,14 @@ object GraphStore {
     * it — upsert-after-delete, the reference's `vector_shard.cc:46-57`
     * delete-then-insert order); the corpus side is a bucket-pruned
     * point lookup of just the tombstoned ids. */
-  private[graft] def deadIdSeq(spark: SparkSession, path: String): Seq[Long] = {
+  private[graft] def deadIdSeq(spark: SparkSession, path: String): Seq[Long] =
+    deadIdSeq(spark, path, bucketsHint = -1)
+
+  /** [[deadIdSeq]] with the bucket count already in hand — callers that
+    * read the stats row themselves (the walks' [[openStore]],
+    * [[deleteBatch]]) skip the second stats read. */
+  private def deadIdSeq(spark: SparkSession, path: String,
+      bucketsHint: Int): Seq[Long] = {
     if (!hasTombstones(spark, path)) return Nil
     val t = spark.read.parquet(s"$path/tombstones")
       .groupBy(col("vec_id"))
@@ -288,7 +295,9 @@ object GraphStore {
       if (!dirExists(spark, path, "vectors")) Map.empty
       else {
         import spark.implicits._
-        val buckets = statsHead(spark, path).getLong(1).toInt
+        val buckets =
+          if (bucketsHint > 0) bucketsHint
+          else statsHead(spark, path).getLong(1).toInt
         val bkts = ids.toDF("id")
           .select(bucketCol(col("id"), buckets).as("b"))
           .distinct().collect().map(_.getLong(0))
@@ -846,7 +855,7 @@ object GraphStore {
       edgeMulti = batchDirVals(spark, path, "edges").size > 1,
       vecMulti = batchDirVals(spark, path, "vectors").size > 1,
       codeMulti = needCodes && batchDirVals(spark, path, "codes").size > 1,
-      dead = deadIdSeq(spark, path),
+      dead = deadIdSeq(spark, path, bucketsHint = st.getLong(1).toInt),
       edgeTable = spark.read.parquet(s"$path/edges"),
       vecTable = spark.read.parquet(s"$path/vectors"),
       codeTable = if (needCodes) spark.read.parquet(s"$path/codes") else null)
