@@ -448,7 +448,12 @@ object GraphStore {
 
   /** Land one maintenance batch's vectors under its own corpus
     * partitions — same bucket layout and dynamic-overwrite
-    * exactly-once contract as [[writeBatch]]'s edges. */
+    * exactly-once contract as [[writeBatch]]'s edges. An id already in
+    * the corpus is a defined UPSERT (ADVICE r12: this boundary used to
+    * assume batch-disjoint ids silently): every read resolves
+    * latest-batch-wins per id ([[resolveCorpus]]/[[latestRows]]), and
+    * [[refreshCodes]] re-encodes ids whose embedding outranks their
+    * code. Ids must be unique WITHIN a batch. */
   private[graft] def writeCorpusBatch(b: DataFrame, path: String,
       batchId: Long, buckets: Int): Unit = graft.util.StoreMeter.timed {
     b.withColumn("batch_id", lit(batchId))
@@ -665,9 +670,10 @@ object GraphStore {
     * and a restart resumes from the checkpoint with no rebuild. The
     * graph sibling of [[VectorStore.appendStreamIvfPq]] /
     * [[IndexStore.appendStream]]. Contract: build the store with
-    * [[write]] + [[writeCorpus]] first; batch-disjoint vector ids
-    * (append ingest); periodic [[compact]] (+ [[KnnGraph.redescend]])
-    * on the quiesced-window cadence. */
+    * [[write]] + [[writeCorpus]] first; re-ingesting an existing id is
+    * the UPSERT (latest batch wins at every read — GraphStoreSpec pins
+    * the new embedding serving exactly once); periodic [[compact]]
+    * (+ [[KnnGraph.redescend]]) on the quiesced-window cadence. */
   def appendStream(vectorStream: DataFrame, path: String,
       checkpoint: String, m: Int, beam: Int = 12, hops: Int = 4,
       maxDegree: Int = 8, seedN: Int = 4,
