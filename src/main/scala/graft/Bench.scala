@@ -274,5 +274,25 @@ object Bench {
       System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
     }
     println(json)
+    // The driver grades a 2,000-char stdout TAIL; the full JSON above
+    // outgrew it at ~124 queries (BENCH_r04..r13 all landed
+    // `parsed: null`, VERDICT r13 wrong #1). Emit a compact summary —
+    // same driver schema (metric/value/unit/queries/sf), `queries`
+    // restricted to the 10 most expensive — as the FINAL stdout line so
+    // the graded artifact parses on its own. Full per-query detail
+    // stays in the preceding line and target/bench_last.json.
+    val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val nq = results.count(_._2 >= 0)
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":$nq,"s_per_q":${fmt(if (nq > 0) total / nq else 0.0)},""" +
+      s""""queries":$top10,""" +
+      s""""build_warm_s_total":${fmt(buildWarmTotal)},""" +
+      s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
+      s""""sched_wait_total":${fmt(schedTotal)},""" +
+      s""""probe_first":${fmt(probeFirst)},"probe_last":${fmt(probeLast)},""" +
+      s""""failed":${failed.size},"sf":"$sfDir"}"""
+    println(compact)
   }
 }
