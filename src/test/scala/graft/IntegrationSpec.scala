@@ -130,6 +130,72 @@ class IntegrationSpec extends SparkSpec {
       "maintained store lost the upserted state")
   }
 
+  test("mutation log drives the served IVF-PQ index: one stream folds upserts+deletes ≡ log replay; batch replay no-op") {
+    // VERDICT r13 next #2, IVF-PQ family: appendStreamIvfPq +
+    // deleteStream were separate streams a user could desynchronize;
+    // applyMutationStreamIvfPq lands both halves of every micro-batch
+    // under one checkpoint. Afterward readLive IS the MutationLog
+    // replay of the full history, cell-assigned and PQ-encoded.
+    import graft.operators.{Ann, Pq}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val embOf: Map[Long, Seq[Float]] = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val centroids = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+    val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+    // three batches: inserts, deletes + upsert-of-existing, revive
+    val b1 = e.filter($"vec_id" % 4 === 1).collect().zipWithIndex.map {
+      case (r, i) => (1000L + i, MutationLog.Upsert, r.getLong(0),
+        r.getSeq[Float](1).toSeq)
+    }.toSeq
+    val b2 = Seq(
+      (2000L, MutationLog.Delete, 5L, embOf(5L)), // payload ignored on delete
+      (2001L, MutationLog.Upsert, 1L, embOf(17L)))
+    val b3 = Seq(
+      (3000L, MutationLog.Upsert, 5L, embOf(21L)), // revive
+      (3001L, MutationLog.Delete, 9L, embOf(9L)))
+    val dir = Files.createTempDirectory("graft-mutivfpq").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft-mutivfpq-ckpt").toString
+    val mem = MemoryStream[(Long, String, Long, Seq[Float])]
+    val q = VectorStore.applyMutationStreamIvfPq(
+      mem.toDF().toDF("log_index", "op", "vec_id", "embedding"),
+      centroids, model, dir, ckpt)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the served live state ≡ cell-assign + encode of the log replay
+    val log = (b1 ++ b2 ++ b3)
+      .toDF("log_index", "op", "id", "embedding")
+      .select($"id", $"embedding", lit("s0").as("shard_id"), $"op",
+        $"log_index")
+    val expected = MutationLog.replay(log)
+      .select($"id".as("vec_id"),
+        Ann.nearestCell($"embedding", centroids).as("cell"),
+        Pq.encodeCol($"embedding", model).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toSeq)).toSet
+    def liveState() = VectorStore.readLive(spark, dir, idCol = "vec_id")
+      .select($"vec_id", $"cell".cast("long"), $"codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toSeq)).toSet
+    assert(liveState() === expected,
+      "IVF-PQ fold diverged from the mutation-log replay")
+    // crash replay of the last batch is a no-op (same batch id)
+    VectorStore.applyMutationBatchIvfPq(
+      b3.toDF("log_index", "op", "vec_id", "embedding"),
+      centroids, model, dir, 2L)
+    assert(liveState() === expected, "batch replay changed the store")
+    // the probe path prunes on the folded layout: cells are partition
+    // dirs under every batch, so a cell filter still prunes the scan
+    val probed = VectorStore.readLive(spark, dir, idCol = "vec_id")
+      .filter($"cell" === expected.head._2)
+    assert(probed.count() ===
+      expected.count(_._2 == expected.head._2).toLong)
+  }
+
   test("streaming file source tails the mutation log incrementally") {
     val logDir = Files.createTempDirectory("graft-log").toString
     val out = s"graft_stream_out_${System.nanoTime()}"
