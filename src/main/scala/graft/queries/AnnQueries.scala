@@ -948,6 +948,51 @@ object AnnQueries extends QueryPack {
         .orderBy($"rank")
     }),
 
+    // The persisted graph-ADC serve AT THE REFERENCE'S OWN DIMENSION
+    // (768, `config/node1.textproto:13`; VERDICT r13 next #6: the wide
+    // family covered IVF/PQ/graph BUILDS but no store-served ADC walk
+    // at wide dims): the 768-dim derived corpus (even half — the
+    // ann_graph_wide fixture) trains m=96 sub-codebooks (the FAISS
+    // scaling: m grows with d, the 8-float sub-vector stays put),
+    // builds the search graph over the wide vectors, persists edges +
+    // corpus + codes + model, and serves entirely from reopened
+    // artifacts: entry from the stored stats row, beam navigation by
+    // integer ADC over m-BYTE code point-lookups (96 bytes vs 3,072
+    // raw bytes per candidate — the 32× IO cut, where it matters), one
+    // exact wide re-rank of the final beam.
+    "ann_graph_adc_wide" -> ((s, dir) => {
+      import s.implicits._
+      val w = AnnQueries.wideFrame(Tables.embeddings(s, dir))
+        .filter($"vec_id" % 2 === 0)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_graph_adc_wide_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      // train + build + persist memoized per session (write-once /
+      // serve-many); attribution via store_write_warm_s / build_s
+      graft.util.IndexCache.value(w.select($"vec_id", $"embedding"),
+          Seq("annGraphAdcWideBuild", path)) {
+        val model = Pq.trainRefined(w, m = 96, ks = 16, iters = 2)
+        val g = graft.operators.KnnGraph.buildSearchGraph(w, m = 6,
+          ringM = 2, rounds = 3)
+        graft.sources.GraphStore.write(Seq(g), path)
+        graft.sources.GraphStore.writeCorpus(w, path)
+        graft.sources.GraphStore.writeCodes(Pq.encode(w, model), path)
+        graft.sources.ModelStore.writePq(s, model, s"$path/model/pq")
+        ()
+      }
+      val loaded = graft.sources.ModelStore.readPq(s, s"$path/model/pq")
+      val queries = w.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val entryId = graft.sources.GraphStore.statsHead(s, path).getLong(4)
+      val seeds = Seq((0L, entryId)).toDF("qid", "cand")
+      graft.sources.GraphStore.searchPointLookupAdc(s, path, queries,
+          seeds, loaded, beam = 12, hops = 4, k = 10)
+        .select($"vec_id", round($"distance", 4).as("distance"), $"rank")
+        .orderBy($"rank")
+    }),
+
     // NSW batch insert, oracle-checked end to end (the reference's
     // point-upsert write path, `src/index/vector_shard.cc:46-57`, as a
     // graph-index maintenance op): base graph on the vec_id%50≠0
@@ -2166,6 +2211,56 @@ object AnnQueries extends QueryPack {
          |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
          |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
          |  FROM oaf4 f JOIN rot e ON e.vec_id = f.cand CROSS JOIN q
+         |) WHERE rn <= 10
+         |ORDER BY rank""".stripMargin
+    },
+
+    // the wide (768-dim) persisted graph-ADC serve: the wsrc derived
+    // corpus (even half), the m=96 seed/refine/codes/LUT/ADC chain
+    // (every fragment keys slice arithmetic to subDim 8, so the same
+    // SQL scales m — the FAISS convention), the search-graph build
+    // over the wide vectors, the md5-first stored entry, the
+    // hop-unrolled integer-ADC walk, and the exact wide tail. Store +
+    // model roundtrips are value-preserving (GraphStoreSpec /
+    // ModelStoreSpec), so this SQL hash-checks the whole wide
+    // persisted serve.
+    "ann_graph_adc_wide" -> mat {
+      val hops = (1 to 4).map { h =>
+        s"""wap$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM waf${h - 1}
+           |    UNION ALL SELECT g.nbr_id FROM waf${h - 1} f JOIN gsw2 g ON g.vec_id = f.cand
+           |  )
+           |), waf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (ORDER BY a.adc, p.cand) AS rn
+           |    FROM wap$h p JOIN adcs a ON a.vec_id = p.cand
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckWideSrc,
+         |wsrce AS (
+         |  SELECT vec_id, embedding FROM wsrc WHERE vec_id % 2 = 0
+         |),
+         |${duckPqSeedCtesFor("wsrce", 96)},
+         |${duckPqRefine(1, "cb0", "wsrce")},
+         |${duckPqRefine(2, "cb1", "wsrce")},
+         |cb AS (SELECT * FROM cb2),
+         |${duckAdcTail("cb", "", "wsrce")},
+         |${duckSearchGraphCtesFor("wsrce", "w2")},
+         |waf0 AS (
+         |  SELECT cand FROM (
+         |    SELECT s.cand, row_number() OVER (ORDER BY a.adc, s.cand) AS rn
+         |    FROM (SELECT vec_id AS cand FROM wsrce
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1) s
+         |    JOIN adcs a ON a.vec_id = s.cand
+         |  ) WHERE rn <= 12
+         |),
+         |$hops
+         |SELECT vec_id, round(d, 4) AS distance, CAST(rn AS BIGINT) AS rank FROM (
+         |  SELECT e.vec_id, ${duckL2sq("e.embedding", "q.qv")} AS d,
+         |    row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |  FROM waf4 f JOIN wsrce e ON e.vec_id = f.cand CROSS JOIN q
          |) WHERE rn <= 10
          |ORDER BY rank""".stripMargin
     },
