@@ -61,6 +61,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // serving-latency floor meter (VERDICT r13 next #7): per-pass
+    // Σ(job submit → first task) + job count — the measured form of
+    // SURVEY.md's per-hop-dispatch honesty note for store-walk queries
+    spark.sparkContext.addSparkListener(graft.util.DispatchMeter)
     // Unpersisting a finished pass's localCheckpoint blocks is correct
     // (the frames are dead) but logs a scary per-RDD warning; drop the
     // rdd package to ERROR so driver tails stay clean.
@@ -129,6 +133,13 @@ object Bench {
     // persist wall the MEASURED pass paid; `store_write_warm_s` = what
     // the warmup pass absorbed (memoized store builds land there).
     val storeSecLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-pass job-dispatch wall + job count (graft.util.DispatchMeter):
+    // `hop_dispatch_s` is the scheduling floor a pass paid — for the
+    // store-backed serving walks this is the per-hop driver round-trip
+    // cost SURVEY documents, now a number an operator can hold against
+    // the reference's in-process serve
+    val dispatchLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val jobsLog = scala.collection.mutable.LinkedHashMap[String, Long]()
 
     /** Run `body`, return wall seconds (-1 on failure), then drop every
       * cache/persistent RDD the body created — and only those. */
@@ -139,6 +150,8 @@ object Bench {
       val b0 = graft.util.IndexCache.misses
       val bn0 = graft.util.IndexCache.buildNanos
       val sn0 = graft.util.StoreMeter.nanos
+      val dm0 = graft.util.DispatchMeter.millis
+      val dj0 = graft.util.DispatchMeter.jobs
       try {
         val t0 = System.nanoTime()
         body
@@ -152,6 +165,8 @@ object Bench {
         buildLog(what) = graft.util.IndexCache.misses - b0
         buildSecLog(what) = (graft.util.IndexCache.buildNanos - bn0) / 1e9
         storeSecLog(what) = (graft.util.StoreMeter.nanos - sn0) / 1e9
+        dispatchLog(what) = (graft.util.DispatchMeter.millis - dm0) / 1e3
+        jobsLog(what) = graft.util.DispatchMeter.jobs - dj0
         schedLog(what) =
           if (sw0 < 0) -1.0 else math.max(0L, schedWaitNanos() - sw0) / 1e9
         spark.catalog.clearCache()
@@ -241,6 +256,14 @@ object Bench {
       .mkString("{", ",", "}")
     val storeMeasuredTotal = results.map { case (k, _) =>
       storeSecLog.getOrElse(s"$k measured", 0.0) }.sum
+    val dispatchJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + fmt(dispatchLog.getOrElse(s"$k measured", 0.0)) }
+      .mkString("{", ",", "}")
+    val dispatchTotal = results.map { case (k, _) =>
+      dispatchLog.getOrElse(s"$k measured", 0.0) }.sum
+    val jobsJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + jobsLog.getOrElse(s"$k measured", 0L) }
+      .mkString("{", ",", "}")
     val probesJson = probes.map { case (i, t) => s"\"" + i + "\":" + fmt(t) }
       .mkString("{", ",", "}")
     // stop() before the JSON so no further stdout follows — but never
@@ -262,6 +285,9 @@ object Bench {
       s""""store_write_warm_s":$storeWarmJson,""" +
       s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
       s""""store_write_s_all_passes":${fmt(graft.util.StoreMeter.nanos / 1e9)},""" +
+      s""""hop_dispatch_s":$dispatchJson,""" +
+      s""""hop_dispatch_s_total":${fmt(dispatchTotal)},""" +
+      s""""jobs":$jobsJson,""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it
@@ -290,6 +316,7 @@ object Bench {
       s""""queries":$top10,""" +
       s""""build_warm_s_total":${fmt(buildWarmTotal)},""" +
       s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
+      s""""hop_dispatch_s_total":${fmt(dispatchTotal)},""" +
       s""""sched_wait_total":${fmt(schedTotal)},""" +
       s""""probe_first":${fmt(probeFirst)},"probe_last":${fmt(probeLast)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
