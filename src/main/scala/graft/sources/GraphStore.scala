@@ -289,10 +289,15 @@ object GraphStore {
     * literal (plan-embedded, replicated into every task binary — a
     * plan-size hazard under delete-heavy windows, VERDICT r13 wrong #2)
     * to a broadcast anti-join against a dead-id frame, whose plan cost
-    * is O(1) in the delete rate. Overridable for the value-identity
-    * spec via `-Dgraft.deadIsinMax=`. */
+    * is O(1) in the delete rate. Default 1024, measured: at 6,400 dead
+    * ids over a 32k-vector store the anti-join serve is ~10% FASTER
+    * and the edge-read plan is 127× smaller (925 vs 117,847 chars —
+    * ProfileGraph `deleteheavy`, BASELINE.md r14), so the literal's
+    * only win is at small sets where it adds zero operators.
+    * Overridable via `-Dgraft.deadIsinMax=` (the value-identity spec
+    * forces 0). */
   private[graft] def deadIsinMax: Int =
-    sys.props.get("graft.deadIsinMax").map(_.toInt).getOrElse(8192)
+    sys.props.get("graft.deadIsinMax").map(_.toInt).getOrElse(1024)
 
   /** Drop rows whose `cols` hit the dead set. Small sets stay the
     * `!isin(...)` literal (zero extra operators in the serving plan);
