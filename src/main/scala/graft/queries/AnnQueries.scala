@@ -335,6 +335,54 @@ object AnnQueries extends QueryPack {
       Bq.mihTopK(Bq.encode(e, 64), Bq.signBitsLocal(q), k = 10, chunkBits = 8)
     }),
 
+    // MIH served from the persisted index AFTER a mutation-log fold +
+    // compaction — the vector-side sibling of `bm25_log` (VERDICT r13
+    // next #2: the apply loop must land in EVERY served family; this
+    // hash-checks it for the MIH index): the store builds over the
+    // corpus signatures, one mutation batch applies two
+    // upserts-of-existing (re-signed with other rows' embeddings), one
+    // brand-new id, and two deletes through
+    // BinaryStore.applyMutationBatch (sign-encode row-local, upserts
+    // at slot 2b, tombstones at 2b+1), compact purges the superseded
+    // and dead rows, and the serve probes the folded layout. The
+    // oracle sign-encodes the REPLAYED corpus and replays the
+    // substring blocking — a stale signature, a duplicated candidate,
+    // or an unpurged tombstone would all hash-mismatch. (The
+    // PRE-compact resolution — latest-batch-wins over stale chunk
+    // rows — is spec-pinned in BinaryStoreSpec; this query pins the
+    // fold ∘ purge composition.) Build + fold memoized per session.
+    "ann_mih_log" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.MutationLog
+      import graft.sources.BinaryStore
+      val e = Tables.embeddings(s, dir)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ann_mih_log_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      graft.util.IndexCache.value(e.select($"vec_id"),
+          Seq("annMihLogBuild", path)) {
+        BinaryStore.write(Bq.encode(e, 64)
+          .select($"vec_id", array($"sig").as("sig")), path)
+        def embOf(id: Long) = e.filter($"vec_id" === id)
+          .select($"embedding").head.getSeq[Float](0)
+        val batch = Seq(
+          (1L, MutationLog.Upsert, 1L, embOf(2L)),
+          (2L, MutationLog.Upsert, 3L, embOf(4L)),
+          (3L, MutationLog.Upsert, 900001L, embOf(6L)),
+          (4L, MutationLog.Delete, 5L, null),
+          (5L, MutationLog.Delete, 8L, null)
+        ).toDF("log_index", "op", "id", "embedding")
+        BinaryStore.applyMutationBatch(batch, path, 0L, dim = 64)
+        BinaryStore.compact(s, path)
+        ()
+      }
+      val q = e.filter($"vec_id" === 0L).select($"embedding")
+        .head.getSeq[Float](0).toArray
+      BinaryStore.probe(s, path, Array(Bq.signBitsLocal(q)), k = 10)
+    }),
+
     // Batch MIH — the substring match as an EQUI-JOIN of corpus
     // substrings against broadcast query substrings (the knn_batch
     // shape: corpus never shuffles, BottomK per-query heaps), one pass
@@ -1938,15 +1986,20 @@ object AnnQueries extends QueryPack {
     * overflow-checks, so that one bit adds as the MinValue literal
     * (disjoint powers sum to the identical two's-complement long the
     * engine's shiftleft fold packs). */
-  private def duckSigsCte: String =
-    """sigs AS (
+  /** Sign-encode CTE `sigs(vec_id, sig)` over any (vec_id, embedding)
+    * source — the mutation-fold query replays it over a MUTATED
+    * corpus. */
+  private def duckSigsCteFor(src: String): String =
+    s"""sigs AS (
       |  SELECT vec_id, CAST(list_sum(list_transform(range(64), i ->
       |    CASE WHEN embedding[i + 1] > 0 THEN
       |      CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
       |           ELSE CAST(1 AS BIGINT) << i END
       |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
-      |  FROM embeddings
+      |  FROM $src
       |)""".stripMargin
+
+  private def duckSigsCte: String = duckSigsCteFor("embeddings")
 
   private def duckBqCtes: String =
     s"""$duckSigsCte, bq AS (
@@ -2811,6 +2864,34 @@ object AnnQueries extends QueryPack {
         s"((s.sig >> ${8 * j}) & 255) = ((q.qsig >> ${8 * j}) & 255)")
         .mkString("\n     OR ")
       s"""WITH $duckBqCtes,
+         |cand AS (
+         |  SELECT DISTINCT s.vec_id, s.sig
+         |  FROM sigs s CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) q
+         |  WHERE $ors
+         |)
+         |SELECT c.vec_id, CAST(bit_count(xor(c.sig, q.qsig)) AS BIGINT) AS hamming
+         |FROM cand c CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) q
+         |ORDER BY hamming, c.vec_id LIMIT 10""".stripMargin
+    },
+
+    // the mutation replay, then the IDENTICAL MIH chain over the
+    // mutated corpus: upserted ids re-sign with their new embeddings,
+    // the new id joins, deleted ids drop — what the store's
+    // fold ∘ compact must serve
+    "ann_mih_log" -> mat {
+      val ors = (0 until 8).map(j =>
+        s"((s.sig >> ${8 * j}) & 255) = ((q.qsig >> ${8 * j}) & 255)")
+        .mkString("\n     OR ")
+      s"""WITH emb2 AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id = 1 THEN (SELECT embedding FROM embeddings WHERE vec_id = 2)
+         |         WHEN vec_id = 3 THEN (SELECT embedding FROM embeddings WHERE vec_id = 4)
+         |         ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id NOT IN (5, 8)
+         |  UNION ALL
+         |  SELECT 900001, (SELECT embedding FROM embeddings WHERE vec_id = 6)
+         |),
+         |${duckSigsCteFor("emb2")},
          |cand AS (
          |  SELECT DISTINCT s.vec_id, s.sig
          |  FROM sigs s CROSS JOIN (SELECT sig AS qsig FROM sigs WHERE vec_id = 0) q
