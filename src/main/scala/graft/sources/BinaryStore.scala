@@ -31,6 +31,83 @@ import graft.operators.Bq
   * scan-form index. */
 object BinaryStore {
 
+  /** The `batch_id=` partition values under `path/index`, from a driver
+    * filesystem listing — answers "is this layout single-batch?" without
+    * a Spark job (the [[GraphStore]] `batchDirVals` rule). */
+  private def indexBatchVals(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/index")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
+  /** Memoized index-table reader (VERDICT r14 next #7: `ann_mih_log`'s
+    * serve wall was dominated by re-listing the j×chunk partition tree
+    * on every probe). The parquet DataFrame — whose InMemoryFileIndex
+    * holds the one-time recursive listing — is cached per (path, batch
+    * layout generation): every mutating entry point on this store
+    * ([[applyStreamBatch]], [[deleteBatch]], [[compact]], [[write]])
+    * invalidates the path explicitly, and the key's batch-dir
+    * (name, mtime) signature is the cross-writer safety net (a NEW
+    * batch or a compaction always changes the top-level layout). */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def invalidate(path: String): Unit = {
+    val keys = indexCache.keys()
+    while (keys.hasMoreElements) {
+      val k = keys.nextElement()
+      if (k.startsWith(s"$path|")) indexCache.remove(k)
+      ()
+    }
+  }
+
+  private def indexTable(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/index")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val sig = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val key = s"$path|$sig"
+    val cached = indexCache.get(key)
+    if (cached != null) cached
+    else {
+      val df = spark.read.parquet(p.toString)
+      if (indexCache.size > 256) indexCache.clear()
+      indexCache.put(key, df)
+      df
+    }
+  }
+
+  /** The candidates' GLOBALLY-latest signatures — the multi-batch probe
+    * rule (ADVICE r14 high: resolving latest-batch-wins over only the
+    * chunk-PRUNED rows misses an upsert whose NEW signature shares no
+    * (j, chunk) with the query, so the id served its superseded
+    * signature — an understated Hamming — until compact). Every
+    * signature has exactly one `j=0` row in every batch that wrote it,
+    * so a single-substring read across ALL batches, pruned to the
+    * candidate ids (literal `IN` up to [[GraphStore.deadIsinMax]] — the
+    * vec_id-sorted files' min/max stats then skip row groups — and a
+    * broadcast semi-join above it), resolves each candidate's current
+    * signature and its latest index batch. Cost is candidates×batches
+    * rows, never N. */
+  private def latestSigOf(spark: SparkSession, path: String,
+      candIds: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val j0 = indexTable(spark, path).filter(col("j") === 0)
+    val hit =
+      if (candIds.length <= GraphStore.deadIsinMax)
+        j0.filter(col("vec_id").isin(candIds.toSeq: _*))
+      else j0.join(broadcast(candIds.toSeq.toDF("vec_id")),
+        Seq("vec_id"), "left_semi")
+    hit.groupBy(col("vec_id"))
+      .agg(max_by(col("sig"), col("batch_id").cast("long")).as("sig"),
+        max(col("batch_id").cast("long")).as("__ib"))
+  }
+
   /** The replicated-row derivation shared by the build write and the
     * streaming maintainer: one (vec_id, sig, j, chunk) row per
     * (signature, substring). */
@@ -80,6 +157,7 @@ object BinaryStore {
         lit(nWords.toLong).as("words"),
         lit(chunkBits.toLong).as("chunk_bits"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    invalidate(path)
   }
 
   /** One streaming micro-batch landed in the index — the foreachBatch
@@ -114,6 +192,7 @@ object BinaryStore {
         .write.partitionBy("batch_id", "j", "chunk")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$path/index")
+      invalidate(path)
     }
   }
 
@@ -236,6 +315,7 @@ object BinaryStore {
     fs.delete(bak, true)
     val tombs = new Path(s"$path/tombstones")
     if (fs.exists(tombs)) fs.delete(tombs, true)
+    invalidate(path)
   }
 
   private def recoverCompact(spark: SparkSession, path: String): Unit = {
@@ -272,15 +352,37 @@ object BinaryStore {
       val qc = (querySig(w) >>> off) & mask
       col("j") === lit(j) && col("chunk") === lit(qc)
     }.reduce(_ || _)
-    // latest-batch-wins per candidate: a re-ingested (upserted) id
-    // serves its NEWEST signature — max_by is value-deterministic here
-    // (one signature per (id, batch); ADVICE r13: a plain max(sig)
-    // could serve a stale pre-delete signature until compact)
-    val cands = spark.read.parquet(s"$path/index")
-      .filter(anyChunk)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("sig"), col("batch_id").cast("long")).as("sig"),
-        max(col("batch_id").cast("long")).as("__ib"))
+    // candidate signature resolution: on a single-batch (compacted or
+    // build-only) layout the pruned rows carry the only signature; on a
+    // multi-batch layout the pruned rows are NOT enough — an upserted
+    // id whose new signature shares no (j, chunk) with the query has
+    // only stale-batch rows in the pruned scan (ADVICE r14 high), so
+    // candidates re-resolve their globally-latest signature via the
+    // single-substring read ([[latestSigOf]]) and the exact Hamming +
+    // liveness run on THAT
+    val pruned = indexTable(spark, path).filter(anyChunk)
+    val cands =
+      if (indexBatchVals(spark, path).size <= 1)
+        pruned.groupBy(col("vec_id"))
+          .agg(max(col("sig")).as("sig"),
+            max(col("batch_id").cast("long")).as("__ib"))
+      else {
+        // a candidate whose CURRENT signature no longer shares any
+        // substring with the query never enters the scan-form
+        // candidate set (its pruned hit was purely stale rows) — drop
+        // it, keeping exact value-equality with [[Bq.mihTopKWide]]
+        val stillMatches = (0 until nWords * perWord).map { j =>
+          val w = j / perWord
+          val off = chunkBits * (j % perWord)
+          val qc = (querySig(w) >>> off) & mask
+          shiftright(element_at(col("sig"), w + 1), off)
+            .bitwiseAND(lit(mask)) === lit(qc)
+        }.reduce(_ || _)
+        latestSigOf(spark, path,
+          pruned.select(col("vec_id")).distinct().collect()
+            .map(_.getLong(0)))
+          .filter(stillMatches)
+      }
     liveOnly(spark, path, cands)
       .select(col("vec_id").as(idCol),
         Bq.hammingWordsCol(col("sig"), querySig).as("hamming"))
@@ -328,16 +430,41 @@ object BinaryStore {
     val pairs = probes.select(col("j"), col("chunk")).distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     require(pairs.nonEmpty, "empty query batch")
-    val pruned = spark.read.parquet(s"$path/index")
+    val pruned = indexTable(spark, path)
       .filter(pairs.map { case (j, c) =>
         col("j") === lit(j) && col("chunk") === lit(c)
       }.reduce(_ || _))
-    // latest-batch-wins per (query, candidate) — the probe() rule
-    val cands = pruned.join(broadcast(probes), Seq("j", "chunk"))
-      .groupBy(col(queryIdCol), col("vec_id"))
-      .agg(max_by(col("sig"), col("batch_id").cast("long")).as("sig"),
-        max(col(querySigCol)).as("qs"),
-        max(col("batch_id").cast("long")).as("__ib"))
+    // candidate signature resolution per (query, candidate) — the
+    // probe() rule: pruned rows suffice on a single-batch layout; a
+    // multi-batch layout re-resolves each candidate's globally-latest
+    // signature (ADVICE r14 high — see probe())
+    val matched = pruned.join(broadcast(probes), Seq("j", "chunk"))
+    val cands =
+      if (indexBatchVals(spark, path).size <= 1)
+        matched.groupBy(col(queryIdCol), col("vec_id"))
+          .agg(max(col("sig")).as("sig"),
+            max(col(querySigCol)).as("qs"),
+            max(col("batch_id").cast("long")).as("__ib"))
+      else {
+        val qcPairs = matched
+          .groupBy(col(queryIdCol), col("vec_id"))
+          .agg(max(col(querySigCol)).as("qs"))
+        val resolved = latestSigOf(spark, path,
+          qcPairs.select(col("vec_id")).distinct().collect()
+            .map(_.getLong(0)))
+        // drop (query, candidate) pairs whose CURRENT signature shares
+        // no substring with the query — the probe() rule, per pair
+        val stillMatches = (0 until nWords * perWord).map { j =>
+          val w = j / perWord
+          val off = chunkBits * (j % perWord)
+          shiftright(element_at(col("sig"), w + 1), off)
+            .bitwiseAND(lit(mask)) ===
+            shiftright(element_at(col("qs"), w + 1), off)
+              .bitwiseAND(lit(mask))
+        }.reduce(_ || _)
+        qcPairs.join(broadcast(resolved), Seq("vec_id"))
+          .filter(stillMatches)
+      }
     liveOnly(spark, path, cands)
       .select(col(queryIdCol), col("vec_id"),
         aggregate(

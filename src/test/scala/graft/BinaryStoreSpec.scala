@@ -233,6 +233,50 @@ class BinaryStoreSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("ADVICE r14: upsert whose NEW signature shares no chunk with the query never serves the stale signature") {
+    // the pruned scan holds ONLY the target's stale-batch rows when the
+    // new signature shares no (j, chunk) with the query — resolving
+    // latest-batch-wins over the pruned subset returned the superseded
+    // signature at hamming 0. Probes now re-resolve each candidate's
+    // globally-latest signature (single-substring j=0 read) and drop
+    // candidates whose current signature no longer matches any query
+    // substring — exact value-equality with the scan form throughout.
+    val target = 100L
+    // every corpus signature shares chunk (j=0, 0x00) with the query
+    // 0L, so the probe has genuine candidates at various hammings
+    val others = (1L to 20L).map(i => (i, Seq(i << 8)))
+    val dir = tmp("stale")
+    try {
+      BinaryStore.write(
+        (others :+ ((target, Seq(0L)))).toDF("vec_id", "sig"), dir)
+      // upsert: all 64 bits flip — the new signature (all chunks 0xFF)
+      // shares NO substring with the old one (all chunks 0x00)
+      BinaryStore.applyStreamBatch(
+        Seq((target, Seq(-1L))).toDF("vec_id", "sig"), dir, 0L, "vec_id")
+      val current = (others :+ ((target, Seq(-1L)))).toDF("vec_id", "sig")
+      val want = Bq.mihTopKWide(current, Array(0L), k = 21, chunkBits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = BinaryStore.probe(spark, dir, Array(0L), k = 21)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.forall { case (id, h) => id != target || h != 0L },
+        s"stale pre-upsert signature served at hamming 0: $got")
+      assert(got === want,
+        "multi-batch probe drifted from the scan form over CURRENT signatures")
+      // batch form: same query through probeBatch
+      val qs = Seq((0L, Seq(0L))).toDF("query_id", "qsig")
+      val wantB = Bq.mihBatchTopKWide(current, qs, k = 21, nWords = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val gotB = BinaryStore.probeBatch(spark, dir, qs, k = 21)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(gotB === wantB,
+        "multi-batch probeBatch drifted from the scan form over CURRENT signatures")
+    } finally rm(dir)
+  }
+
   test("applyMutationBatch: the mutation-log fold lands upserts+deletes in the MIH index; replay no-op") {
     import graft.operators.MutationLog
     val dir = tmp("mutfold")
