@@ -64,7 +64,7 @@ object Bench {
     // serving-latency floor meter (VERDICT r13 next #7): per-pass
     // Σ(job submit → first task) + job count — the measured form of
     // SURVEY.md's per-hop-dispatch honesty note for store-walk queries
-    spark.sparkContext.addSparkListener(graft.util.DispatchMeter)
+    graft.util.DispatchMeter.register(spark.sparkContext)
     // Unpersisting a finished pass's localCheckpoint blocks is correct
     // (the frames are dead) but logs a scary per-RDD warning; drop the
     // rdd package to ERROR so driver tails stay clean.

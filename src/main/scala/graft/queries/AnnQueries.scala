@@ -383,6 +383,91 @@ object AnnQueries extends QueryPack {
       BinaryStore.probe(s, path, Array(Bq.signBitsLocal(q)), k = 10)
     }),
 
+    // The reference's apply-then-serve loop at FULL WIDTH under ONE
+    // oracle (VERDICT r14 next #3: bm25_log and ann_mih_log each check
+    // one family after its own fold; nothing hash-checked multiple
+    // families serving consistent state after the SAME fan-out
+    // history): a hybrid corpus — one id space carrying an embedding
+    // AND a text — builds a flat graph store (edges + corpus + codes +
+    // model) and an inverted index, then a 3-batch mutation stream
+    // folds through IndexFanout.applyMutationBatch (the one-checkpoint
+    // fan-out body): batch 0 INSERTS two new ids, batch 1 RE-INGESTS
+    // two live ids with permuted embeddings and replaced texts (the
+    // upsert path), batch 2 DELETES one base id and one id batch 0
+    // just inserted (cross-batch liveness). Codes refresh on the
+    // maintenance cadence, and the serve fuses BM25-from-postings with
+    // the graph-ADC walk (stored live entry, integer ADC navigation,
+    // exact tail) by reciprocal-rank fusion. The oracle replays the
+    // fold — two chained insert-delta derivations, the liveness rule,
+    // the recomputed live entry — plus both rankings and the RRF
+    // arithmetic (`hybrid_rrf` + `bm25_log` fragments composed).
+    "hybrid_log" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.MutationLog
+      import graft.sources.{GraphStore, IndexFanout, IndexStore}
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val gPath = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_hybrid_log_g_$tag").getAbsolutePath
+      val iPath = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_hybrid_log_i_$tag").getAbsolutePath
+      // build + fold memoized per session (write-once / serve-many);
+      // attribution via store_write_warm_s / build_warm_s
+      graft.util.IndexCache.value(e, Seq("hybridLogBuild", gPath, iPath)) {
+        val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+        val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6,
+          ringM = 2, rounds = 3)
+        GraphStore.write(Seq(g), gPath)
+        GraphStore.writeCorpus(e, gPath)
+        GraphStore.writeCodes(Pq.encode(e, model), gPath)
+        graft.sources.ModelStore.writePq(s, model, s"$gPath/model/pq")
+        IndexStore.write(docs, iPath, buckets = 64)
+        def embOf(id: Long) = e.filter($"vec_id" === id)
+          .select($"embedding").head.getSeq[Float](0)
+        def textOf(id: Long) = docs.filter($"doc_id" === id)
+          .select($"text").head.getString(0)
+        val cfg = IndexFanout.Config(
+          graphPath = Some(gPath), indexPath = Some(iPath))
+        val batches: Seq[Seq[(Long, String, Long, Seq[Float], String)]] = Seq(
+          Seq((1L, MutationLog.Upsert, 900001L, embOf(2L).reverse, textOf(2L)),
+            (2L, MutationLog.Upsert, 900002L, embOf(4L).reverse, textOf(4L))),
+          Seq((3L, MutationLog.Upsert, 7L, embOf(7L).reverse, textOf(6L)),
+            (4L, MutationLog.Upsert, 11L, embOf(11L).reverse, textOf(8L))),
+          Seq((5L, MutationLog.Delete, 3L, null, null),
+            (6L, MutationLog.Delete, 900001L, null, null)))
+        batches.zipWithIndex.foreach { case (rows, i) =>
+          IndexFanout.applyMutationBatch(
+            rows.toDF("log_index", "op", "id", "embedding", "text"),
+            i.toLong, cfg)
+        }
+        GraphStore.refreshCodes(s, gPath, model)
+        ()
+      }
+      val model = graft.sources.ModelStore.readPq(s, s"$gPath/model/pq")
+      val queries = e.filter($"vec_id" === 0L)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      val entry = GraphStore.statsHead(s, gPath).getLong(4)
+      val seeds = Seq((0L, entry)).toDF("qid", "cand")
+      val vec = GraphStore.searchPointLookupAdc(s, gPath, queries, seeds,
+          model, beam = 12, hops = 4, k = 10)
+        .select($"vec_id".as("doc_id"), $"rank".as("vrank"))
+      val lex = IndexStore.bm25TopK(s, iPath, RetrievalQueries.terms, k = 15)
+        .select($"doc_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"score".desc, $"doc_id")).as("lrank"))
+      lex.join(vec, Seq("doc_id"), "outer")
+        .select($"doc_id",
+          (when($"lrank".isNotNull, lit(1.0) / (lit(60) + $"lrank"))
+            .otherwise(lit(0.0)) +
+           when($"vrank".isNotNull, lit(1.0) / (lit(60) + $"vrank"))
+            .otherwise(lit(0.0))).as("rrf_raw"))
+        .select($"doc_id", round($"rrf_raw", 6).as("rrf"))
+        .orderBy($"rrf".desc, $"doc_id").limit(20)
+    }),
+
     // Batch MIH — the substring match as an EQUI-JOIN of corpus
     // substrings against broadcast query substrings (the knn_batch
     // shape: corpus never shuffles, BottomK per-query heaps), one pass
@@ -1090,18 +1175,24 @@ object AnnQueries extends QueryPack {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
         .filter($"vec_id" % 2 === 1)
-      val base = e.filter($"vec_id" % 20 =!= 5)
-      val batch = e.filter($"vec_id" % 20 === 5)
-      val layers = graft.operators.KnnGraph.buildHierGraph(base, m = 6,
-        ringM = 2, rounds = 3, maxLevel = 1)
-      graft.operators.KnnGraph.insertBatchHier(base, layers, batch,
-          m = 6, beam = 12, hops = 4, maxDegree = 8, upperBeam = 4,
-          upperHops = 6, handoff = 4, seedN = 4)
-        .zipWithIndex
-        .map { case (g, l) =>
-          g.select($"vec_id", $"nbr_id", lit(l.toLong).as("level")) }
-        .reduce(_ unionByName _)
-        .orderBy($"level", $"vec_id", $"nbr_id")
+      // build + fold memoized per session (the write-once / serve-many
+      // lifecycle every other maintenance query already follows —
+      // VERDICT r14 next #1's tail: this was the one heavy query still
+      // recomputing its fold per measured pass); attribution via
+      // build_warm_s
+      graft.util.IndexCache.frame(e, Seq("annGraphHierInsertFold")) {
+        val base = e.filter($"vec_id" % 20 =!= 5)
+        val batch = e.filter($"vec_id" % 20 === 5)
+        val layers = graft.operators.KnnGraph.buildHierGraph(base, m = 6,
+          ringM = 2, rounds = 3, maxLevel = 1)
+        graft.operators.KnnGraph.insertBatchHier(base, layers, batch,
+            m = 6, beam = 12, hops = 4, maxDegree = 8, upperBeam = 4,
+            upperHops = 6, handoff = 4, seedN = 4)
+          .zipWithIndex
+          .map { case (g, l) =>
+            g.select($"vec_id", $"nbr_id", lit(l.toLong).as("level")) }
+          .reduce(_ unionByName _)
+      }.orderBy($"level", $"vec_id", $"nbr_id")
     }),
 
     // The reference's UPSERT write path landing in the PERSISTED index
@@ -2878,6 +2969,112 @@ object AnnQueries extends QueryPack {
     // mutated corpus: upserted ids re-sign with their new embeddings,
     // the new id joins, deleted ids drop — what the store's
     // fold ∘ compact must serve
+    // the full fan-out fold + hybrid serve replay (VERDICT r14 next
+    // #3): PQ train over the base corpus, base search-graph build, TWO
+    // chained insert-delta derivations (batch 0 inserts routed over the
+    // base graph; batch 1 re-ingests routed over the post-b0 graph with
+    // the upsert carryover/self rules), the cross-batch liveness rule
+    // (id 3 deleted from base, id 900001 deleted AFTER its own insert),
+    // the recomputed live md5-first entry, the hop-unrolled integer-ADC
+    // walk over the post-fold graph with codes over the RESOLVED
+    // corpus (refreshCodes ≡ encode of each live id's winning
+    // embedding), the exact tail, BM25 over the mutated doc corpus,
+    // and the RRF fusion arithmetic.
+    "hybrid_log" -> mat {
+      val hops = (1 to 4).map { h =>
+        s"""hlp$h AS (
+           |  SELECT DISTINCT cand FROM (
+           |    SELECT cand FROM hlf${h - 1}
+           |    UNION ALL SELECT g.nbr_id
+           |      FROM hlf${h - 1} f JOIN hlsg g ON g.vec_id = f.cand
+           |  )
+           |), hlf$h AS (
+           |  SELECT cand FROM (
+           |    SELECT p.cand, row_number() OVER (ORDER BY a.adc, p.cand) AS rn
+           |    FROM hlp$h p JOIN adcshl a ON a.vec_id = p.cand
+           |  ) WHERE rn <= 12
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckPqSeedCtes,
+         |${duckPqRefine(1, "cb0")},
+         |${duckPqRefine(2, "cb1")},
+         |cb AS (SELECT * FROM cb2),
+         |$duckSearchGraphCtes,
+         |hlb0 AS (
+         |  SELECT CAST(900001 AS BIGINT) AS qid,
+         |    list_reverse((SELECT embedding FROM embeddings WHERE vec_id = 2)) AS qv
+         |  UNION ALL SELECT 900002,
+         |    list_reverse((SELECT embedding FROM embeddings WHERE vec_id = 4))
+         |), hlb1 AS (
+         |  SELECT CAST(7 AS BIGINT) AS qid,
+         |    list_reverse((SELECT embedding FROM embeddings WHERE vec_id = 7)) AS qv
+         |  UNION ALL SELECT 11,
+         |    list_reverse((SELECT embedding FROM embeddings WHERE vec_id = 11))
+         |), hls0 AS (
+         |  SELECT b.qid, s.vec_id AS cand FROM hlb0 b CROSS JOIN (
+         |    SELECT vec_id FROM (
+         |      SELECT vec_id, row_number() OVER (
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |      FROM embeddings) WHERE rn <= 4) s
+         |),
+         |${duckInsertReplayCtes("hb0", "gs", "embeddings", "hlb0", "hls0")},
+         |hsrc1 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT qid, qv FROM hlb0
+         |), hls1 AS (
+         |  SELECT b.qid, s.vec_id AS cand FROM hlb1 b CROSS JOIN (
+         |    SELECT vec_id FROM (
+         |      SELECT vec_id, row_number() OVER (
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |      FROM hsrc1) WHERE rn <= 4) s
+         |),
+         |${duckInsertReplayCtes("hb1", "hb0final", "hsrc1", "hlb1", "hls1",
+              upsert = true)},
+         |ecur AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id NOT IN (3, 7, 11)
+         |  UNION ALL SELECT qid, qv FROM hlb1
+         |  UNION ALL SELECT qid, qv FROM hlb0 WHERE qid <> 900001
+         |), hlsg AS (
+         |  SELECT vec_id, nbr_id FROM hb1final WHERE nbr_id NOT IN (3, 900001)
+         |), hlentry AS (
+         |  SELECT vec_id AS cand FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM (SELECT DISTINCT vec_id FROM hb1final
+         |          WHERE vec_id NOT IN (3, 900001))) WHERE rn = 1
+         |),
+         |${duckAdcTail("cb", "hl", "ecur")},
+         |hlf0 AS (
+         |  SELECT cand FROM (
+         |    SELECT e.cand, row_number() OVER (ORDER BY a.adc, e.cand) AS rn
+         |    FROM hlentry e JOIN adcshl a ON a.vec_id = e.cand
+         |  ) WHERE rn <= 12
+         |),
+         |$hops,
+         |vecr AS (
+         |  SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS vrank FROM (
+         |    SELECT e.vec_id,
+         |      row_number() OVER (ORDER BY ${duckL2sq("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM hlf4 f JOIN ecur e ON e.vec_id = f.cand CROSS JOIN q
+         |  ) WHERE rn <= 10
+         |), dcur AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id = 7 THEN (SELECT text FROM documents WHERE doc_id = 6)
+         |         WHEN doc_id = 11 THEN (SELECT text FROM documents WHERE doc_id = 8)
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id <> 3
+         |  UNION ALL
+         |  SELECT 900002, (SELECT text FROM documents WHERE doc_id = 4)
+         |),
+         |${RetrievalQueries.bm25RankCtes("hl", "dcur", 15)}
+         |SELECT doc_id,
+         |  round(coalesce(1e0 / (60 + l.lrank), 0e0) +
+         |        coalesce(1e0 / (60 + v.vrank), 0e0), 6) AS rrf
+         |FROM hllex l FULL OUTER JOIN vecr v USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     "ann_mih_log" -> mat {
       val ors = (0 until 8).map(j =>
         s"((s.sig >> ${8 * j}) & 255) = ((q.qsig >> ${8 * j}) & 255)")

@@ -14,7 +14,7 @@ import graft.queries.TextQueries.dNorm
   * quantization are all value-checked end to end. */
 object RetrievalQueries extends QueryPack {
 
-  private val terms = Seq("spark", "merge", "customer")
+  private[queries] val terms = Seq("spark", "merge", "customer")
   private val termsSql = terms.map(t => s"'$t'").mkString(", ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,6 +248,39 @@ object RetrievalQueries extends QueryPack {
     * (tokenize → tf/df → corpus constants → ×1e6 per-term quantization
     * → integer sum, top-15) — shared by the inline query and the
     * mutation-fold serving query, which scores a REPLAYED corpus. */
+  /** BM25 ranking as a reusable CTE chain over any doc source: ends in
+    * `${p}lex(doc_id, lrank)` — rank over the top-k by (score DESC,
+    * doc_id). The hybrid fusion oracles compose this with a vector
+    * ranking. */
+  private[queries] def bm25RankCtes(p: String, src: String, k: Int): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, len(string_split($dNorm, ' ')) AS dl,
+       |         unnest(string_split($dNorm, ' ')) AS term
+       |  FROM $src
+       |), ${p}f AS (
+       |  SELECT doc_id, term, dl, count(*) AS tf
+       |  FROM ${p}tok WHERE term IN ($termsSql)
+       |  GROUP BY doc_id, term, dl
+       |), ${p}dfreq AS (
+       |  SELECT term, count(*) AS df FROM ${p}f GROUP BY term
+       |), ${p}stats AS (
+       |  SELECT count(*) AS n, sum(len(string_split($dNorm, ' '))) AS sumdl
+       |  FROM $src
+       |), ${p}terms AS (
+       |  SELECT f.doc_id, CAST(round(
+       |    ln(1e0 + ((s.n - d.df + 5e-1) / (d.df + 5e-1))) *
+       |    ((f.tf * 2.2e0) / (f.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * (f.dl / (s.sumdl / s.n))))) *
+       |    1e6) AS BIGINT) AS ts
+       |  FROM ${p}f f JOIN ${p}dfreq d USING (term) CROSS JOIN ${p}stats s
+       |), ${p}lexb AS (
+       |  SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score
+       |  FROM ${p}terms GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id LIMIT $k
+       |), ${p}lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lrank
+       |  FROM ${p}lexb
+       |)""".stripMargin
+
   private def bm25OracleSql(src: String): String =
     s"""tok AS (
        |  SELECT doc_id, len(string_split($dNorm, ' ')) AS dl,

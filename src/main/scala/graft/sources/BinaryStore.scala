@@ -146,6 +146,7 @@ object BinaryStore {
       val fs = t.getFileSystem(
         encoded.sparkSession.sessionState.newHadoopConf())
       if (fs.exists(t)) fs.delete(t, true)
+      SlotGuard.clear(encoded.sparkSession, path)
     }
     chunkRows(encoded, nWords, chunkBits, idCol)
       .withColumn("batch_id", lit(-1L))
@@ -211,6 +212,8 @@ object BinaryStore {
       : org.apache.spark.sql.streaming.StreamingQuery =
     encodedStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SlotGuard.claim(batch.sparkSession, path, "append", batchId, 1,
+          Seq("index", "tombstones"))
         applyStreamBatch(batch, path, batchId, idCol)
       }
       .option("checkpointLocation", checkpoint)
@@ -231,7 +234,17 @@ object BinaryStore {
     * batches); `batchId` must be unique across [[appendStream]] AND
     * delete batches. */
   def deleteBatch(ids: DataFrame, path: String, batchId: Long,
-      idCol: String = "vec_id"): Unit = graft.util.StoreMeter.timed {
+      idCol: String = "vec_id"): Unit = {
+    SlotGuard.claim(ids.sparkSession, path, "delete", batchId, 1,
+      Seq("index", "tombstones"))
+    deleteBatchImpl(ids, path, batchId, idCol)
+  }
+
+  /** [[deleteBatch]] without the slot claim — the delete half of the
+    * wider [[applyMutationBatch]] group, which claims both its slots
+    * up front. */
+  private def deleteBatchImpl(ids: DataFrame, path: String, batchId: Long,
+      idCol: String): Unit = graft.util.StoreMeter.timed {
     val t = ids.select(col(idCol).cast("long").as("vec_id")).distinct()
     if (t.head(1).nonEmpty) {
       t.withColumn("batch_id", lit(batchId))
@@ -498,6 +511,8 @@ object BinaryStore {
   def applyMutationBatch(batch: DataFrame, path: String, batchId: Long,
       dim: Int, idCol: String = "id", embCol: String = "embedding"): Unit = {
     import graft.operators.MutationLog
+    SlotGuard.claim(batch.sparkSession, path, "mutation", 2 * batchId, 2,
+      Seq("index", "tombstones"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("log_index").desc)
     val last = batch
@@ -510,7 +525,8 @@ object BinaryStore {
     applyStreamBatch(ups, path, 2 * batchId, "vec_id")
     val dels = last.filter(col("op") === MutationLog.Delete)
       .select(col(idCol).cast("long").as("vec_id"))
-    if (dels.head(1).nonEmpty) deleteBatch(dels, path, 2 * batchId + 1)
+    if (dels.head(1).nonEmpty)
+      deleteBatchImpl(dels, path, 2 * batchId + 1, "vec_id")
   }
 
   /** The mutation stream landing in the served MIH index — the

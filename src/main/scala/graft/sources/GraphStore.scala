@@ -64,6 +64,7 @@ object GraphStore {
       val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
       val fs = t.getFileSystem(spark0.sessionState.newHadoopConf())
       if (fs.exists(t)) fs.delete(t, true)
+      SlotGuard.clear(spark0, path)
     }
     val edges = layers.zipWithIndex.map { case (g, l) =>
       g.select(col(idCol).cast("long").as("vec_id"),
@@ -187,7 +188,17 @@ object GraphStore {
     * tombstone-filtered) — and appended as the batch's stats row, so
     * a serve after deleting the entry node starts somewhere live. */
   def deleteBatch(ids: DataFrame, path: String, batchId: Long,
-      idCol: String = "vec_id"): Unit = graft.util.StoreMeter.timed {
+      idCol: String = "vec_id"): Unit = {
+    SlotGuard.claim(ids.sparkSession, path, "delete", batchId, 1,
+      Seq("edges", "vectors", "tombstones"))
+    deleteBatchImpl(ids, path, batchId, idCol)
+  }
+
+  /** [[deleteBatch]] without the slot claim — the delete half of the
+    * wider [[applyMutationBatch]] group, which claims both its slots
+    * up front. */
+  private def deleteBatchImpl(ids: DataFrame, path: String, batchId: Long,
+      idCol: String): Unit = graft.util.StoreMeter.timed {
     val spark = ids.sparkSession
     // pre-batch stats (replay determinism — this batch's own appended
     // stats row must not feed the recompute)
@@ -356,10 +367,16 @@ object GraphStore {
     if (tombVals.isEmpty) return Nil
     val vecVals = batchDirVals(spark, path, "vectors")
       .filter(b => beforeBatch.forall(b < _)).sorted
-    // key = the two batch layouts WITH their directory mtimes: a
-    // rewritten partition (replay, or a reused batch id after a
-    // compact) changes its mtime and misses the cache — recomputing is
-    // always correct, serving a stale set never is
+    // key = the two batch layouts down to their FILE listings (names +
+    // lengths + mtimes): a rewritten partition (replay, or a reused
+    // batch id after a compact) must miss the cache — recomputing is
+    // always correct, serving a stale set never is. Directory mtimes
+    // alone were the old key (ADVICE r14 low): whether a partition
+    // rewrite bumps its directory's mtime is filesystem-dependent
+    // (object stores and coarse-granularity filesystems may not), so
+    // the signature now reads the files themselves — one extra
+    // listStatus per kept batch dir, bounded by the batch count the
+    // compaction cadence exists to bound.
     def dirSig(sub: String, keep: Seq[Long]): String = {
       val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -368,8 +385,18 @@ object GraphStore {
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("batch_id=") &&
           keep.contains(st.getPath.getName.stripPrefix("batch_id=").toLong))
-        .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
-        .sorted.mkString(",")
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val files = fs.listFiles(st.getPath, true)
+          val fsig = Iterator.continually(files)
+            .takeWhile(_.hasNext)
+            .map { it =>
+              val f = it.next()
+              s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+            }
+            .toSeq.sorted.mkString(";")
+          s"${st.getPath.getName}{$fsig}"
+        }.mkString(",")
     }
     val key = s"$path|t=${dirSig("tombstones", tombVals)}" +
       s"|v=${dirSig("vectors", vecVals)}"
@@ -781,6 +808,8 @@ object GraphStore {
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SlotGuard.claim(batch.sparkSession, path, "append", batchId, 1,
+          Seq("edges", "vectors", "tombstones"))
         applyStreamBatch(batch, path, batchId, m, beam, hops, maxDegree,
           seedN, idCol, embCol)
       }
@@ -860,6 +889,8 @@ object GraphStore {
       seedN: Int = 4,
       idCol: String = "id", embCol: String = "embedding"): Unit = {
     import graft.operators.MutationLog
+    SlotGuard.claim(batch.sparkSession, path, "mutation", 2 * batchId, 2,
+      Seq("edges", "vectors", "tombstones"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("log_index").desc)
     val last = batch
@@ -874,7 +905,8 @@ object GraphStore {
       "vec_id", "embedding")
     val dels = last.filter(col("op") === MutationLog.Delete)
       .select(col(idCol).cast("long").as("vec_id"))
-    if (dels.head(1).nonEmpty) deleteBatch(dels, path, 2 * batchId + 1)
+    if (dels.head(1).nonEmpty)
+      deleteBatchImpl(dels, path, 2 * batchId + 1, "vec_id")
   }
 
   /** The reference's write path as a STREAM landing in the served
@@ -913,6 +945,8 @@ object GraphStore {
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SlotGuard.claim(batch.sparkSession, path, "append", batchId, 1,
+          Seq("edges", "vectors", "tombstones"))
         applyStreamBatchHier(batch, path, batchId, m, beam, hops,
           maxDegree, upperBeam, upperHops, handoff, seedN, idCol, embCol)
       }
@@ -1072,6 +1106,267 @@ object GraphStore {
     }
   }
 
+
+  // -------------------------------------------------------------------
+  // Driver-resident serving walk (VERDICT r14 next #1: the store-walk
+  // serves paid 68-174 driver jobs at 5-8 ms dispatch each — hops above
+  // layer 0 now run ZERO Spark jobs, and a layer-0 hop runs at most two
+  // bounded point-lookup jobs, fewer once its caches warm).
+  // -------------------------------------------------------------------
+
+  /** Query-batch cap for the driver-resident serve: above it the walk
+    * state (queries × beam frontiers + value caches) stops being a
+    * driver-bounded serving structure and the distributed walk takes
+    * over. Overridable via `-Dgraft.driverWalkMaxQueries=`. */
+  private[graft] def driverWalkMaxQueries: Int =
+    sys.props.get("graft.driverWalkMaxQueries").map(_.toInt).getOrElse(1024)
+
+  /** Upper-layer collect cap, in edge ROWS per layer: the routing
+    * layers are geometric tails (16^-l of layer 0) and collapse into a
+    * driver-local adjacency per serve; a layer past this cap (possible
+    * only at extreme corpus scale and low levels) falls back to the
+    * distributed walk. Overridable via `-Dgraft.upperCollectMax=`. */
+  private[graft] def upperCollectMax: Int =
+    sys.props.get("graft.upperCollectMax").map(_.toInt).getOrElse(1 << 20)
+
+  /** `pmod(xxhash64(id), buckets)` evaluated in-process — via Spark's
+    * OWN XxHash64 expression, not a reimplementation (the engine-wide
+    * no-driver-hash-mirror rule guards against DRIFT; evaluating the
+    * identical expression class interpreted is the same algorithm the
+    * codegen scan filter runs — GraphStoreSpec pins the parity). */
+  private[graft] def bucketOfLocal(id: Long, buckets: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(id)), 42L).eval(null).asInstanceOf[Long]
+    val m = h % buckets
+    if (m < 0) m + buckets else m
+  }
+
+  private def floatsOf(s: Seq[Any]): Array[Float] = s.iterator.map {
+    case f: Float => f
+    case d: Double => d.toFloat
+    case x => x.toString.toFloat
+  }.toArray
+
+  /** Per-serve driver-resident walk state: value and adjacency caches
+    * keyed by id (layout immutable for the serve's duration), every
+    * fetch a pruned point lookup with the [[deadIsinMax]] literal/
+    * broadcast plan-size guard, every selection rule an exact mirror of
+    * the distributed walk's ([[KnnGraph.beamWalkScore]] pool union +
+    * distinct, BottomK's (distance, id) ascending ties, latest-batch-
+    * wins value resolution, dead targets dropped at expansion) — so
+    * results are value-identical by construction and GraphStoreSpec
+    * pins driver ≡ distributed on every serve shape. Score arithmetic
+    * is the same fold the engine runs ([[graft.operators.Pq.l2sqLocal]]
+    * for exact l2sq; integer LUT sums for ADC — order-free by
+    * construction). A hop whose frontier ids are all cached runs ZERO
+    * jobs — converged walks stop paying entirely. */
+  private final class DriverWalk(ctx: StoreCtx) {
+    import scala.collection.mutable
+
+    private val adjL0 = mutable.HashMap.empty[Long, Array[Long]]
+    private val embs = mutable.HashMap.empty[Long, Array[Float]]
+    private val codes = mutable.HashMap.empty[Long, Array[Int]]
+    private val embSeen = mutable.HashSet.empty[Long]
+    private val codeSeen = mutable.HashSet.empty[Long]
+    private val dead: Set[Long] = ctx.dead.toSet
+
+    private def bucketLits(ids: Array[Long]): Seq[Long] =
+      ids.map(bucketOfLocal(_, ctx.buckets)).distinct.toSeq
+
+    /** Bucket partitions pruned by driver-known values; the id filter
+      * is a literal `IN` (row-group min/max skipping on the sorted
+      * files) up to [[deadIsinMax]], a broadcast semi-join above. */
+    private def prunedTo(table: DataFrame, need: Array[Long]): DataFrame = {
+      val base = table.filter(col("b").isin(bucketLits(need): _*))
+      if (need.length <= deadIsinMax)
+        base.filter(col("vec_id").isin(need.toSeq: _*))
+      else {
+        import ctx.spark.implicits._
+        base.join(broadcast(need.toSeq.toDF("vec_id")), Seq("vec_id"),
+          "left_semi")
+      }
+    }
+
+    /** One pruned point-lookup job for `need` ids' value rows,
+      * latest-batch-wins per id on a multi-batch layout (one row per
+      * (id, batch) by the write contracts, so the argmax is exact). */
+    private def fetchRows(table: DataFrame, valueCol: String,
+        multi: Boolean, need: Array[Long])
+        : Iterator[(Long, org.apache.spark.sql.Row)] = {
+      if (need.isEmpty) return Iterator.empty
+      val pruned = prunedTo(table, need)
+      if (multi)
+        pruned.select(col("vec_id"), col(valueCol),
+            col("batch_id").cast("long")).collect()
+          .groupBy(_.getLong(0)).iterator
+          .map { case (id, rs) => (id, rs.maxBy(_.getLong(2))) }
+      else pruned.select(col("vec_id"), col(valueCol)).collect()
+        .iterator.map(r => (r.getLong(0), r))
+    }
+
+    /** Embeddings of `ids` resident driver-side — one job for the
+      * uncached ids, zero when all are cached. */
+    def ensureEmb(ids: Iterable[Long]): Unit = {
+      val need = ids.iterator.filterNot(embSeen.contains).toArray.distinct
+      if (need.isEmpty) return
+      fetchRows(ctx.vecTable, "embedding", ctx.vecMulti, need).foreach {
+        case (id, r) => embs(id) = floatsOf(r.getSeq[Any](1))
+      }
+      embSeen ++= need
+    }
+
+    /** PQ codes of `ids` resident driver-side — the m-byte navigation
+      * side; same cache discipline as [[ensureEmb]]. */
+    def ensureCodes(ids: Iterable[Long]): Unit = {
+      val need = ids.iterator.filterNot(codeSeen.contains).toArray.distinct
+      if (need.isEmpty) return
+      fetchRows(ctx.codeTable, "codes", ctx.codeMulti, need).foreach {
+        case (id, r) =>
+          codes(id) = r.getSeq[Any](1).iterator
+            .map { case i: Int => i case x => x.toString.toInt }.toArray
+      }
+      codeSeen ++= need
+    }
+
+    /** Layer-0 adjacency of `ids` — pruned edge read, latest-batch
+      * resolution, dead targets dropped; cached per id for the serve. */
+    def ensureAdjL0(ids: Iterable[Long]): Unit = {
+      val need = ids.iterator.filterNot(adjL0.contains).toArray.distinct
+      if (need.isEmpty) return
+      val pruned = prunedTo(ctx.edgeTable.filter(col("level") === 0), need)
+      val grouped: Map[Long, Array[Long]] =
+        if (ctx.edgeMulti)
+          pruned.select(col("vec_id"), col("nbr_id"),
+              col("batch_id").cast("long")).collect()
+            .groupBy(_.getLong(0)).map { case (id, rs) =>
+              val mb = rs.iterator.map(_.getLong(2)).max
+              (id, rs.filter(_.getLong(2) == mb).map(_.getLong(1)))
+            }
+        else pruned.select(col("vec_id"), col("nbr_id")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (id, rs) => (id, rs.map(_.getLong(1))) }
+      need.foreach { id =>
+        adjL0(id) = grouped.getOrElse(id, Array.empty[Long])
+          .filterNot(dead.contains)
+      }
+    }
+
+    def adjL0Of(id: Long): Array[Long] =
+      adjL0.getOrElse(id, Array.empty[Long])
+
+    /** A routing layer collapsed to a driver-local adjacency + its live
+      * node set — ONE job per serve per layer (the geometric-tail
+      * trade the distributed walk already made by reading the layer
+      * whole PER HOP). None when the layer exceeds [[upperCollectMax]]
+      * rows — the caller falls back to the distributed walk. */
+    def upperLayer(level: Int): Option[(Map[Long, Array[Long]], Array[Long])] = {
+      val cap = upperCollectMax
+      val lf = ctx.edgeTable.filter(col("level") === level)
+      val resolved: Map[Long, Array[Long]] =
+        if (ctx.edgeMulti) {
+          val rows = lf.select(col("vec_id"), col("nbr_id"),
+            col("batch_id").cast("long")).limit(cap + 1).collect()
+          if (rows.length > cap) return None
+          rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+            val mb = rs.iterator.map(_.getLong(2)).max
+            (id, rs.filter(_.getLong(2) == mb).map(_.getLong(1))
+              .filterNot(dead.contains))
+          }
+        } else {
+          val rows = lf.select(col("vec_id"), col("nbr_id"))
+            .limit(cap + 1).collect()
+          if (rows.length > cap) return None
+          rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+            (id, rs.map(_.getLong(1)).filterNot(dead.contains))
+          }
+        }
+      val nodes = (resolved.keysIterator.filterNot(dead.contains) ++
+        resolved.valuesIterator.flatten).toArray.distinct
+      Some((resolved, nodes))
+    }
+
+    /** Exact squared-L2 scorer over the embedding cache — the same
+      * widen-to-double left-to-right fold the engine's expression runs
+      * ([[graft.operators.Pq.l2sqLocal]]); None when the id has no
+      * corpus row (the distributed join's drop semantics). */
+    def exactScore(qv: Map[Long, Array[Float]]): (Long, Long) => Option[Double] =
+      (q, c) => embs.get(c)
+        .map(e => graft.operators.Pq.l2sqLocal(qv(q), e))
+
+    /** Integer-ADC scorer over the code cache — Σ of m LUT hits, the
+      * exact arithmetic of [[graft.operators.Pq.adcBatchCol]] (the LUT
+      * entries are the same HALF_UP-quantized longs both forms share);
+      * cast to double for the shared (distance, id) ordering. */
+    def adcScore(luts: Map[Long, Array[Array[Long]]]): (Long, Long) => Option[Double] =
+      (q, c) => codes.get(c).map { cd =>
+        val lut = luts(q)
+        var s = 0L
+        var i = 0
+        while (i < cd.length) { s += lut(i)(cd(i)); i += 1 }
+        s.toDouble
+      }
+
+    /** The hop loop — [[KnnGraph.beamWalkScore]]'s exact mirror: seed
+      * rerank, then per hop pool = frontier ∪ its expansion, distinct,
+      * scored, best `beam` by (distance, id) ascending. Returns each
+      * query's final frontier SORTED by (distance, id). */
+    def walk(seeds: Map[Long, Seq[Long]], beam: Int, hops: Int,
+        ensureAdj: Iterable[Long] => Unit, adjOf: Long => Array[Long],
+        ensureVals: Iterable[Long] => Unit,
+        score: (Long, Long) => Option[Double])
+        : Map[Long, IndexedSeq[(Long, Double)]] = {
+      require(beam > 0 && hops >= 0,
+        "beam must be positive and hops non-negative")
+      def rerank(pool: Map[Long, Seq[Long]], width: Int) = {
+        ensureVals(pool.valuesIterator.flatten.toSeq.distinct)
+        pool.map { case (q, cs) =>
+          q -> cs.distinct.iterator
+            .flatMap(c => score(q, c).map(d => (c, d))).toIndexedSeq
+            .sortBy { case (c, d) => (d, c) }.take(width)
+        }
+      }
+      var frontier = rerank(seeds, beam)
+      var h = 0
+      while (h < hops) {
+        ensureAdj(frontier.valuesIterator.flatten.map(_._1).toSeq.distinct)
+        val pool = frontier.map { case (q, f) =>
+          q -> (f.map(_._1) ++ f.flatMap(c => adjOf(c._1)))
+        }
+        frontier = rerank(pool, beam)
+        h += 1
+      }
+      frontier
+    }
+  }
+
+  /** (qid, idCol, distance, rank) local-relation result of a driver
+    * walk — the schema every serve returns. */
+  private def walkResult(spark: SparkSession,
+      ranked: Seq[(Long, Long, Double, Long)], idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("qid", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("distance", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ranked.length)
+    ranked.foreach { case (q, c, d, r) =>
+      rows.add(org.apache.spark.sql.Row(q, c, d, r))
+      ()
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Collected (qid, qv) query batch, or None above the driver-serve
+    * cap. */
+  private def collectQueries(queries: DataFrame)
+      : Option[Map[Long, Array[Float]]] = {
+    val rows = queries.select(col("qid").cast("long"), col("qv")).collect()
+    if (rows.length > driverWalkMaxQueries) None
+    else Some(rows.iterator
+      .map(r => r.getLong(0) -> floatsOf(r.getSeq[Any](1))).toMap)
+  }
+
   /** The SERVING walk — [[hierSearch]] served ENTIRELY from the store,
     * no in-memory corpus or layer frames: per hop the walk collects its
     * ≤ queries×beam frontier ids (a bounded driver hop, the
@@ -1094,6 +1389,50 @@ object GraphStore {
       queries: DataFrame, beam: Int, hops: Int, k: Int,
       upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    collectQueries(queries) match {
+      case None => hierSearchPointLookupDistributed(spark, path, queries,
+        beam, hops, k, upperBeam, upperHops, handoff, idCol, embCol)
+      case Some(qv) =>
+        val ctx = openStore(spark, path, needCodes = false)
+        val dw = new DriverWalk(ctx)
+        val score = dw.exactScore(qv)
+        var seeds: Map[Long, Seq[Long]] =
+          qv.keysIterator.map(_ -> Seq(ctx.entryId)).toMap
+        var l = ctx.entryLevel
+        while (l >= 1) {
+          dw.upperLayer(l) match {
+            case None => return hierSearchPointLookupDistributed(spark,
+              path, queries, beam, hops, k, upperBeam, upperHops, handoff,
+              idCol, embCol)
+            case Some((adjMap, nodes)) =>
+              dw.ensureEmb(nodes) // zero jobs for every hop of this layer
+              val fr = dw.walk(seeds, upperBeam, upperHops,
+                ensureAdj = _ => (),
+                adjOf = id => adjMap.getOrElse(id, Array.empty[Long]),
+                ensureVals = dw.ensureEmb, score)
+              // the distributed layer tail: frontier reranked to handoff
+              seeds = fr.map { case (q, f) => q -> f.take(handoff).map(_._1) }
+          }
+          l -= 1
+        }
+        val fr = dw.walk(seeds, beam, hops, dw.ensureAdjL0, dw.adjL0Of,
+          dw.ensureEmb, score)
+        walkResult(spark, fr.toSeq.flatMap { case (q, f) =>
+          f.take(k).zipWithIndex.map { case ((c, d), i) =>
+            (q, c, d, (i + 1).toLong)
+          }
+        }, idCol)
+    }
+  }
+
+  /** The distributed form of [[hierSearchPointLookup]] — the fallback
+    * above the driver-serve caps, and the value-identity pin the spec
+    * holds the driver walk against. */
+  private[graft] def hierSearchPointLookupDistributed(spark: SparkSession,
+      path: String, queries: DataFrame, beam: Int, hops: Int, k: Int,
+      upperBeam: Int, upperHops: Int, handoff: Int,
+      idCol: String, embCol: String): DataFrame = {
     val ctx = openStore(spark, path, needCodes = false)
     val fetch = new WalkFetch(ctx)
     var seeds = queries.select(col("qid"), lit(ctx.entryId).as("cand"))
@@ -1130,9 +1469,59 @@ object GraphStore {
     * [exact l2sq], rank ≤ k). */
   def searchPointLookupAdc(spark: SparkSession, path: String,
       queries: DataFrame, seeds: DataFrame, model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    collectQueries(queries) match {
+      case None => searchPointLookupAdcDistributed(spark, path, queries,
+        seeds, model, beam, hops, k)
+      case Some(qv) =>
+        val seedMap = seeds
+          .select(col("qid").cast("long"), col("cand").cast("long"))
+          .collect().groupBy(_.getLong(0))
+          .collect { case (q, rs) if qv.contains(q) =>
+            q -> rs.map(_.getLong(1)).toSeq
+          }
+        val ctx = openStore(spark, path, needCodes = true)
+        adcServeDriver(spark, ctx, qv, seedMap, model, beam, hops, k)
+    }
+  }
+
+  /** The distributed form of [[searchPointLookupAdc]] — fallback above
+    * the driver-serve caps and the spec's value-identity pin. */
+  private[graft] def searchPointLookupAdcDistributed(spark: SparkSession,
+      path: String, queries: DataFrame, seeds: DataFrame,
+      model: graft.operators.Pq.PqModel,
       beam: Int, hops: Int, k: Int): DataFrame =
     searchAdcWithCtx(openStore(spark, path, needCodes = true), queries,
       seeds, model, beam, hops, k)
+
+  /** The driver-resident ADC walk + exact tail shared by the flat and
+    * hierarchical serves: integer-LUT navigation over cached m-byte
+    * codes, one pruned embedding fetch of exactly the final beam, the
+    * (distance, id) exact rerank — [[searchAdcWithCtx]]'s stages,
+    * driver-resident. */
+  private def adcServeDriver(spark: SparkSession, ctx: StoreCtx,
+      qv: Map[Long, Array[Float]], seedMap: Map[Long, Seq[Long]],
+      model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int, k: Int, dw0: DriverWalk = null): DataFrame = {
+    import graft.operators.Pq
+    val dw = if (dw0 != null) dw0 else new DriverWalk(ctx)
+    val luts = qv.map { case (q, v) =>
+      q -> Pq.lut(model, v).map(_.toArray).toArray
+    }
+    val fr = dw.walk(seedMap, beam, hops, dw.ensureAdjL0, dw.adjL0Of,
+      dw.ensureCodes, dw.adcScore(luts))
+    // exact tail: embeddings of exactly the final beam, fetched once
+    val pool = fr.map { case (q, f) => q -> f.map(_._1) }
+    dw.ensureEmb(pool.valuesIterator.flatten.toSeq.distinct)
+    val exact = dw.exactScore(qv)
+    walkResult(spark, pool.toSeq.flatMap { case (q, cs) =>
+      cs.distinct.iterator
+        .flatMap(c => exact(q, c).map(d => (c, d))).toIndexedSeq
+        .sortBy { case (c, d) => (d, c) }.take(k).zipWithIndex
+        .map { case ((c, d), i) => (q, c, d, (i + 1).toLong) }
+    }, "vec_id")
+  }
 
   /** [[searchPointLookupAdc]] against an already-opened [[StoreCtx]] —
     * the layer-0 tail [[hierSearchPointLookupAdc]] hands its own
@@ -1188,6 +1577,46 @@ object GraphStore {
       beam: Int, hops: Int, k: Int,
       upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4)
       : DataFrame = {
+    require(k > 0, "k must be positive")
+    collectQueries(queries) match {
+      case None => hierSearchPointLookupAdcDistributed(spark, path,
+        queries, model, beam, hops, k, upperBeam, upperHops, handoff)
+      case Some(qv) =>
+        import graft.operators.Pq
+        val ctx = openStore(spark, path, needCodes = true)
+        val dw = new DriverWalk(ctx)
+        val luts = qv.map { case (q, v) =>
+          q -> Pq.lut(model, v).map(_.toArray).toArray
+        }
+        val nav = dw.adcScore(luts)
+        var seeds: Map[Long, Seq[Long]] =
+          qv.keysIterator.map(_ -> Seq(ctx.entryId)).toMap
+        var l = ctx.entryLevel
+        while (l >= 1) {
+          dw.upperLayer(l) match {
+            case None => return hierSearchPointLookupAdcDistributed(spark,
+              path, queries, model, beam, hops, k, upperBeam, upperHops,
+              handoff)
+            case Some((adjMap, nodes)) =>
+              dw.ensureCodes(nodes) // zero jobs for this layer's hops
+              val fr = dw.walk(seeds, upperBeam, upperHops,
+                ensureAdj = _ => (),
+                adjOf = id => adjMap.getOrElse(id, Array.empty[Long]),
+                ensureVals = dw.ensureCodes, nav)
+              seeds = fr.map { case (q, f) => q -> f.take(handoff).map(_._1) }
+          }
+          l -= 1
+        }
+        adcServeDriver(spark, ctx, qv, seeds, model, beam, hops, k, dw)
+    }
+  }
+
+  /** The distributed form of [[hierSearchPointLookupAdc]] — fallback
+    * above the driver-serve caps and the spec's value-identity pin. */
+  private[graft] def hierSearchPointLookupAdcDistributed(spark: SparkSession,
+      path: String, queries: DataFrame, model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int, k: Int,
+      upperBeam: Int, upperHops: Int, handoff: Int): DataFrame = {
     import graft.operators.Pq
     val ctx = openStore(spark, path, needCodes = true)
     val fetch = new WalkFetch(ctx)

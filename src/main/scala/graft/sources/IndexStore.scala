@@ -51,12 +51,14 @@ object IndexStore {
   def write(docs: DataFrame, path: String, buckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(buckets >= 1, "buckets must be positive")
-    // a full rebuild supersedes every accumulated delete
+    // a full rebuild supersedes every accumulated delete and restarts
+    // the slot space
     locally {
       val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
       val fs = t.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
       if (fs.exists(t)) fs.delete(t, true)
     }
+    SlotGuard.clear(docs.sparkSession, path)
     writeBatch(docs, path, buckets, -1L, overwrite = true, idCol, textCol)
   }
 
@@ -126,6 +128,8 @@ object IndexStore {
       .head.getAs[Long]("buckets").toInt
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SlotGuard.claim(spark, path, "append", batchId, 1,
+          Seq("postings", "tombstones"))
         writeBatch(batch, path, buckets, batchId, overwrite = false,
           idCol, textCol)
       }
@@ -159,7 +163,17 @@ object IndexStore {
     * `batchId` must be unique AND monotone across [[appendStream]],
     * [[upsertBatch]], and delete batches. */
   def deleteBatch(ids: DataFrame, path: String, batchId: Long,
-      idCol: String = "doc_id"): Unit = graft.util.StoreMeter.timed {
+      idCol: String = "doc_id"): Unit = {
+    SlotGuard.claim(ids.sparkSession, path, "delete", batchId, 1,
+      Seq("postings", "tombstones"))
+    deleteBatchImpl(ids, path, batchId, idCol)
+  }
+
+  /** [[deleteBatch]] without the slot claim — the internal half of the
+    * wider [[upsertBatch]]/[[applyMutationBatch]] groups, which claim
+    * their whole slot group up front. */
+  private def deleteBatchImpl(ids: DataFrame, path: String, batchId: Long,
+      idCol: String): Unit = graft.util.StoreMeter.timed {
     val spark = ids.sparkSession
     val t = ids.select(col(idCol).cast(
         spark.read.parquet(s"$path/postings").schema(idCol).dataType)
@@ -210,8 +224,10 @@ object IndexStore {
   def upsertBatch(docs: DataFrame, path: String, batchId: Long,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
+    SlotGuard.claim(spark, path, "upsert", 2 * batchId, 2,
+      Seq("postings", "tombstones"))
     val buckets = statsAgg(spark, path).head.getAs[Long]("buckets").toInt
-    deleteBatch(docs.select(col(idCol)), path, 2 * batchId, idCol)
+    deleteBatchImpl(docs.select(col(idCol)), path, 2 * batchId, idCol)
     writeBatch(docs, path, buckets, 2 * batchId + 1, overwrite = false,
       idCol, textCol)
   }
@@ -403,17 +419,20 @@ object IndexStore {
       .filter(col("__rn") === 1)
       .localCheckpoint(true)
     val spark = batch.sparkSession
+    SlotGuard.claim(spark, path, "mutation", 3 * batchId, 3,
+      Seq("postings", "tombstones"))
     val ups = last.filter(col("op") === MutationLog.Upsert)
       .select(col(idCol), col(textCol))
     if (ups.head(1).nonEmpty) {
       val buckets = statsAgg(spark, path).head.getAs[Long]("buckets").toInt
-      deleteBatch(ups.select(col(idCol)), path, 3 * batchId, idCol)
+      deleteBatchImpl(ups.select(col(idCol)), path, 3 * batchId, idCol)
       writeBatch(ups, path, buckets, 3 * batchId + 1, overwrite = false,
         idCol, textCol)
     }
     val dels = last.filter(col("op") === MutationLog.Delete)
       .select(col(idCol))
-    if (dels.head(1).nonEmpty) deleteBatch(dels, path, 3 * batchId + 2, idCol)
+    if (dels.head(1).nonEmpty)
+      deleteBatchImpl(dels, path, 3 * batchId + 2, idCol)
   }
 
   /** The mutation stream landing in the served inverted index — the
