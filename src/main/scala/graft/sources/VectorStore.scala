@@ -255,6 +255,57 @@ object VectorStore {
         .mode("overwrite").parquet(s"$path/_tombstones")
   }
 
+  /** Fold a mutation-ingested IVF-PQ store (the
+    * [[applyMutationBatchIvfPq]] layout: `batch_id=`/`cell=` partitions
+    * plus the `_tombstones` log) to its LIVE state under the single
+    * `batch_id=-1` layout: last-writer-wins per id applied once at
+    * rest, dead ids purged, tombstones cleared with the old tree.
+    * `log_index` is kept in the rows, so post-compaction mutation
+    * batches keep resolving against the folded state unchanged
+    * ([[readLive]] before ≡ after — IntegrationSpec). Crash-safe
+    * rename-aside swap at the STORE-ROOT level (batch dirs live at the
+    * root, so the whole tree swaps): tmp write → root aside → promote
+    * → delete backup last; [[recoverCompactMutations]] is the matching
+    * self-repair preamble. Run against a quiesced store. The
+    * file-count compactor ([[compact]]) remains the tool for the
+    * `cell=`-rooted append stores. */
+  def compactMutationsIvfPq(spark: SparkSession, path: String,
+      idCol: String = "id"): Unit = graft.util.StoreMeter.timed {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, lit}
+    recoverCompactMutations(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(s"${path}_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    readLive(spark, path, idCol)
+      .select(col(idCol), col("log_index"), col("cell"), col("codes"))
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("cell"))
+      .write.partitionBy("batch_id", "cell")
+      .mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(s"${path}_bak")
+    fs.rename(root, bak)
+    fs.rename(tmp, root)
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Self-repair preamble for [[compactMutationsIvfPq]]: restore a
+    * backup whose promotion crashed mid-swap, drop stale leftovers. */
+  private def recoverCompactMutations(spark: SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new Path(s"${path}_bak")
+    if (!fs.exists(root) && fs.exists(bak)) fs.rename(bak, root)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val tmp = new Path(s"${path}_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ()
+  }
+
   /** The mutation stream landing in the served IVF-PQ index — one
     * checkpoint, both halves of every micro-batch synchronized (the
     * r13 missing-#1 hazard: a delete applied to one index family but

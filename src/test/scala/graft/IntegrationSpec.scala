@@ -330,6 +330,74 @@ class IntegrationSpec extends SparkSpec {
     IndexFanout.applyMutationBatch(
       b3.toDF("log_index", "op", "id", "embedding", "text"), 2L, cfg)
     checkAll("replay")
+    // PARTIAL fan-out crash (VERDICT r14 next #4): a batch that died
+    // after ONE family landed — the stream replays the WHOLE batch;
+    // the family that already landed rewrites identical bytes and all
+    // four converge to the state of a clean single application.
+    val b4 = Seq(
+      (4000L, MutationLog.Upsert, 2L, embOf(24L), textOf(99L)),
+      (4001L, MutationLog.Delete, 8L, Seq.empty[Float], ""))
+    val b4df = b4.toDF("log_index", "op", "id", "embedding", "text")
+    // crash simulation: only the graph family lands before the "crash"
+    GraphStore.applyMutationBatch(b4df, gDir, 3L, m = 4, beam = 8,
+      hops = 3, maxDegree = 6, idCol = "id")
+    // the stream's recovery: the whole batch replays at full width
+    IndexFanout.applyMutationBatch(b4df, 3L, cfg)
+    def stateAll(): (Set[(Long, Seq[Float])], Set[(Long, Long)],
+        Seq[(Long, Long)], Set[(Long, Long, Seq[Int])],
+        Seq[(Long, Long)], Seq[Long]) = (
+      GraphStore.readCorpus(spark, gDir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet,
+      GraphStore.read(spark, gDir, 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      BinaryStore.probe(spark, bDir,
+          Array(Bq.signBitsLocal(embOf(24L).toArray)), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      VectorStore.readLive(spark, vDir, idCol = "id")
+        .select($"id", $"cell".cast("long"), $"codes")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Int](2).toSeq)).toSet,
+      IndexStore.bm25TopK(spark, iDir, Seq("spark", "window"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      GraphStore.deadIdSeq(spark, gDir))
+    val afterReplay = stateAll()
+    // a second full replay is a no-op everywhere
+    IndexFanout.applyMutationBatch(b4df, 3L, cfg)
+    assert(stateAll() === afterReplay,
+      "partial-crash replay left non-idempotent state in some family")
+    // semantics of the partial-crash batch: 2 serves its payload, the
+    // b3-revived 8 is dead again across families
+    val top2 = GraphStore.hierSearchPointLookup(spark, gDir,
+        Seq((98L, embOf(24L))).toDF("qid", "qv"), beam = 12, hops = 6, k = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(top2 === Seq((2L, 0.0)), s"partial-crash upsert not served: $top2")
+    assert(afterReplay._6.contains(8L), "b4 delete missing from dead set")
+    assert(!afterReplay._4.exists(_._1 == 8L), "IVF-PQ still serves id 8")
+    // PARTIAL compaction sweep (VERDICT r14 next #4's other half): one
+    // family folds alone — the crash — then the composed sweep re-runs;
+    // compaction is layout-only, so every observable value is invariant
+    // and every family ends on the single batch_id=-1 layout.
+    BinaryStore.compact(spark, bDir) // the lone pre-crash fold
+    IndexFanout.maintain(spark, cfg) // the re-run sweep
+    val afterSweep = stateAll()
+    assert((afterSweep._1, afterSweep._2, afterSweep._3, afterSweep._4,
+      afterSweep._5) === ((afterReplay._1, afterReplay._2, afterReplay._3,
+      afterReplay._4, afterReplay._5)),
+      "compaction sweep changed served values")
+    assert(afterSweep._6.isEmpty, "sweep left tombstones behind")
+    def batchDirs(d: String): Set[String] = {
+      val f = new java.io.File(d)
+      if (!f.exists) Set.empty
+      else f.listFiles().filter(_.getName.startsWith("batch_id="))
+        .map(_.getName).toSet
+    }
+    assert(batchDirs(s"$gDir/edges") === Set("batch_id=-1"))
+    assert(batchDirs(s"$gDir/vectors") === Set("batch_id=-1"))
+    assert(batchDirs(s"$bDir/index") === Set("batch_id=-1"))
+    assert(batchDirs(vDir) === Set("batch_id=-1"))
+    assert(batchDirs(s"$iDir/postings") === Set("batch_id=-1"))
+    assert(!new java.io.File(s"$gDir/tombstones").exists, "graph tombstones survived")
+    assert(!new java.io.File(s"$vDir/_tombstones").exists, "ivfpq tombstones survived")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 

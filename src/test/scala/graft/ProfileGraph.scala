@@ -25,6 +25,7 @@ object ProfileGraph {
     if (args.headOption.contains("adc")) { adcProfile(spark); spark.stop(); return }
     if (args.headOption.contains("mixed")) { mixedProfile(spark); spark.stop(); return }
     if (args.headOption.contains("deleteheavy")) { deleteHeavyProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("scale")) { scaleProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
@@ -520,6 +521,74 @@ object ProfileGraph {
         f"deg=$degAvg%4.1f edges=$edgesAfter%6d ~evals/batch=${evals.round}%6d " +
         f"(evals/N=${evals / n}%5.1f)")
       graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+    }
+  }
+
+  /** Round-15 evidence (VERDICT r14 next #5): serve-scale rows — the
+    * driver-resident walk's per-serve JOB COUNT and dispatch wall must
+    * be FLAT in corpus size (hop work is beam×degree-bounded, value
+    * fetches are bucket-pruned point lookups; only BUILD cost grows
+    * with N). 1× vs 10× replicated sf0.1 corpus (ids offset, vectors
+    * shifted per replica — the ProfileScale convention, constant local
+    * density), hier store built once per scale, then 3 measured passes
+    * each of the exact hier serve and the ADC hier serve with
+    * per-pass wall + DispatchMeter jobs/dispatch deltas. */
+  private def scaleProfile(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Pq
+    import graft.sources.GraphStore
+    val dir = "/root/testdata/sf0.1"
+    graft.util.DispatchMeter.register(spark.sparkContext)
+    val embBase = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
+    Seq(1, 10).foreach { rep =>
+      val e = (0 until rep).map { i =>
+        embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform($"embedding", x => x + lit(i * 10.0f)).as("embedding"))
+      }.reduce(_ unionByName _).persist()
+      val n = e.count()
+      val qs = e.filter($"vec_id".isin(panelIds: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv")).persist()
+      qs.count()
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft-scaleprof-$rep").toString
+      try {
+        val t0 = System.nanoTime()
+        val layers = KnnGraph.buildHierGraph(e, m = 6, ringM = 2,
+          rounds = 3, maxLevel = 1).map(_.persist())
+        layers.foreach(_.count())
+        val m8 = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
+        GraphStore.write(layers, store, buckets = 32)
+        GraphStore.writeCorpus(e, store)
+        GraphStore.writeCodes(Pq.encode(e, m8), store)
+        layers.foreach(_.unpersist(false))
+        val buildWall = (System.nanoTime() - t0) / 1e9
+        println(f"rep=$rep%2d N=$n%6d build+persist=$buildWall%7.1f s")
+        def serve(tag: String)(body: => org.apache.spark.sql.DataFrame): Unit =
+          (1 to 3).foreach { p =>
+            val j0 = graft.util.DispatchMeter.jobs
+            val d0 = graft.util.DispatchMeter.millis
+            val t1 = System.nanoTime()
+            val rows = body.collect().length
+            val wall = (System.nanoTime() - t1) / 1e9
+            println(f"rep=$rep%2d $tag%-10s pass=$p wall=$wall%6.2f s " +
+              f"jobs=${graft.util.DispatchMeter.jobs - j0}%3d " +
+              f"dispatch=${(graft.util.DispatchMeter.millis - d0) / 1e3}%6.3f s " +
+              f"rows=$rows")
+            graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+          }
+        serve("hier-exact") { GraphStore.hierSearchPointLookup(spark,
+          store, qs, beam = 12, hops = 3, k = 10) }
+        serve("hier-adc") { GraphStore.hierSearchPointLookupAdc(spark,
+          store, qs, m8, beam = 12, hops = 3, k = 10) }
+      } finally {
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(store))
+        e.unpersist(false)
+        qs.unpersist(false)
+        ()
+      }
     }
   }
 
