@@ -1032,10 +1032,12 @@ object Dedup {
     // band matches each constituent single-hash band, so r=1
     // candidates strictly contain the old set — this is a pure recall
     // upgrade paid for in candidate volume, which the rep-level
-    // collapse keeps linear on duplicate-heavy corpora. A full
-    // LSH-Ensemble (Zhu 2016) size-stratification would re-tighten r
-    // within same-size strata to shed candidates; at measured ~100%
-    // recall and bounded volume it is a cost knob, not a recall one.
+    // collapse keeps linear on duplicate-heavy corpora. Still
+    // APPROXIMATE: r15's dense corpus showed even r=1 missing true
+    // pairs at the margin — [[containmentPairsExact]] (the shipped
+    // dedup_containment path) retires the loss entirely via the
+    // prefix filter; the banded forms remain the measured variants of
+    // the recall/tradeoff panels.
     containmentPairsBanded(docs, textCol, idCol, numHashes,
       bands = numHashes, rowsPerBand = 1, threshold)
 
