@@ -1161,7 +1161,49 @@ object Dedup {
       num: Int = 9,
       den: Int = 10): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val spark = docs.sparkSession
     val (withSig, memberMap) = containmentPrep(docs, textCol, idCol, 1)
+    // Regime gate on the GLOBAL vocabulary: when every distinct token
+    // fits in `maskBits` bit positions, each rep's token set packs into
+    // ⌈V/64⌉ longs and |A∩B| is a sum of bit_count(a&b) words — the
+    // exact verify stops shipping token ARRAYS through the pair join
+    // entirely (fixed-width longs, codegen ALU ops). Boilerplate-dense
+    // corpora (this one: V=31, true-pair mass ≈ a third of all rep
+    // pairs) sit squarely in this regime, where a prefix filter cannot
+    // prune (every token is ubiquitous) and verify cost IS the query.
+    // Large-vocabulary corpora — the 100 TB text case — take the
+    // prefix-filter branch below, whose candidate volume is bounded by
+    // postings selectivity, and whose verify stays the array form.
+    val maskBits = spark.conf.getOption("graft.containMaskBits")
+      .flatMap(_.toIntOption).getOrElse(256)
+    val vocabDf = withSig.select(explode(col("hsd")).as("t")).distinct()
+    val vocab = vocabDf.limit(maskBits + 1).count()
+    val verified =
+      if (vocab <= maskBits && vocab > 0) {
+        val words = ((vocab + 63) / 64).toInt.max(1)
+        val masked = maskedSets(withSig, vocabDf, words)
+        // at reps ≤ allPairsMax, skip candidate generation outright: a
+        // broadcast nested-loop over the narrow (rep, n, masks) table
+        // evaluates every ordered pair in a handful of ALU ops
+        // (reps²/2 ≤ ~33 M pair evaluations at the default 8192 —
+        // cheaper than materializing + shuffling a candidate stream
+        // that, in this regime, approaches all pairs anyway)
+        val allPairsMax = spark.conf.getOption("graft.containAllPairsMax")
+          .flatMap(_.toLongOption).getOrElse(8192L)
+        if (withSig.count() <= allPairsMax) maskAllPairs(masked, words, num, den)
+        else maskVerify(prefixCandidates(withSig, num, den), masked, words, num, den)
+      } else
+        arrayVerify(withSig, prefixCandidates(withSig, num, den),
+          num.toDouble / den)
+    expandContainment(memberMap, verified)
+  }
+
+  /** Prefix-filter candidate pairs (rep level) for the exact
+    * containment join — the asymmetric Bayardo/SetJoin form: the
+    * smaller set's |y|−⌈t·|y|⌉+1 rarest tokens probe every set's full
+    * posting list. Recall 1.0 by construction. */
+  private def prefixCandidates(
+      withSig: DataFrame, num: Int, den: Int): DataFrame = {
     val toks = withSig.select(col("rep"), explode(col("hsd")).as("t"))
     // rare-first total order (global count, hash) — the order that
     // makes prefixes selective, the SetJoin convention
@@ -1170,7 +1212,7 @@ object Dedup {
       .groupBy(col("rep"))
       .agg(sort_array(collect_list(struct(col("cnt"), col("t")))).as("ct"))
       .select(col("rep"), transform(col("ct"), x => x.getField("t")).as("ot"))
-    def ceilFrac(a: org.apache.spark.sql.Column) =
+    def ceilFrac(a: Column) =
       floor((a * num + (den - 1)) / lit(den)).cast("int")
     val prefLen = size(col("ot")) - ceilFrac(size(col("ot"))) + 1
     val sizes = withSig.select(col("rep"), size(col("hsd")).as("n"))
@@ -1178,7 +1220,7 @@ object Dedup {
       .select(col("rep"), explode(slice(col("ot"), lit(1), prefLen)).as("t"))
       .join(sizes, "rep")
     val allt = toks.join(sizes, "rep")
-    val cand = pref.select(col("rep").as("ida"), col("n").as("na"), col("t"))
+    pref.select(col("rep").as("ida"), col("n").as("na"), col("t"))
       .join(allt.select(col("rep").as("idb"), col("n").as("nb"), col("t")), "t")
       // the probe side must be the smaller set (equal sizes: either
       // side works — keep one orientation)
@@ -1188,18 +1230,82 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
       .distinct()
-    containmentFromCandidates(withSig, memberMap, cand, num.toDouble / den)
+  }
+
+  /** Pack each rep's distinct-token set into `words` longs under a
+    * deterministic global bit assignment (row_number over the sorted
+    * vocabulary — ≤ maskBits rows, so the single-partition window is
+    * bounded by the regime gate, not the data). Returns
+    * (rep, n, m0..m{words-1}). */
+  private def maskedSets(
+      withSig: DataFrame, vocabDf: DataFrame, words: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = vocabDf
+      .withColumn("pos", row_number().over(Window.orderBy(col("t"))) - 1)
+      .select(col("t"), (col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").as("m"))
+    val maskCols = (0 until words).map(w =>
+      coalesce(expr(s"bit_or(CASE WHEN w = $w THEN m END)"), lit(0L))
+        .as(s"m$w"))
+    withSig.select(col("rep"), explode(col("hsd")).as("t"))
+      .join(broadcast(dict), "t")
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n"), maskCols: _*)
+  }
+
+  private def maskPairScore(words: Int, num: Int, den: Int)
+      : (DataFrame => DataFrame) = { joined =>
+    val inter = (0 until words).map(w =>
+      bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))).cast("long"))
+      .reduce(_ + _).cast("double")
+    joined
+      .select(col("id1"), col("id2"), inter.as("inter"),
+        least(col("na"), col("nb")).cast("double").as("mn"))
+      .filter(col("inter") / col("mn") >= lit(num.toDouble / den))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / col("mn"), 6).as("containment"))
+  }
+
+  /** All ordered rep pairs scored via bitmask intersection — broadcast
+    * nested loop, gated by `graft.containAllPairsMax`. */
+  private def maskAllPairs(
+      masked: DataFrame, words: Int, num: Int, den: Int): DataFrame = {
+    val a = masked.select(col("rep").as("id1") +: col("n").as("na") +:
+      (0 until words).map(w => col(s"m$w").as(s"a$w")): _*)
+    val b = masked.select(col("rep").as("id2") +: col("n").as("nb") +:
+      (0 until words).map(w => col(s"m$w").as(s"b$w")): _*)
+    maskPairScore(words, num, den)(
+      a.join(broadcast(b), col("id1") < col("id2")))
+  }
+
+  /** Bitmask verify of an explicit rep-pair candidate stream — the
+    * small-vocab / large-rep-count middle regime (candidates from the
+    * prefix filter, verification without array payloads). */
+  private def maskVerify(
+      cand: DataFrame, masked: DataFrame, words: Int,
+      num: Int, den: Int): DataFrame = {
+    val a = masked.select(col("rep").as("id1") +: col("n").as("na") +:
+      (0 until words).map(w => col(s"m$w").as(s"a$w")): _*)
+    val b = masked.select(col("rep").as("id2") +: col("n").as("nb") +:
+      (0 until words).map(w => col(s"m$w").as(s"b$w")): _*)
+    maskPairScore(words, num, den)(cand.join(a, "id1").join(b, "id2"))
   }
 
   /** Exact-containment verify of a rep-level candidate stream + member
     * expansion — the shared tail of every containment variant. */
   private[graft] def containmentFromCandidates(
       withSig: DataFrame, memberMap: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    expandContainment(memberMap, arrayVerify(withSig, cand, threshold))
+
+  /** Exact array-intersection verify of a rep-pair candidate stream —
+    * the general (large-vocabulary) containment verify. */
+  private def arrayVerify(
+      withSig: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
     // no est gate: signature agreement estimates JACCARD, and a high-
     // containment size-asymmetric pair can sit at low jaccard — a gate
     // would silently cost recall vs the oracle's gateless replay
-    val verified = cand
+    cand
       .join(withSig.as("wa"), col("wa.rep") === col("id1"))
       .join(withSig.as("wb"), col("wb.rep") === col("id2"))
       .select(col("id1"), col("id2"),
@@ -1210,6 +1316,11 @@ object Dedup {
       .filter(col("inter") / col("mn") >= threshold)
       .select(col("id1"), col("id2"),
         round(col("inter") / col("mn"), 6).as("containment"))
+
+  /** Member expansion of verified rep pairs + the within-cluster 1.0
+    * pairs — the shared tail of every containment variant. */
+  private def expandContainment(
+      memberMap: DataFrame, verified: DataFrame): DataFrame = {
     val crossPairs = verified
       .join(memberMap.as("ma"), col("ma.rep") === col("id1"))
       .join(memberMap.as("mb"), col("mb.rep") === col("id2"))

@@ -602,16 +602,21 @@ object TextQueries extends QueryPack {
     }),
 
     // EXACT containment (VERDICT r14 next #2, upgraded past its own
-    // ask): the prefix-filter principle — the smaller set's short
-    // rare-first prefix probed against full posting lists — gives
-    // recall 1.0 by CONSTRUCTION, where banding is inherently leaky at
-    // the Jaccard boundary (the r15 corpus carries 2.5 M true pairs,
-    // much of it boundary-J boilerplate: measured sample recall 88%
-    // for the 4×3-stratified config, 98–100% per-hash —
-    // dedup_containment_recall/tradeoff keep those curves). Candidate
-    // volume matches the per-hash band join (7.3 M vs 7.7 M distinct
-    // rep pairs, measured), so exactness is free at equal cost — and
-    // the oracle is plain ground truth, no banding replay at all.
+    // ask): recall 1.0 by CONSTRUCTION, where banding is inherently
+    // leaky at the Jaccard boundary (the r15 corpus carries 2.5 M true
+    // pairs, much of it boundary-J boilerplate: measured sample recall
+    // 88% for the 4×3-stratified config, 98–100% per-hash —
+    // dedup_containment_recall/tradeoff keep those curves). Execution
+    // is regime-gated on the GLOBAL vocabulary (result-identical,
+    // ContainmentSpec pins all three): boilerplate-dense small-vocab
+    // corpora (this one: 31 distinct tokens, true-pair mass ≈ a third
+    // of all rep pairs — no filter can prune below output size) pack
+    // token sets into longs and verify every pair via bit_count(a&b)
+    // under a broadcast nested loop (19.4 → 2.8 s isolated at sf0.1);
+    // large vocabularies take the prefix-filter candidate join — the
+    // smaller set's rare-first prefix probed against full posting
+    // lists (Bayardo WWW'07) — with array-intersection verify. The
+    // oracle is plain ground truth, no banding or regime replay.
     "dedup_containment" -> ((s, dir) => {
       import s.implicits._
       Dedup.containmentPairsExact(Tables.documents(s, dir))

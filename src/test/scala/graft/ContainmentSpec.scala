@@ -95,4 +95,29 @@ class ContainmentSpec extends SparkSpec {
     info(s"truth=${truth.size} banded=${banded.size} " +
       s"(banding loses ${truth.size - banded.size} true pairs here)")
   }
+
+  test("all three exact regimes produce the identical pair set") {
+    // the regime gate picks an EXECUTION STRATEGY, never a result:
+    // (1) small vocab + few reps → bitmask all-pairs (the default on
+    //     this corpus), (2) small vocab + many reps → prefix candidates
+    //     with bitmask verify, (3) large vocab → prefix candidates with
+    //     array-intersection verify. Force each via its conf and pin
+    //     value identity on the real corpus.
+    val docs = Tables.documents(spark, sf)
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.containmentPairsExact(docs).as[(Long, Long, Double)]
+        .collect().toSet
+    val allPairs = run()
+    spark.conf.set("graft.containAllPairsMax", "0") // force mask-verify
+    val maskVerify = run()
+    spark.conf.set("graft.containMaskBits", "0") // force array verify
+    val arrayVerify = run()
+    spark.conf.unset("graft.containAllPairsMax")
+    spark.conf.unset("graft.containMaskBits")
+    assert(allPairs === maskVerify,
+      "bitmask all-pairs vs prefix+mask-verify regimes disagree")
+    assert(allPairs === arrayVerify,
+      "bitmask vs prefix+array-verify regimes disagree")
+    info(s"pairs=${allPairs.size} identical across all three regimes")
+  }
 }
