@@ -1317,6 +1317,42 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(col("inter") / col("mn"), 6).as("containment"))
 
+  /** [[containmentFromCandidates]] with a `variant` tag column riding
+    * through verify + member expansion — the panel consolidation: one
+    * tagged candidate union becomes ONE verify/expansion plan and one
+    * count aggregation, instead of one full pipeline (and its job
+    * fan-out) per config. `variants` lists every tag so within-cluster
+    * 1.0 pairs (candidate-independent, appended per variant in the
+    * untagged flow) join each tag's result. Returns
+    * (variant, id1, id2) — the hit-counting projection. */
+  private[graft] def containmentFoundTagged(
+      withSig: DataFrame, memberMap: DataFrame, cand: DataFrame,
+      threshold: Double, variants: Seq[String]): DataFrame = {
+    val verified = cand
+      .join(withSig.as("wa"), col("wa.rep") === col("id1"))
+      .join(withSig.as("wb"), col("wb.rep") === col("id2"))
+      .select(col("variant"), col("id1"), col("id2"),
+        size(array_intersect(col("wa.hsd"), col("wb.hsd")))
+          .cast("double").as("inter"),
+        least(size(col("wa.hsd")), size(col("wb.hsd")))
+          .cast("double").as("mn"))
+      .filter(col("inter") / col("mn") >= threshold)
+      .select(col("variant"), col("id1"), col("id2"))
+    val crossPairs = verified
+      .join(memberMap.as("ma"), col("ma.rep") === col("id1"))
+      .join(memberMap.as("mb"), col("mb.rep") === col("id2"))
+      .select(col("variant"),
+        least(col("ma.id"), col("mb.id")).as("id1"),
+        greatest(col("ma.id"), col("mb.id")).as("id2"))
+    val spark = memberMap.sparkSession
+    import spark.implicits._
+    val dupPairs = memberMap.as("x").join(memberMap.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .crossJoin(broadcast(variants.toDF("variant")))
+      .select(col("variant"), col("x.id").as("id1"), col("y.id").as("id2"))
+    crossPairs.unionByName(dupPairs)
+  }
+
   /** Member expansion of verified rep pairs + the within-cluster 1.0
     * pairs — the shared tail of every containment variant. */
   private def expandContainment(

@@ -645,21 +645,36 @@ object TextQueries extends QueryPack {
           least(size($"t1"), size($"t2")).cast("double") >= 0.9)
         .select($"id1", $"id2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def variantRow(variant: String, bands: Int, rpb: Int): DataFrame = {
-        val found = Dedup.containmentPairsBanded(sample, "text", "doc_id",
-            numHashes = 12, bands = bands, rowsPerBand = rpb, threshold = 0.9)
-          .select($"id1", $"id2")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
-          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-          .select(lit(variant).as("variant"), $"n_true", $"n_found", $"n_hit",
-            when($"n_true" === 0L, lit(1000000L))
-              .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
-      }
-      variantRow("perhash_12x1", 12, 1)
-        .unionByName(variantRow("sym_4x3", 4, 3))
+      // one 12-hash prep + ONE tagged verify/expansion plan for both
+      // banding configs (the per-variant flow ran containmentPairsBanded
+      // twice — two preps, two pipelines, three broadcast-agg crossjoins
+      // each: 58 jobs, 1.9 s of the 2.3 s wall was dispatch)
+      val (withSig, memberMap) =
+        Dedup.containmentPrep(sample, "text", "doc_id", 12)
+      def sigs(ws: DataFrame) = ws.select($"rep".as("id"), $"minhash_sig")
+      val variants = Seq(
+        ("perhash_12x1", Dedup.lshCandidates(sigs(withSig), "id", 12, 1)),
+        ("sym_4x3", Dedup.lshCandidates(sigs(withSig), "id", 4, 3)))
+      val cands = variants
+        .map { case (v, c) => c.select(lit(v).as("variant"), $"id1", $"id2") }
+        .reduce(_ unionByName _)
+      val found = Dedup.containmentFoundTagged(
+          withSig, memberMap, cands, 0.9, variants.map(_._1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val foundCounts = found.groupBy($"variant")
+        .agg(count(lit(1)).as("n_found"))
+      val hitCounts = found.join(truth, Seq("id1", "id2"))
+        .groupBy($"variant").agg(count(lit(1)).as("n_hit"))
+      variants.map(_._1).toDF("variant")
+        .join(foundCounts, Seq("variant"), "left")
+        .join(hitCounts, Seq("variant"), "left")
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select($"variant", $"n_true",
+          coalesce($"n_found", lit(0L)).as("n_found"),
+          coalesce($"n_hit", lit(0L)).as("n_hit"))
+        .select($"variant", $"n_true", $"n_found", $"n_hit",
+          when($"n_true" === 0L, lit(1000000L))
+            .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
         .orderBy($"variant")
     }),
 
@@ -687,27 +702,37 @@ object TextQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (withSig, memberMap) =
         Dedup.containmentPrep(sample, "text", "doc_id", 12)
-      def row(variant: String,
-          candFn: DataFrame => DataFrame): DataFrame = {
-        val cand = candFn(withSig)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val found = Dedup
-          .containmentFromCandidates(withSig, memberMap, cand, 0.9)
-          .select($"id1", $"id2")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-          .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-          .select(lit(variant).as("variant"), $"n_cand", $"n_true", $"n_hit",
-            when($"n_true" === 0L, lit(1000000L))
-              .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
-      }
       def sigs(ws: DataFrame) = ws.select($"rep".as("id"), $"minhash_sig")
-      row("perhash_12x1", ws => Dedup.lshCandidates(sigs(ws), "id", 12, 1))
-        .unionByName(row("strat2_4x3",
-          ws => Dedup.containmentCandStratified(ws, 12, 4, 3)))
-        .unionByName(row("sym_4x3", ws => Dedup.lshCandidates(sigs(ws), "id", 4, 3)))
+      // ONE tagged candidate union → ONE verify/expansion plan → ONE
+      // count aggregation: the per-variant flow built three full
+      // pipelines (persist + three broadcast-agg crossjoins each) and
+      // was dispatch-bound — 86 jobs, 5.3 s of the 5.1 s wall was job
+      // dispatch. Values are identical (same candidates, same verify
+      // arithmetic, same count semantics); the oracle replays them.
+      val variants = Seq(
+        ("perhash_12x1", Dedup.lshCandidates(sigs(withSig), "id", 12, 1)),
+        ("strat2_4x3", Dedup.containmentCandStratified(withSig, 12, 4, 3)),
+        ("sym_4x3", Dedup.lshCandidates(sigs(withSig), "id", 4, 3)))
+      val cands = variants
+        .map { case (v, c) => c.select(lit(v).as("variant"), $"id1", $"id2") }
+        .reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val found = Dedup.containmentFoundTagged(
+        withSig, memberMap, cands, 0.9, variants.map(_._1))
+      val candCounts = cands.groupBy($"variant")
+        .agg(count(lit(1)).as("n_cand"))
+      val hitCounts = found.distinct()
+        .join(truth, Seq("id1", "id2"))
+        .groupBy($"variant").agg(count(lit(1)).as("n_hit"))
+      variants.map(_._1).toDF("variant")
+        .join(candCounts, Seq("variant"), "left")
+        .join(hitCounts, Seq("variant"), "left")
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select($"variant", coalesce($"n_cand", lit(0L)).as("n_cand"),
+          $"n_true", coalesce($"n_hit", lit(0L)).as("n_hit"))
+        .select($"variant", $"n_cand", $"n_true", $"n_hit",
+          when($"n_true" === 0L, lit(1000000L))
+            .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
         .orderBy($"variant")
     }),
 
