@@ -288,6 +288,89 @@ object Dedup {
     (memberMap, if (earlyCandidateDistinct) verified else verified.distinct())
   }
 
+  /** Tagged multi-config minhash near-dup pairs — the tradeoff-panel
+    * consolidation. ONE shingle pass, ONE rep collapse, ONE signature
+    * computation at max(numHashes) (family j's hash depends only on j —
+    * MinHashFamilies scaladoc — so every config's signature is a PREFIX
+    * slice of the widest one), per-config band joins tagged by name,
+    * then one est-gated verify (each variant's estimate over ITS slice
+    * and hash count) and one member expansion over the tagged union.
+    * Per variant, the (id1, id2) set is value-identical to
+    * `minhashNearDups(docs, …, nh, nb, threshold)` — the per-config
+    * flow ran three full pipelines (three preps, three persists, nine
+    * broadcast-agg jobs) and was dispatch-bound at bench scale.
+    * `configs` rows are (variant, numHashes, bands); numHashes must be
+    * divisible by bands (the minhashNearDups contract). */
+  private[graft] def minhashFoundTagged(
+      docs: DataFrame, textCol: String, idCol: String, shingleN: Int,
+      configs: Seq[(String, Int, Int)], threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => bcol, expression => bexp}
+    val maxNh = configs.map(_._2).max
+    val hashShingles: Column => Column = { c =>
+      val t = array_distinct(tokens(c))
+      val sh = if (shingleN == 1) t else array_distinct(wordShingles(t, shingleN))
+      transform(sh, (s: Column) => hash32(s))
+    }
+    val keyed = docs
+      .select(col(idCol).as("id"), col(textCol))
+      .repartition(col("id"))
+      .select(col("id"), hashShingles(col(textCol)).as("hs"))
+      .withColumn("set_key", setFingerprint(array_distinct(col("hs"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed.groupBy(col("set_key"))
+      .agg(min(col("id")).as("rep"), first(col("hs")).as("hs"))
+    val withSig = reps
+      .select(col("set_key"), col("rep"),
+        minhashFamilies(col("hs"), maxNh).as("minhash_sig"),
+        array_sort(array_distinct(col("hs"))).as("hsd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    withSig.count()
+    val memberMap = keyed.filter(size(col("hs")) > 0)
+      .select(col("set_key"), col("id"))
+      .join(withSig.select(col("set_key"), col("rep")), "set_key")
+      .select(col("rep"), col("id"))
+    val cands = configs.map { case (v, nh, nb) =>
+      lshCandidates(
+        withSig.select(col("rep").as("id"),
+          slice(col("minhash_sig"), 1, nh).as("minhash_sig")),
+        "id", nb, nh / nb)
+        .select(lit(v).as("variant"), col("id1"), col("id2"))
+    }.reduce(_ unionByName _)
+    val estFloor = math.max(0.0, threshold - 0.15)
+    // per-variant estimate: agreement over the config's prefix slice,
+    // normalized by ITS hash count — identical to the per-config est
+    val est = configs.map { case (v, nh, _) =>
+      (v,
+        bcol(graft.expressions.SignatureAgreement(
+          bexp(slice(col("wa.minhash_sig"), 1, nh)),
+          bexp(slice(col("wb.minhash_sig"), 1, nh)))).cast("double") / nh)
+    }.foldRight(lit(Double.NaN)) { case ((v, e), acc) =>
+      when(col("variant") === v, e).otherwise(acc)
+    }
+    val jac = bcol(graft.expressions.JaccardSortedLongs(
+      bexp(col("wa.hsd")), bexp(col("wb.hsd"))))
+    val verified = cands
+      .join(withSig.as("wa"), col("wa.rep") === col("id1"))
+      .join(withSig.as("wb"), col("wb.rep") === col("id2"))
+      .select(col("variant"), col("id1"), col("id2"),
+        when(est >= estFloor, jac).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("variant"), col("id1"), col("id2"))
+    val crossPairs = verified
+      .join(memberMap.as("ma"), col("ma.rep") === col("id1"))
+      .join(memberMap.as("mb"), col("mb.rep") === col("id2"))
+      .select(col("variant"),
+        least(col("ma.id"), col("mb.id")).as("id1"),
+        greatest(col("ma.id"), col("mb.id")).as("id2"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dupPairs = memberMap.as("x").join(memberMap.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .crossJoin(broadcast(configs.map(_._1).toDF("variant")))
+      .select(col("variant"), col("x.id").as("id1"), col("y.id").as("id2"))
+    crossPairs.unionByName(dupPairs)
+  }
+
   /** The survivor set of minhash near-dedup WITHOUT materializing the
     * member-pair cross products. Since rep = min(member ids), the
     * expanded-pair drop set reduces to rep level:

@@ -850,20 +850,32 @@ object TextQueries extends QueryPack {
     // before picking the tradeoff.
     "dedup_minhash_tradeoff" -> ((s, dir) => {
       import s.implicits._
-      // ONE truth materialization feeds all three config branches
+      // ONE truth materialization + ONE tagged pipeline for all three
+      // configs: family j's hash depends only on j, so the 12-hash
+      // signatures are prefix slices of the 24-hash one — one shingle
+      // pass, one rep collapse, one est-gated verify (per-variant
+      // slice estimates), one expansion (minhashFoundTagged). The
+      // per-config flow ran three full pipelines and was
+      // dispatch-bound: 83 jobs for a 500-doc sample.
       val (sample, truth) = lshTruth(s, dir)
-      Seq((12, 4), (24, 8), (12, 6)).map { case (nh, nb) =>
-        val found = Dedup.minhashNearDups(sample,
-            shingleN = 1, numHashes = nh, bands = nb, threshold = 0.8)
-          .select($"id1", $"id2")
-        val hit = truth.join(found, Seq("id1", "id2"), "left_semi")
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-          .select(lit(nh.toLong).as("num_hashes"), lit(nb.toLong).as("bands"),
-            $"n_true", $"n_hit",
-            when($"n_true" === 0L, lit(1000000L))
-              .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
-      }.reduce(_ unionByName _).orderBy($"num_hashes", $"bands")
+      val configs = Seq((12, 4), (24, 8), (12, 6))
+      val found = Dedup.minhashFoundTagged(sample, "text", "doc_id",
+        shingleN = 1,
+        configs.map { case (nh, nb) => (s"$nh/$nb", nh, nb) },
+        threshold = 0.8)
+      val hitCounts = found.distinct()
+        .join(truth, Seq("id1", "id2"))
+        .groupBy($"variant").agg(count(lit(1)).as("n_hit"))
+      configs.map { case (nh, nb) => (s"$nh/$nb", nh.toLong, nb.toLong) }
+        .toDF("variant", "num_hashes", "bands")
+        .join(hitCounts, Seq("variant"), "left")
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .select($"num_hashes", $"bands", $"n_true",
+          coalesce($"n_hit", lit(0L)).as("n_hit"))
+        .select($"num_hashes", $"bands", $"n_true", $"n_hit",
+          when($"n_true" === 0L, lit(1000000L))
+            .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
+        .orderBy($"num_hashes", $"bands")
     }),
 
     // PMI collocation extraction (word2vec/phrase-mining prep, Church &
