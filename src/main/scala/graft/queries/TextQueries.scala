@@ -834,10 +834,12 @@ object TextQueries extends QueryPack {
           shingleN = 1, numHashes = 12, bands = 4, threshold = 0.8)
         .select($"id1", $"id2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hit = truth.join(foundP, Seq("id1", "id2"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(foundP.agg(count(lit(1)).as("n_found")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      // n_true and n_hit from ONE left join over truth (found pairs are
+      // unique, so count of matched rows ≡ the old semi-join count);
+      // n_found is the only second consumer of the persisted pipeline
+      truth.join(foundP.withColumn("f", lit(1)), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_true"), count($"f").as("n_hit"))
+        .crossJoin(broadcast(foundP.agg(count(lit(1)).as("n_found"))))
         .select($"n_true", $"n_found", $"n_hit",
           when($"n_true" === 0L, lit(1000000L))
             .otherwise(expr("n_hit * 1000000L div n_true")).as("recall_q"))
