@@ -200,6 +200,18 @@ object KnnGraph {
     * Returns (qid, idCol, distance, rank ≤ k). */
   def beamSearch(vectors: DataFrame, graph: DataFrame, queries: DataFrame,
       seeds: DataFrame, beam: Int, hops: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    beamSearchDriverOpt(vectors, graph, queries, seeds, beam, hops, k,
+        idCol, embCol)
+      .getOrElse(beamSearchDistributed(vectors, graph, queries, seeds,
+        beam, hops, k, idCol, embCol))
+
+  /** The distributed form of [[beamSearch]] — the value-identical
+    * fallback above the driver-walk caps (and the parity reference
+    * KnnGraphSpec pins the driver path against). */
+  private[graft] def beamSearchDistributed(vectors: DataFrame,
+      graph: DataFrame, queries: DataFrame,
+      seeds: DataFrame, beam: Int, hops: Int, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val g = graph.select(col(idCol).as("cand"), col("nbr_id"))
     beamSearchExpand(vectors, queries, seeds, beam, hops, k,
@@ -208,6 +220,124 @@ object KnnGraph {
       frontier => g.join(broadcast(frontier), "cand")
         .select(col("qid"), col("nbr_id").as("cand")),
       idCol, embCol)
+  }
+
+  private[graft] def driverWalkMaxQueries: Int =
+    sys.props.get("graft.driverWalkMaxQueries").map(_.toInt).getOrElse(1024)
+  private def driverIsinMax: Int =
+    sys.props.get("graft.deadIsinMax").map(_.toInt).getOrElse(1024)
+
+  private def floatsOf(s: Seq[Any]): Array[Float] =
+    s.iterator.map { case f: Float => f case x => x.toString.toFloat }.toArray
+
+  /** In-memory beam walk, DRIVER-RESIDENT — the GraphStore DriverWalk
+    * discipline (VERDICT r14 next #1) brought to the in-memory form:
+    * each hop pays at most two bounded pruned collect jobs (uncached
+    * frontier adjacency + uncached pool embeddings; converged hops pay
+    * zero) instead of a checkpointed rerank round of shuffle jobs, and
+    * scoring/selection run in-process with [[Pq.l2sqLocal]] — the exact
+    * arithmetic of the `l2sq` expression — under the BottomK
+    * (distance, id)-ascending order (KnnGraphSpec pins driver ≡
+    * distributed on the real corpus; every consuming serve is
+    * oracle-checked, so any tie or arithmetic drift fails the hash
+    * gate at both SFs). Collected state is bounded by serving
+    * parameters (queries × beam × degree per hop), never by N.
+    * Returns None — the caller falls back to [[beamSearchDistributed]]
+    * — when the query batch exceeds `graft.driverWalkMaxQueries`, the
+    * seed list is unexpectedly unbounded, or any id/embedding column
+    * is not the (bigint, array<float>) the driver arithmetic needs. */
+  private def beamSearchDriverOpt(vectors: DataFrame, graph: DataFrame,
+      queries: DataFrame, seeds: DataFrame, beam: Int, hops: Int, k: Int,
+      idCol: String, embCol: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+    val spark = vectors.sparkSession
+    def colType(df: DataFrame, n: String): Option[DataType] =
+      df.schema.find(_.name == n).map(_.dataType)
+    def isFloats(t: Option[DataType]): Boolean = t match {
+      case Some(ArrayType(FloatType, _)) => true
+      case _ => false
+    }
+    val ok =
+      colType(vectors, idCol).contains(LongType) &&
+        isFloats(colType(vectors, embCol)) &&
+        colType(graph, idCol).contains(LongType) &&
+        colType(graph, "nbr_id").contains(LongType) &&
+        colType(queries, "qid").contains(LongType) &&
+        isFloats(colType(queries, "qv")) &&
+        colType(seeds, "qid").contains(LongType) &&
+        colType(seeds, "cand").contains(LongType)
+    if (!ok) return None
+    val cap = driverWalkMaxQueries
+    val qRows = queries.select(col("qid"), col("qv")).limit(cap + 1).collect()
+    if (qRows.length > cap) return None
+    val qvs: Map[Long, Array[Float]] =
+      qRows.iterator.map(r => r.getLong(0) -> floatsOf(r.getSeq[Any](1))).toMap
+    val seedCap = cap * 64
+    val seedRows =
+      seeds.select(col("qid"), col("cand")).limit(seedCap + 1).collect()
+    if (seedRows.length > seedCap) return None
+    val seedMap: Map[Long, Array[Long]] = seedRows.iterator
+      .map(r => (r.getLong(0), r.getLong(1))).toArray
+      .groupBy(_._1).map { case (q, rs) => (q, rs.map(_._2)) }
+    val embs = scala.collection.mutable.HashMap.empty[Long, Array[Float]]
+    val embSeen = scala.collection.mutable.HashSet.empty[Long]
+    val adj = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+    // literal IN up to the isin guard (row-group skipping on sorted
+    // layouts), broadcast semi-join above — the filterDead convention
+    def pruned(df: DataFrame, ids: Array[Long]): DataFrame =
+      if (ids.length <= driverIsinMax)
+        df.filter(col(idCol).isin(ids.toSeq: _*))
+      else {
+        import spark.implicits._
+        df.join(broadcast(ids.toSeq.toDF(idCol)), Seq(idCol), "left_semi")
+      }
+    def ensureEmb(ids: Iterator[Long]): Unit = {
+      val need = ids.filterNot(embSeen.contains).toArray.distinct
+      if (need.isEmpty) return
+      pruned(vectors.select(col(idCol), col(embCol)), need).collect()
+        .foreach(r => embs(r.getLong(0)) = floatsOf(r.getSeq[Any](1)))
+      embSeen ++= need
+    }
+    def ensureAdj(ids: Iterator[Long]): Unit = {
+      val need = ids.filterNot(adj.contains).toArray.distinct
+      if (need.isEmpty) return
+      val got = pruned(graph.select(col(idCol), col("nbr_id")), need)
+        .collect().groupBy(_.getLong(0))
+      need.foreach { id =>
+        adj(id) =
+          got.get(id).map(_.map(_.getLong(1))).getOrElse(Array.empty[Long])
+      }
+    }
+    // pool ids without an embedding row drop out — the inner-join
+    // semantics of the distributed score
+    def topW(q: Long, pool: Array[Long], w: Int): Array[(Double, Long)] = {
+      val qv = qvs(q)
+      pool.iterator
+        .flatMap(c => embs.get(c).map(e => (Pq.l2sqLocal(e, qv), c)))
+        .toArray.sorted.take(w)
+    }
+    val qids = qvs.keys.toArray.sorted
+    var frontiers: Map[Long, Array[Long]] = qids.iterator.map(q =>
+      q -> seedMap.getOrElse(q, Array.empty[Long]).distinct).toMap
+    ensureEmb(frontiers.valuesIterator.flatten)
+    frontiers =
+      frontiers.map { case (q, c) => q -> topW(q, c, beam).map(_._2) }
+    (1 to hops).foreach { _ =>
+      ensureAdj(frontiers.valuesIterator.flatten)
+      val pools = frontiers.map { case (q, f) =>
+        q -> (f ++ f.iterator.flatMap(adj.getOrElse(_, Array.empty[Long])))
+          .distinct
+      }
+      ensureEmb(pools.valuesIterator.flatten)
+      frontiers = pools.map { case (q, p) => q -> topW(q, p, beam).map(_._2) }
+    }
+    val rows = qids.toSeq.flatMap { q =>
+      topW(q, frontiers(q), k).zipWithIndex.map { case ((d, c), i) =>
+        (q, c, d, (i + 1).toLong)
+      }
+    }
+    import spark.implicits._
+    Some(rows.toDF("qid", idCol, "distance", "rank"))
   }
 
   /** [[beamSearch]] with a pluggable per-hop EXPANSION — the hook a

@@ -97,6 +97,69 @@ class KnnGraphSpec extends SparkSpec {
       "descent-refined edges should beat the block-local graph's total distance")
   }
 
+  test("beamSearch: driver-resident path ≡ the distributed walk (flat + hier shapes)") {
+    // the r15 in-memory DriverWalk sibling: under the query cap the
+    // engine runs the walk driver-resident; this pins it against the
+    // distributed form on the real corpus — rows, distances, ranks
+    import graft.operators.{Ann, Pq}
+    val g = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 3)
+      .persist()
+    g.count()
+    val cents = Ann.collectCentroids(Ann.seedCentroids(e, 8))
+    val panel = Seq(0L, 42L, 137L, 300L, 489L)
+    val qs = e.filter($"vec_id".isin(panel: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val seedPairs = qs.collect().toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      cents.map { case (cid, c) => (Pq.l2sqLocal(qv, c), cid) }
+        .sorted.take(2).map { case (_, cid) => (qid, cid) }
+    }
+    def run() = KnnGraph.beamSearch(e, g, qs, seedPairs.toDF("qid", "cand"),
+        beam = 12, hops = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val driver = run()
+    val dist = KnnGraph.beamSearchDistributed(e, g, qs,
+        seedPairs.toDF("qid", "cand"), beam = 12, hops = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(driver === dist)
+    assert(driver.nonEmpty)
+    // forcing the fallback via the cap reproduces the distributed rows
+    val prev = sys.props.get("graft.driverWalkMaxQueries")
+    try {
+      sys.props("graft.driverWalkMaxQueries") = "0"
+      assert(run() === dist)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.driverWalkMaxQueries") = v
+        case None => sys.props.remove("graft.driverWalkMaxQueries")
+      }
+    }
+    // hier: the layer chain composes driver-path calls — pin against a
+    // capped (all-distributed) run of the identical serve
+    val layers = KnnGraph.buildHierGraph(e, m = 6, ringM = 2, rounds = 3,
+      maxLevel = 1).map(_.persist())
+    layers.foreach(_.count())
+    def runHier() = KnnGraph.hierSearch(e, layers, qs,
+        beam = 12, hops = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val hierDriver = runHier()
+    try {
+      sys.props("graft.driverWalkMaxQueries") = "0"
+      assert(runHier() === hierDriver)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.driverWalkMaxQueries") = v
+        case None => sys.props.remove("graft.driverWalkMaxQueries")
+      }
+    }
+    assert(hierDriver.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("beamSearch == a driver replay of the greedy walk; beats IVF recall at comparable work") {
     import graft.operators.{Ann, Pq}
     val g = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 3)
