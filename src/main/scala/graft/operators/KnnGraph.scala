@@ -46,6 +46,17 @@ object KnnGraph {
       nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(m > 0, "m must be positive")
+    // pure deterministic function of ((id, embedding), params) — session
+    // memoized like buildSearchGraph (five graph-analytics queries share
+    // the m=3 corpus graph; the serve side stays measured)
+    graft.util.IndexCache.frame(vectors.select(col(idCol), col(embCol)),
+        Seq("knnGraph", m, targetBlock, nprobe, idCol, embCol)) {
+      buildUncached(vectors, m, targetBlock, nprobe, idCol, embCol)
+    }
+  }
+
+  private[graft] def buildUncached(vectors: DataFrame, m: Int, targetBlock: Int,
+      nprobe: Int, idCol: String, embCol: String): DataFrame = {
     val (_, assigned) =
       Dedup.ivfTwoLevelBlocks(vectors, targetBlock, idCol, embCol, nprobe = nprobe)
     val a = assigned.select(col("id").as("aid"), col("blk"), col("e").as("ae"))

@@ -463,7 +463,9 @@ class KnnGraphSpec extends SparkSpec {
   }
 
   test("plan: per-node top-m is the partial-aggregated BottomK heap") {
-    val plan = KnnGraph.build(e, m = 3).queryExecution.executedPlan.toString
+    val plan = KnnGraph.buildUncached(e, m = 3, targetBlock = 64,
+      nprobe = 1, idCol = "vec_id", embCol = "embedding")
+      .queryExecution.executedPlan.toString
     assert(plan.contains("partial_bottomk") || plan.contains("bottomk"), plan)
   }
 
