@@ -1322,11 +1322,14 @@ object Dedup {
     * (rep, n, m0..m{words-1}). */
   private def maskedSets(
       withSig: DataFrame, vocabDf: DataFrame, words: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dict = vocabDf
-      .withColumn("pos", row_number().over(Window.orderBy(col("t"))) - 1)
-      .select(col("t"), (col("pos") / 64).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), pos % 64)").as("m"))
+    val spark = withSig.sparkSession
+    import spark.implicits._
+    // the vocabulary is ≤ maskBits rows BY THE REGIME GATE (a config
+    // bound, not a data cardinality) — assign bit positions driver-side
+    // in ascending-token order and broadcast the literal dictionary
+    val dict = vocabDf.collect().map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (t, pos) => (t, pos / 64, 1L << (pos % 64)) }
+      .toSeq.toDF("t", "w", "m")
     val maskCols = (0 until words).map(w =>
       coalesce(expr(s"bit_or(CASE WHEN w = $w THEN m END)"), lit(0L))
         .as(s"m$w"))

@@ -185,7 +185,10 @@ object KnnGraph {
     // only scheduling overhead changes. At a true 100 TB graph the
     // coalesce width is the knob; the structure stays.
     val ring = ringInit(vectors, ringM, idCol).coalesce(1).localCheckpoint(true)
-    var g = build(vectors, m, targetBlock, 1, idCol, embCol)
+    // uncached form: this whole build is already inside an IndexCache
+    // entry — a nested memo of the block-local graph would double the
+    // miss accounting without any sharing (different m/params key)
+    var g = buildUncached(vectors, m, targetBlock, 1, idCol, embCol)
       .select(col(idCol), col("nbr_id"))
       .union(ring)
     (1 to rounds).foreach { _ =>
