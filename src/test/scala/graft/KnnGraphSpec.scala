@@ -160,6 +160,35 @@ class KnnGraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("in-memory driver walk job budget: at most two bounded collects per hop") {
+    // the DriverWalkSpec budget pin, for the in-memory form: a flat
+    // beamSearch serve under the query cap must dispatch only the
+    // bounded pruned collects (queries 1 + seeds 1 + per-hop ≤ 2),
+    // never a checkpointed rerank round per hop
+    import graft.operators.Pq
+    val g = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 2)
+      .persist()
+    g.count()
+    val qs = e.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .localCheckpoint(true)
+    val seed = e.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+      .limit(1).select($"vec_id").collect()(0).getLong(0)
+    val seeds = Seq((0L, seed)).toDF("qid", "cand").localCheckpoint(true)
+    graft.util.DispatchMeter.register(spark.sparkContext)
+    val j0 = graft.util.DispatchMeter.jobs
+    val rows = KnnGraph.beamSearch(e, g, qs, seeds,
+      beam = 8, hops = 4, k = 5).collect()
+    val jobs = graft.util.DispatchMeter.jobs - j0
+    assert(rows.nonEmpty)
+    // queries (1) + seeds (1) + seed embeddings (1) + 4 hops × (adj +
+    // emb) (8) + slack
+    assert(jobs <= 13,
+      s"in-memory driver walk dispatched $jobs jobs — not driver-resident")
+    info(s"flat in-memory driver serve dispatched $jobs jobs")
+    spark.catalog.clearCache()
+  }
+
   test("beamSearch == a driver replay of the greedy walk; beats IVF recall at comparable work") {
     import graft.operators.{Ann, Pq}
     val g = KnnGraph.buildSearchGraph(e, m = 6, ringM = 2, rounds = 3)
