@@ -111,6 +111,71 @@ object Bench {
       total
     }
     val schedLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- r16 attribution upgrade (VERDICT r15 wrong #1 / next #1): four
+    // queries in the r15 artifact ran 3–6× their clean medians with
+    // sched_wait/gc/hop_dispatch all ≈ 0 — ~11 s the meters could not
+    // name. schedstat only sees RUNQUEUE wait; it is blind to (a) disk
+    // stalls (iowait parks the thread, it never re-enters the runqueue),
+    // (b) CPU the container's OTHER processes burned (the driver runs
+    // DuckDB/pyspark beside this JVM), (c) JVM JIT / Janino codegen
+    // compilation (driver-thread CPU, invisible as "wait"). Five new
+    // per-pass counters close the blindness, each a cumulative kernel or
+    // JVM counter read before/after the pass:
+    //  - cpu_s:      this JVM's process CPU seconds (OperatingSystemMXBean)
+    //  - ext_cpu_s:  container cgroup CPU minus this JVM's CPU — CPU some
+    //                OTHER process in the box consumed during the pass
+    //                (the direct co-tenant contention meter)
+    //  - io_read_mb: /proc/self/io read_bytes — ACTUAL storage reads, i.e.
+    //                page-cache misses (a warm pass reads ~0; a pass whose
+    //                wall inflates WITH an io_read spike was re-reading
+    //                store/parquet bytes the cache had evicted)
+    //  - majflt:     major page faults (mmap'd-file disk stalls)
+    //  - jit_s:      JVM JIT compiler wall (CompilationMXBean)
+    //  - codegen_n:  whole-stage-codegen Janino compilations
+    //                (CodegenMetrics histogram count delta — a measured
+    //                pass should be ~0 after its warmup pass ran the
+    //                identical plan; nonzero means the plan was cold)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def jvmCpuNanos(): Long = osBean.getProcessCpuTime
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
+    def codegenCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    def readBytes(): Long = try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/self/io"))
+      var v = -1L
+      lines.forEach { l =>
+        if (l.startsWith("read_bytes:")) v = l.substring(11).trim.toLong }
+      v
+    } catch { case _: Throwable => -1L }
+    def majFaults(): Long = try {
+      // /proc/self/stat field 12 (1-based) = majflt; comm (field 2) may
+      // contain spaces — split after the closing paren
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      s.substring(s.lastIndexOf(')') + 2).split(" ")(9).toLong
+    } catch { case _: Throwable => -1L }
+    def cgroupCpuMicros(): Long = try {
+      val p = java.nio.file.Paths.get("/sys/fs/cgroup/unified/cpu.stat")
+      val p2 = if (java.nio.file.Files.exists(p)) p
+        else java.nio.file.Paths.get("/sys/fs/cgroup/cpu.stat")
+      var v = -1L
+      java.nio.file.Files.readAllLines(p2).forEach { l =>
+        if (l.startsWith("usage_usec")) v = l.split("\\s+")(1).toLong }
+      v
+    } catch { case _: Throwable => -1L }
+    val cpuLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val extCpuLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val ioReadLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val majfltLog = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val jitLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val codegenLog = scala.collection.mutable.LinkedHashMap[String, Long]()
     // Measurement-semantics transparency: the session index manager
     // (graft.util.IndexCache) memoizes deterministic index builds, so a
     // family's FIRST execution (its warmup pass, usually) pays the
@@ -147,6 +212,12 @@ object Bench {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val gc0 = gcMillis()
       val sw0 = schedWaitNanos()
+      val cpu0 = jvmCpuNanos()
+      val cg0 = cgroupCpuMicros()
+      val io0 = readBytes()
+      val mf0 = majFaults()
+      val jit0 = jitMillis()
+      val cn0 = codegenCount()
       val b0 = graft.util.IndexCache.misses
       val bn0 = graft.util.IndexCache.buildNanos
       val sn0 = graft.util.StoreMeter.nanos
@@ -161,6 +232,19 @@ object Bench {
           System.err.println(s"[bench] $what FAILED: ${e.getClass.getName}: ${e.getMessage}")
           -1.0
       } finally {
+        val cpuD = jvmCpuNanos() - cpu0
+        cpuLog(what) = cpuD / 1e9
+        val cg1 = cgroupCpuMicros()
+        extCpuLog(what) =
+          if (cg0 < 0 || cg1 < 0) -1.0
+          else math.max(0.0, (cg1 - cg0) / 1e6 - cpuD / 1e9)
+        val io1 = readBytes()
+        ioReadLog(what) =
+          if (io0 < 0 || io1 < 0) -1.0 else (io1 - io0) / 1048576.0
+        val mf1 = majFaults()
+        majfltLog(what) = if (mf0 < 0 || mf1 < 0) -1L else mf1 - mf0
+        jitLog(what) = (jitMillis() - jit0) / 1e3
+        codegenLog(what) = codegenCount() - cn0
         gcLog(what) = (gcMillis() - gc0) / 1e3
         buildLog(what) = graft.util.IndexCache.misses - b0
         buildSecLog(what) = (graft.util.IndexCache.buildNanos - bn0) / 1e9
@@ -230,6 +314,27 @@ object Bench {
       .mkString("{", ",", "}")
     val schedTotal = results.map { case (k, _) =>
       math.max(0.0, schedLog.getOrElse(s"$k measured", 0.0)) }.sum
+    def perQ(m: scala.collection.Map[String, Double]): String =
+      results.map { case (k, _) =>
+        s"\"" + k + "\":" + fmt(m.getOrElse(s"$k measured", -1.0)) }
+        .mkString("{", ",", "}")
+    def totQ(m: scala.collection.Map[String, Double]): Double =
+      results.map { case (k, _) =>
+        math.max(0.0, m.getOrElse(s"$k measured", 0.0)) }.sum
+    val cpuTotal = totQ(cpuLog)
+    val extCpuTotal = totQ(extCpuLog)
+    val ioReadTotal = totQ(ioReadLog)
+    val jitTotal = totQ(jitLog)
+    val majfltTotal = results.map { case (k, _) =>
+      math.max(0L, majfltLog.getOrElse(s"$k measured", 0L)) }.sum
+    val codegenTotal = results.map { case (k, _) =>
+      math.max(0L, codegenLog.getOrElse(s"$k measured", 0L)) }.sum
+    val codegenJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + codegenLog.getOrElse(s"$k measured", 0L) }
+      .mkString("{", ",", "}")
+    val majfltJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + majfltLog.getOrElse(s"$k measured", 0L) }
+      .mkString("{", ",", "}")
     // index builds that ran inside each MEASURED pass (warmup-pass
     // builds are deliberately absorbed — serving cost is the metric)
     val buildsJson = results.map { case (k, _) =>
@@ -275,6 +380,12 @@ object Bench {
       s""""probe_first":$probeFirst,"probe_last":$probeLast,""" +
       s""""probes":$probesJson,"t_start":$startsJson,""" +
       s""""sched_wait":$schedJson,"sched_wait_total":${fmt(schedTotal)},""" +
+      s""""cpu_s":${perQ(cpuLog)},"cpu_s_total":${fmt(cpuTotal)},""" +
+      s""""ext_cpu_s":${perQ(extCpuLog)},"ext_cpu_s_total":${fmt(extCpuTotal)},""" +
+      s""""io_read_mb":${perQ(ioReadLog)},"io_read_mb_total":${fmt(ioReadTotal)},""" +
+      s""""majflt":$majfltJson,"majflt_total":$majfltTotal,""" +
+      s""""jit_s":${perQ(jitLog)},"jit_s_total":${fmt(jitTotal)},""" +
+      s""""codegen_n":$codegenJson,"codegen_n_total":$codegenTotal,""" +
       s""""gc":$gcs,"gc_total":$gcTotal,""" +
       s""""index_builds":$buildsJson,""" +
       s""""index_builds_total":${graft.util.IndexCache.misses},""" +
@@ -318,6 +429,9 @@ object Bench {
       s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
       s""""hop_dispatch_s_total":${fmt(dispatchTotal)},""" +
       s""""sched_wait_total":${fmt(schedTotal)},""" +
+      s""""cpu_s_total":${fmt(cpuTotal)},"ext_cpu_s_total":${fmt(extCpuTotal)},""" +
+      s""""io_read_mb_total":${fmt(ioReadTotal)},"majflt_total":$majfltTotal,""" +
+      s""""jit_s_total":${fmt(jitTotal)},"codegen_n_total":$codegenTotal,""" +
       s""""probe_first":${fmt(probeFirst)},"probe_last":${fmt(probeLast)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     println(compact)

@@ -282,13 +282,25 @@ object KnnGraph {
         colType(seeds, "cand").contains(LongType)
     if (!ok) return None
     val cap = driverWalkMaxQueries
+    // One bounded payload collect gates the batch size (cap+1 rows ≈
+    // 3 MB at d=768 — a qid-only pre-gate would add a job to EVERY
+    // serve, and the serve job budget is spec-pinned; the over-cap
+    // path pays this one bounded collect before falling back). Null
+    // qid/qv or duplicate qids fall back to the distributed walk —
+    // the driver arithmetic would NPE on a null array and toMap would
+    // silently collapse duplicate query rows (ADVICE r15).
     val qRows = queries.select(col("qid"), col("qv")).limit(cap + 1).collect()
     if (qRows.length > cap) return None
+    if (qRows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    if (qRows.iterator.map(_.getLong(0)).toSet.size != qRows.length) return None
     val qvs: Map[Long, Array[Float]] =
       qRows.iterator.map(r => r.getLong(0) -> floatsOf(r.getSeq[Any](1))).toMap
     val seedCap = cap * 64
-    val seedRows =
-      seeds.select(col("qid"), col("cand")).limit(seedCap + 1).collect()
+    // null seed endpoints never join in the distributed walk — drop
+    // them here for the same semantics (and to keep getLong safe)
+    val seedRows = seeds.select(col("qid"), col("cand"))
+      .filter(col("qid").isNotNull && col("cand").isNotNull)
+      .limit(seedCap + 1).collect()
     if (seedRows.length > seedCap) return None
     val seedMap: Map[Long, Array[Long]] = seedRows.iterator
       .map(r => (r.getLong(0), r.getLong(1))).toArray
@@ -308,7 +320,12 @@ object KnnGraph {
     def ensureEmb(ids: Iterator[Long]): Unit = {
       val need = ids.filterNot(embSeen.contains).toArray.distinct
       if (need.isEmpty) return
-      pruned(vectors.select(col(idCol), col(embCol)), need).collect()
+      // null-embedding rows are skipped: the distributed score is an
+      // inner join whose l2sq over a null array is null — the row never
+      // reaches the top-k there either (ADVICE r15 null hardening)
+      pruned(vectors.select(col(idCol), col(embCol))
+          .filter(col(idCol).isNotNull && col(embCol).isNotNull), need)
+        .collect()
         .foreach(r => embs(r.getLong(0)) = floatsOf(r.getSeq[Any](1)))
       embSeen ++= need
     }

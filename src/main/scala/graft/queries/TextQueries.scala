@@ -658,8 +658,13 @@ object TextQueries extends QueryPack {
       val cands = variants
         .map { case (v, c) => c.select(lit(v).as("variant"), $"id1", $"id2") }
         .reduce(_ unionByName _)
+      // defensive distinct (ADVICE r15): today's candidates come from
+      // lshCandidates(dedupe=true) so found is already duplicate-free
+      // (value-identical), but a future non-deduped variant must not
+      // silently inflate n_found/n_hit through the counting joins below
       val found = Dedup.containmentFoundTagged(
           withSig, memberMap, cands, 0.9, variants.map(_._1))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val foundCounts = found.groupBy($"variant")
         .agg(count(lit(1)).as("n_found"))

@@ -108,12 +108,18 @@ class ContainmentSpec extends SparkSpec {
       Dedup.containmentPairsExact(docs).as[(Long, Long, Double)]
         .collect().toSet
     val allPairs = run()
-    spark.conf.set("graft.containAllPairsMax", "0") // force mask-verify
-    val maskVerify = run()
-    spark.conf.set("graft.containMaskBits", "0") // force array verify
-    val arrayVerify = run()
-    spark.conf.unset("graft.containAllPairsMax")
-    spark.conf.unset("graft.containMaskBits")
+    // try/finally: a throw inside a forced run must not leak the regime
+    // confs into every later test of the shared session (ADVICE r15)
+    val (maskVerify, arrayVerify) =
+      try {
+        spark.conf.set("graft.containAllPairsMax", "0") // force mask-verify
+        val mv = run()
+        spark.conf.set("graft.containMaskBits", "0") // force array verify
+        (mv, run())
+      } finally {
+        spark.conf.unset("graft.containAllPairsMax")
+        spark.conf.unset("graft.containMaskBits")
+      }
     assert(allPairs === maskVerify,
       "bitmask all-pairs vs prefix+mask-verify regimes disagree")
     assert(allPairs === arrayVerify,
