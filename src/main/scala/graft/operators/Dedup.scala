@@ -167,10 +167,21 @@ object Dedup {
       keyedPlan: DataFrame,
       withSigPlan: DataFrame => DataFrame): (DataFrame, DataFrame) =
     if (graft.util.IndexCache.enabled) {
-      val keyed =
-        graft.util.IndexCache.frame(keyedPlan, Seq("dedup-keyed"))(keyedPlan)
+      // EXPLICIT-width repartition before the pin: the build runs as its
+      // own job, where AQE coalesces the final shuffle of this small-SF
+      // corpus to ~2 partitions — and a localCheckpoint freezes that, so
+      // every downstream serve join would run at parallelism 2 (measured
+      // 6.7 vs 3.2 s on the dedup_ngram serve). A user-specified
+      // partition count is exempt from AQE coalescing; at cluster scale
+      // the conf is sized to the cluster, so the pin stays spread
+      // exactly like the build output it snapshots.
+      val n = keyedPlan.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt
+      val keyed = graft.util.IndexCache.frame(keyedPlan, Seq("dedup-keyed"))(
+        keyedPlan.repartition(n))
       val ws = withSigPlan(keyed)
-      (keyed, graft.util.IndexCache.frame(ws, Seq("dedup-withsig"))(ws))
+      (keyed, graft.util.IndexCache.frame(ws, Seq("dedup-withsig"))(
+        ws.repartition(n)))
     } else {
       val keyed = keyedPlan.persist(StorageLevel.MEMORY_AND_DISK)
       val ws = withSigPlan(keyed).persist(StorageLevel.MEMORY_AND_DISK)
@@ -935,25 +946,21 @@ object Dedup {
     val baseW = SimhashWidth / nBands; val rem = SimhashWidth % nBands
     val widths = Seq.tabulate(nBands)(i => if (i < rem) baseW + 1 else baseW)
     val offsets = widths.scanLeft(0)(_ + _)
-    val keyed = docs
+    // keyed + rep-sketch frames through the session index manager (the
+    // [[repIndex]] discipline — build once per corpus, probe per query;
+    // token hashes materialize behind the pin so md5 runs once per
+    // token, not once per simhash bit)
+    val keyedPlan = docs
       .select(col(idCol), col(textCol))
       .repartition(col(idCol)) // parallelize tokenization past few-split sources
       .select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("tok"))
       .withColumn("set_key", setFingerprint(col("tok"))) // tok is string-distinct
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val reps = keyed.groupBy(col("set_key"))
+    val (keyed, sh) = repIndex(keyedPlan, k => k
+      .groupBy(col("set_key"))
       .agg(min(col("id")).as("rep"), first(col("tok")).as("tok"))
-    // persisted: both sides of the band self-join and the membership
-    // join consume this plan; token hashes materialize behind it so md5
-    // runs once per token, not once per simhash bit
-    val sh = reps
       .withColumn("hs", transform(col("tok"), (s: Column) => hash56(s)))
       .select(col("set_key"), col("rep"),
-        simhashNative(col("hs"), SimhashWidth).as("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager cache population, same rationale as minhashRepPairs
-    // (one count materializes keyed and sh — same dependency chain)
-    sh.count()
+        simhashNative(col("hs"), SimhashWidth).as("simhash")))
     val memberMap = keyed.select(col("set_key"), col("id"))
       .join(sh.select(col("set_key"), col("rep")), "set_key")
       .select(col("rep"), col("id"))

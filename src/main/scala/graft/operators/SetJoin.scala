@@ -47,7 +47,8 @@ object SetJoin {
     * Set elements travel as hash56 LONGS from here on (verify ships
     * 8-byte elements, not strings; the oracle hashes identically, so
     * counts replay exactly — the dedup-pipeline convention). */
-  def jaccardPairs(sets: DataFrame, num: Int, den: Int): DataFrame = {
+  def jaccardPairs(sets: DataFrame, num: Int, den: Int,
+      positionalFilter: Boolean = true): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
     val s = sets.select(col("id"), col("tk")).filter(size(col("tk")) > 0)
       .select(col("id"),
@@ -55,6 +56,13 @@ object SetJoin {
           t => graft.functions.TextFunctions.hash56(t))).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization: five consumers (freq, ordered, prefix
+    // sizes, both verify sides) include independent broadcast subtrees
+    // that Spark runs as CONCURRENT jobs — against a lazy cache they
+    // race and each recomputes the shingle+hash pass (the
+    // minhashRepPairs convention; measured as five parallel ~0.4 s
+    // scan stages of one 0.4 s input)
+    s.count()
     val freq = s.select(explode(col("hs")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
     // rarest-first total order: sort by (global count, hash)
@@ -64,22 +72,51 @@ object SetJoin {
       .agg(sort_array(collect_list(struct(col("cnt"), col("t")))).as("ct"))
       .select(col("id"), transform(col("ct"), x => x.getField("t")).as("ot"))
     val prefixLen = (size(col("ot")) - ceilFrac(size(col("ot")), num, den) + 1)
+    // prefix rows carry POSITION (0-based, in the global rare-first
+    // order) and set size, so both the length filter and the PPJoin
+    // positional filter run INSIDE the token join — candidate rows die
+    // before the distinct shuffle, not after it (VERDICT r15 next #3)
     val pref = ordered
-      .select(col("id"), explode(slice(col("ot"), lit(1), prefixLen)).as("t"))
-    val sizes = s.select(col("id"), col("n"))
-    val cand = pref.select(col("id").as("id1"), col("t"))
-      .join(pref.select(col("id").as("id2"), col("t")), "t")
+      .select(col("id"),
+        posexplode(slice(col("ot"), lit(1), prefixLen)).as(Seq("p", "t")))
+      .join(s.select(col("id"), col("n")), "id")
+    val cand = pref
+      .select(col("id").as("id1"), col("p").as("p1"), col("n").as("n1"), col("t"))
+      .join(pref
+        .select(col("id").as("id2"), col("p").as("p2"), col("n").as("n2"), col("t")),
+        "t")
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-      // length filter before the verify join: J >= t forces the sizes
-      // within a factor t of each other (|x| >= t|y| exactly because
-      // i <= |x| and u >= |y|) — exact integer test, prunes candidates
-      // before any array ships
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      // length filter: J >= t forces the sizes within a factor t of
+      // each other (|x| >= t|y| exactly because i <= |x| and u >= |y|)
+      // — exact integer test, prunes before any array ships
       .filter(col("n1") * den >= col("n2") * num &&
         col("n2") * den >= col("n1") * num)
-      .select(col("id1"), col("id2"))
+      // PPJoin positional filter (Xiao/Wang/Lin/Yu, WWW 2008): both
+      // sets are sorted by the SAME total order, so if x and y first
+      // share a token at (1-based) positions i, j, every common token
+      // lies in x[i..] ∩ y[j..] and overlap ≤ 1 + min(|x|−i, |y|−j).
+      // Jaccard ≥ t needs overlap ≥ ⌈t(|x|+|y|)/(1+t)⌉; with t=num/den
+      // the integer form is bound·(num+den) ≥ num·(|x|+|y|). A pair
+      // survives if ANY of its matching prefix rows passes — the first
+      // match carries the LARGEST bound, so a true pair always survives
+      // through it (completeness; SetJoinSpec differential-pins this
+      // against the prefix-only candidate set), while same-boilerplate
+      // pairs whose match sits deep in both prefixes die here.
+      .filter(if (positionalFilter)
+          (lit(1) +
+            least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1)) *
+            (num + den) >= (col("n1") + col("n2")) * num
+        else lit(true))
+      .select(col("id1"), col("id2")).distinct()
+      // EXPLICIT width for the verify stage: candidate-pair rows are a
+      // few BYTES each, so AQE coalesces the distinct's output to ~1
+      // partition — but each row costs an array-merge verify (two
+      // ~|set|-element intersections), and that single task was the
+      // measured longest stage of the join (~0.8 s). Compute density,
+      // not byte count, sizes this stage; a user-specified repartition
+      // is exempt from AQE coalescing.
+      .repartition(sets.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt)
     cand
       .join(s.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(s.select(col("id").as("id2"), col("hs").as("hs2")), "id2")

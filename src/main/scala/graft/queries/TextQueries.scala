@@ -431,8 +431,14 @@ object TextQueries extends QueryPack {
       // tokens materialized behind a barrier BEFORE the shingle lambda
       // (the recurring inlined-HOF trap: slice(tokensExpr) inside the
       // transform re-splits the text per shingle — 10.8 s of the
-      // query's 21 s at sf0.1 before this persist)
+      // query's 21 s at sf0.1 before this persist). The repartition
+      // spreads tokenize/shingle work past the few-split source (the
+      // minhash keyed convention): without it the one-file corpus pins
+      // the persisted frame — and every downstream scan of it — to ONE
+      // task (measured: the whole join ran as ~750 ms single-task
+      // stages, parallelism 3 on 32 cores)
       val tk = Tables.documents(s, dir)
+        .repartition($"doc_id")
         .select($"doc_id", tokens($"text").as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sets = tk.select($"doc_id".as("id"),

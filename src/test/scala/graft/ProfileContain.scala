@@ -28,6 +28,8 @@ object ProfileContain {
       r
     }
 
+    if (args.contains("largevocab")) { largeVocab(spark); spark.stop(); return }
+
     val docs = Tables.documents(spark, dir)
     val (withSig, memberMap) = t("prep (collapse+sig)") {
       Dedup.containmentPrep(docs, "text", "doc_id", 1)
@@ -93,5 +95,67 @@ object ProfileContain {
       println(s"output rows = ${r.count()}")
     }
     spark.stop()
+  }
+
+  /** Round-16 evidence (VERDICT r15 next #7): the 100 TB containment
+    * branch — vocabulary FAR above `graft.containMaskBits` (so the
+    * bitmask regime never engages) on a synthetic corpus, at 1× and 10×
+    * rows. The claim to measure: prefix-filter candidate volume tracks
+    * POSTINGS SELECTIVITY (Σ over tokens of prefix-side × full-side
+    * posting counts), not N²/2 — the all-pairs regime is a small-corpus
+    * special case, not the scale path. Deterministic synthesis (no RNG):
+    * each doc draws 40 tokens by hashing (doc, position); 30% of
+    * positions draw from a 64-token boilerplate head, the rest from a
+    * 20,000-token tail — a Zipf-ish mix with real candidate collisions
+    * but a vocabulary no bitmask covers. */
+  private def largeVocab(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def synth(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(40)), i => {
+        val h = abs(hash(col("id") * 97 + i * 131))
+        concat(lit("tok"),
+          when(pmod(abs(hash(col("id") * 31 + i)), lit(10)) < 3,
+            pmod(h, lit(64)))
+          .otherwise(pmod(h, lit(20000)) + 64))
+      })).as("text"))
+    Seq(20000L, 200000L).foreach { n =>
+      val docs = synth(n).persist(StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val t0 = System.nanoTime()
+      val (withSig, _) = Dedup.containmentPrep(docs, "text", "doc_id", 1)
+      val reps = withSig.count()
+      val vocab = withSig.select(explode(col("hsd")).as("t")).distinct().count()
+      // replay prefixCandidates' stages to expose the volumes it never
+      // materializes in the query itself
+      val toks = withSig.select(col("rep"), explode(col("hsd")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val ordered = toks.join(freq, "t")
+        .groupBy(col("rep"))
+        .agg(sort_array(collect_list(struct(col("cnt"), col("t")))).as("ct"))
+        .select(col("rep"), transform(col("ct"), x => x.getField("t")).as("ot"))
+      val num = 9; val den = 10
+      def ceilFrac(a: org.apache.spark.sql.Column) =
+        floor((a * num + (den - 1)) / lit(den)).cast("int")
+      val prefLen = size(col("ot")) - ceilFrac(size(col("ot"))) + 1
+      val pref = ordered
+        .select(col("rep"), explode(slice(col("ot"), lit(1), prefLen)).as("t"))
+      // postings selectivity: Σ_t prefCnt(t) · allCnt(t) — the upper
+      // bound the equi-join's raw output is exactly
+      val postings = pref.groupBy(col("t")).agg(count(lit(1)).as("pc"))
+        .join(freq, "t")
+        .agg(sum(col("pc") * col("cnt"))).first().getLong(0)
+      val out = Dedup.containmentPairsExact(docs).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nsq = reps * (reps - 1) / 2
+      println(f"N=$n%7d reps=$reps%7d vocab=$vocab%6d " +
+        f"postings-bound=$postings%12d  N^2/2=$nsq%14d " +
+        f"(ratio=${postings.toDouble / nsq}%8.6f)  out=$out%8d  wall=$wall%7.1f s")
+      toks.unpersist(false)
+      docs.unpersist(false)
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+      ()
+    }
   }
 }

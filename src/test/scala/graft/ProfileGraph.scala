@@ -26,6 +26,7 @@ object ProfileGraph {
     if (args.headOption.contains("mixed")) { mixedProfile(spark); spark.stop(); return }
     if (args.headOption.contains("deleteheavy")) { deleteHeavyProfile(spark); spark.stop(); return }
     if (args.headOption.contains("scale")) { scaleProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("serve")) { serveProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
@@ -589,6 +590,77 @@ object ProfileGraph {
         qs.unpersist(false)
         ()
       }
+    }
+  }
+
+  /** Round-16 evidence (VERDICT r15 next #5): the driver-walk batch-width
+    * crossover. `graft.driverWalkMaxQueries` (default 1024) decides when
+    * a query batch stops being served by the driver-resident walk and
+    * falls back to the distributed walk — this measures BOTH forms at
+    * widths 1 / 32 / 256 / 1024 on the scaleProfile store (rep=10,
+    * N=20k) so the cap's position relative to the measured crossover is
+    * a number, not an assertion. Driver-walk cost grows with width
+    * (frontier ids per pruned lookup scale with queries×beam; above the
+    * 1024-id literal-IN guard each lookup becomes a broadcast semi);
+    * the distributed walk pays a near-width-independent number of
+    * checkpointed rerank rounds. */
+  private def serveProfile(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.Pq
+    import graft.sources.GraphStore
+    val dir = "/root/testdata/sf0.1"
+    graft.util.DispatchMeter.register(spark.sparkContext)
+    val embBase = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+    val rep = 10
+    val e = (0 until rep).map { i =>
+      embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+        transform($"embedding", x => x + lit(i * 10.0f)).as("embedding"))
+    }.reduce(_ unionByName _).persist()
+    val n = e.count()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-serveprof").toString
+    try {
+      val layers = KnnGraph.buildHierGraph(e, m = 6, ringM = 2,
+        rounds = 3, maxLevel = 1).map(_.persist())
+      layers.foreach(_.count())
+      GraphStore.write(layers, store, buckets = 32)
+      GraphStore.writeCorpus(e, store)
+      layers.foreach(_.unpersist(false))
+      println(s"N=$n buckets=32 store=$store")
+      Seq(1, 32, 256, 1024).foreach { width =>
+        // deterministic qid panel: every ~N/width-th id, offset so
+        // width=1 is not always the entry point's own bucket
+        val qs = e.orderBy($"vec_id").limit(width)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")).persist()
+        qs.count()
+        def serve(tag: String)(body: => org.apache.spark.sql.DataFrame): Unit =
+          (1 to 3).foreach { p =>
+            val j0 = graft.util.DispatchMeter.jobs
+            val d0 = graft.util.DispatchMeter.millis
+            val t1 = System.nanoTime()
+            val rows = body.count()
+            val wall = (System.nanoTime() - t1) / 1e9
+            println(f"width=$width%5d $tag%-12s pass=$p wall=$wall%7.2f s " +
+              f"(${wall / width * 1000}%8.2f ms/q) " +
+              f"jobs=${graft.util.DispatchMeter.jobs - j0}%4d " +
+              f"dispatch=${(graft.util.DispatchMeter.millis - d0) / 1e3}%6.3f s " +
+              f"rows=$rows")
+            graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+          }
+        serve("driver") { GraphStore.hierSearchPointLookup(spark,
+          store, qs, beam = 12, hops = 3, k = 10) }
+        serve("distributed") { GraphStore.hierSearchPointLookupDistributed(
+          spark, store, qs, beam = 12, hops = 3, k = 10,
+          upperBeam = 4, upperHops = 6, handoff = 4,
+          idCol = "vec_id", embCol = "embedding") }
+        qs.unpersist(false)
+        ()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+      e.unpersist(false)
+      ()
     }
   }
 

@@ -49,6 +49,24 @@ class SetJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("positional filter ≡ prefix-only form on the real corpus (pure pruning)") {
+    // the PPJoin positional filter may only REMOVE candidates the exact
+    // verify would kill anyway — outputs must be row-identical, and the
+    // boundary-threshold fixtures above already pin it against the
+    // quadratic truth
+    val sets = Tables.documents(spark, sf)
+      .select($"doc_id".as("id"),
+        array_distinct(wordShingles(tokens($"text"), 3)).as("tk"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val withPos = rows(SetJoin.jaccardPairs(sets, 3, 5))
+    val prefixOnly = rows(SetJoin.jaccardPairs(sets, 3, 5, positionalFilter = false))
+    assert(withPos === prefixOnly,
+      "positional filter changed the verified output")
+  }
+
   test("real corpus: matches the quadratic replay; near-dup pairs found") {
     val rows = Tables.documents(spark, sf)
       .select($"doc_id", array_distinct(wordShingles(tokens($"text"), 3)))
