@@ -58,6 +58,13 @@ object Bench {
       // 64 MB broadcast threshold (production-typical; the 10 MB default
       // pushed borderline rep-signature frames into sort-merge joins)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // serving engines size their plan caches to the workload: the JVM
+      // default keeps only 100 generated classes, and a single wide
+      // serve (hybrid_log: 57 units, ann_ivfpq_residual_gain: 47) can
+      // self-evict between its warmup and measured passes, recompiling
+      // Janino units the warmup already paid for (codegen_n > 0 on a
+      // measured pass whose warmup ran the identical plan)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

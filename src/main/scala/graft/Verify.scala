@@ -20,6 +20,10 @@ object Verify {
       // 64 MB broadcast threshold (production-typical; the 10 MB default
       // pushed borderline rep-signature frames into sort-merge joins)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // plan-cache sizing, mirrored from Bench (execution-only: values
+      // are unaffected; the 100-entry JVM default self-evicts inside
+      // wide serves and recompiles Janino units per pass)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -482,6 +482,11 @@ object Dedup {
         element_at(col("minhash_sig"), b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
     docs
+      .select(col(idCol), col(textCol))
+      // the keyed convention: spread tokenize/hash work past few-split
+      // sources (one parquet file = one task otherwise; the corpus
+      // index build and every per-batch probe index pay it)
+      .repartition(col(idCol))
       .select(col(idCol).as("id"),
         transform(sh, (s: Column) => hash32(s)).as("hs"))
       .select(col("id"), minhashFamilies(col("hs"), numHashes).as("minhash_sig"),

@@ -28,6 +28,24 @@ object ProfileRepIndex {
     val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     docs.count()
     val target = args.headOption.getOrElse("ngram")
+    if (target == "opq") {
+      // split the ann_opq pass into plan-construction / optimization /
+      // execution wall — is the 1.6 s driver compute Catalyst work on
+      // the literal-matrix encode tree?
+      (1 to 3).foreach { p =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries("ann_opq")(spark, "/root/testdata/sf0.1")
+        val t1 = System.nanoTime()
+        val _ = df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        val n = df.count()
+        val t3 = System.nanoTime()
+        println(f"OPQ pass=$p build=${(t1 - t0) / 1e9}%.2f s plan=${(t2 - t1) / 1e9}%.2f s exec=${(t3 - t2) / 1e9}%.2f s rows=$n")
+        spark.catalog.clearCache()
+        graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+      }
+      spark.stop(); return
+    }
     def q(): Long = target match {
       case "setjoin" =>
         SparkEntry.queries("setjoin_jaccard")(spark, "/root/testdata/sf0.1").count()
