@@ -196,7 +196,14 @@ object Decontaminate {
     // join; the corpus still never shuffles.
     val exact = overlap(train, eval, n, textCol, idCol)
       .withColumnRenamed("n_overlap", "n_exact")
-    train.select(col(idCol), tokens(col(textCol)).as("toks"))
+    // spreadIfNarrow: ONLY when the train scan under-splits (a
+    // one-row-group file is a single task) — the probe leg's tokenize +
+    // k-hash bloom tests are the compute, and they ran serial on the
+    // sf corpus. At production split counts this is a no-op and the
+    // zero-shuffle claim above holds verbatim.
+    graft.sources.Tables.spreadIfNarrow(
+        train.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(col(idCol), gramsOfTokens(col("toks"), n).as("gs"))
       .crossJoin(bloom)
       .select(col(idCol),

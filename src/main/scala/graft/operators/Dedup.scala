@@ -1584,7 +1584,8 @@ object Dedup {
     // round-7 HOF trap one level up; measured 6.9 s vs 0.2 s on the
     // sf0.1 gram leg). The cache also serves both downstream passes
     // (frequency + mark-back). Callers own cleanup per the convention.
-    val shingled = docs
+    val shingled = graft.sources.Tables.spreadIfNarrow(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol), tokens(col(textCol)).as("tok"))
       .select(col(idCol), wordShingles(col("tok"), k).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)

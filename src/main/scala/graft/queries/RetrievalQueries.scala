@@ -80,6 +80,9 @@ object RetrievalQueries extends QueryPack {
     // scoring passes are the oracle-verified Bm25 operator.
     "bm25_prf" -> ((s, dir) => {
       import s.implicits._
+      // (spreadIfNarrow measured WORSE here: the term filter lands
+      // right after tokenize, so the narrow scans are cheap and the
+      // per-consumer raw-text shuffle costs more than it saves)
       val docs = Tables.documents(s, dir)
       val seed = Bm25.topK(docs, terms, k = 10).select($"doc_id")
       // fb feeds TWO consumers (cdf's broadcast filter and the weight

@@ -148,4 +148,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+
+  /** Spread a frame to the session's shuffle width ONLY when its scan
+    * under-splits it (a one-row-group parquet file is a single task no
+    * matter what maxPartitionBytes says — and heavy per-row compute
+    * riding such a scan runs serial). At production split counts this
+    * is a no-op: the condition keeps zero-shuffle pipelines
+    * zero-shuffle exactly where the cluster already parallelizes the
+    * scan for free. Round-robin, row-local-safe. */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
 }
