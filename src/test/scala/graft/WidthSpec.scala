@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Regression pins for the two r16 parallelism defects the bench
+  * counters exposed — both are silent (values never change, only the
+  * stage width does), so they need structural pins:
+  *
+  *  1. AQE-frozen pins: a memoized index frame is localCheckpointed by
+  *     `Dedup.repIndex`; without an explicit-width repartition AQE
+  *     coalesces the small-SF build shuffle to ~2 partitions and the
+  *     checkpoint freezes that for every downstream serve join
+  *     (measured: dedup_ngram serve 6.7 s at parallelism 2 vs 1.5 s
+  *     after the fix).
+  *  2. Narrow sources: a one-row-group parquet file scans as ONE task
+  *     regardless of maxPartitionBytes; `Tables.spreadIfNarrow` must
+  *     spread it to the session width, and must be a NO-OP when the
+  *     input is already at least that wide (the production case whose
+  *     zero-shuffle pipelines must keep their shape). */
+class WidthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repIndex pins carry the session shuffle width, not AQE's coalesced width") {
+    val docs = Tables.documents(spark, sf)
+    // force a fresh build so the pin is created under this session conf
+    graft.util.IndexCache.clear()
+    val (_, verified) = graft.operators.Dedup.minhashRepPairs(
+      docs, "text", "doc_id", 1, 12, 4, 0.8, null)
+    verified.count() // materialize through the pinned frames
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = spark.sparkContext.getPersistentRDDs.values
+      .filter(r => graft.util.IndexCache.pinnedRddIds.contains(r.id))
+    assert(pinned.nonEmpty, "expected pinned index frames")
+    pinned.foreach { r =>
+      assert(r.getNumPartitions >= width,
+        s"pinned RDD ${r.id} has ${r.getNumPartitions} partitions " +
+          s"< session width $width — AQE coalescing leaked into the pin")
+    }
+  }
+
+  test("spreadIfNarrow: spreads a narrow scan, no-op on an already-wide frame") {
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val narrow = Tables.documents(spark, sf) // one-row-group file
+    assert(narrow.rdd.getNumPartitions < width,
+      "fixture assumption: the documents scan under-splits")
+    val spreadN = Tables.spreadIfNarrow(narrow)
+    assert(spreadN.rdd.getNumPartitions == width)
+    val wide = spark.range(0, 1000, 1, width + 3).toDF("doc_id")
+    val spreadW = Tables.spreadIfNarrow(wide)
+    assert(spreadW.rdd.getNumPartitions == width + 3,
+      "spreadIfNarrow must not reshuffle an already-wide frame")
+    // value identity both ways
+    assert(spreadN.select($"doc_id").as[Long].collect().sorted.toSeq ===
+      narrow.select($"doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
