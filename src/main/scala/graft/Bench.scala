@@ -290,10 +290,35 @@ object Bench {
     // interleaved probes, keyed by measured-queries-completed count
     val probes = scala.collection.mutable.LinkedHashMap[Int, Double](0 -> probeFirst)
     val starts = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Adaptive warmup (VERDICT r16 next #1): ONE warmup execution does
+    // not push a heavy query's hot loops through C2, and for the
+    // memoized-index families the warmup pass executes the BUILD-shaped
+    // plan while the measured pass is the first to run the serve-shaped
+    // one — so the measured pass paid both JIT compiler wall (r16
+    // artifact: jit_s_total 88 s, bm25_prf 2.48 s wall / 5.63 s jit_s vs
+    // a 1.84 s clean median) and fresh whole-stage compiles
+    // (codegen_n_total 73). Re-warm while the LAST warmup pass still
+    // compiled meaningfully — Janino units > 0 (the next identical pass
+    // now hits the 4096-entry codegen cache) or JIT compiler wall above
+    // ~0.5 s (C2 still churning) — bounded at 3 total warmups. Honesty
+    // is unchanged: every warmup recomputes the query's full serve
+    // OUTPUT (only deterministic index BUILDS memoize, attributed in
+    // build_warm_s); extra warmups per query land in the JSON.
+    val warmupLog = scala.collection.mutable.LinkedHashMap[String, Int]()
     var done = 0
     val results = SparkEntry.selectedQueries.map { case (name, fn) =>
       if (done > 0 && done % ProbeEvery == 0) probes(done) = probeOnce(s"at$done")
       timed(s"$name warmup")(fn(spark, sfDir).count())
+      var warms = 1
+      var lastKey = s"$name warmup"
+      while (warms < 3 &&
+          (codegenLog.getOrElse(lastKey, 0L) > 0L ||
+            jitLog.getOrElse(lastKey, 0.0) > 0.5)) {
+        warms += 1
+        lastKey = s"$name warmup$warms"
+        timed(lastKey)(fn(spark, sfDir).count())
+      }
+      warmupLog(name) = warms
       starts(name) = (System.nanoTime() - suiteT0) / 1e9
       val t = timed(s"$name measured")(fn(spark, sfDir).count())
       done += 1
@@ -378,6 +403,14 @@ object Bench {
       .mkString("{", ",", "}")
     val probesJson = probes.map { case (i, t) => s"\"" + i + "\":" + fmt(t) }
       .mkString("{", ",", "}")
+    // warmup executions per query (1 = the old fixed single warmup;
+    // >1 = the adaptive re-warm fired because the prior warmup still
+    // compiled); totals let a reader bound the warmup-side wall
+    val warmupsJson = results.map { case (k, _) =>
+      s"\"" + k + "\":" + warmupLog.getOrElse(k, 1) }
+      .mkString("{", ",", "}")
+    val extraWarmupsTotal = results.map { case (k, _) =>
+      warmupLog.getOrElse(k, 1) - 1 }.sum
     // stop() before the JSON so no further stdout follows — but never
     // let a teardown failure eat the run's results
     try spark.stop() catch { case e: Throwable =>
@@ -406,6 +439,7 @@ object Bench {
       s""""hop_dispatch_s":$dispatchJson,""" +
       s""""hop_dispatch_s_total":${fmt(dispatchTotal)},""" +
       s""""jobs":$jobsJson,""" +
+      s""""warmups":$warmupsJson,"extra_warmups_total":$extraWarmupsTotal,""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it
@@ -425,13 +459,24 @@ object Bench {
     // restricted to the 10 most expensive — as the FINAL stdout line so
     // the graded artifact parses on its own. Full per-query detail
     // stays in the preceding line and target/bench_last.json.
-    val top10 = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val top10q = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val top10 = top10q
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // per-query attribution for the top-10 INSIDE the graded tail
+    // (VERDICT r16 next #5): jit/ext-cpu/sched per expensive query, so
+    // the artifact's own last line adjudicates its outliers without the
+    // builder-side bench_last.json
+    def f2(v: Double) = f"$v%.2f"
+    val top10Attrib = top10q.map { case (k, _) =>
+      s"\"" + k + "\":{\"jit\":" + f2(jitLog.getOrElse(s"$k measured", 0.0)) +
+        ",\"ext\":" + f2(extCpuLog.getOrElse(s"$k measured", 0.0)) +
+        ",\"sched\":" + f2(schedLog.getOrElse(s"$k measured", 0.0)) + "}" }
       .mkString("{", ",", "}")
     val nq = results.count(_._2 >= 0)
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":$nq,"s_per_q":${fmt(if (nq > 0) total / nq else 0.0)},""" +
-      s""""queries":$top10,""" +
+      s""""queries":$top10,"top10_attrib":$top10Attrib,""" +
       s""""build_warm_s_total":${fmt(buildWarmTotal)},""" +
       s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
       s""""hop_dispatch_s_total":${fmt(dispatchTotal)},""" +
@@ -439,6 +484,7 @@ object Bench {
       s""""cpu_s_total":${fmt(cpuTotal)},"ext_cpu_s_total":${fmt(extCpuTotal)},""" +
       s""""io_read_mb_total":${fmt(ioReadTotal)},"majflt_total":$majfltTotal,""" +
       s""""jit_s_total":${fmt(jitTotal)},"codegen_n_total":$codegenTotal,""" +
+      s""""extra_warmups_total":$extraWarmupsTotal,""" +
       s""""probe_first":${fmt(probeFirst)},"probe_last":${fmt(probeLast)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     println(compact)

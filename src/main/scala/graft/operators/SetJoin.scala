@@ -108,16 +108,11 @@ object SetJoin {
             (num + den) >= (col("n1") + col("n2")) * num
         else lit(true))
       .select(col("id1"), col("id2")).distinct()
-      // EXPLICIT width for the verify stage: candidate-pair rows are a
-      // few BYTES each, so AQE coalesces the distinct's output to ~1
-      // partition — but each row costs an array-merge verify (two
-      // ~|set|-element intersections), and that single task was the
-      // measured longest stage of the join (~0.8 s). Compute density,
-      // not byte count, sizes this stage; a user-specified repartition
-      // is exempt from AQE coalescing.
-      .repartition(sets.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "200").toInt)
-    cand
+    // EXPLICIT width for the verify stage (AQE-freeze rationale:
+    // Tables.sessionWidth): candidate-pair rows are a few BYTES each but
+    // each costs an array-merge verify — the AQE-coalesced single task
+    // was the measured longest stage of the join (~0.8 s).
+    graft.sources.Tables.spreadToWidth(cand)
       .join(s.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(s.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .select(col("id1"), col("id2"),

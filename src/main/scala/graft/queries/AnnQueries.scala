@@ -1697,14 +1697,14 @@ object AnnQueries extends QueryPack {
     * bit-identical in both engines, and it correlates dimensions that
     * sit in DIFFERENT PQ subspaces (subspace = d/8 at m=8). */
   private[queries] def corrFrame(e: DataFrame): DataFrame =
-    // explicit-width repartition: the one-file embeddings source is a
-    // single input split, and the OPQ encode/ADC/distortion expressions
-    // riding this frame are so large that their generated methods fall
-    // off the JIT (DontCompileHugeMethods) — measured 1.5 s single-task
-    // at sf0.1. Spreading the scan bounds the interpreted-bytecode cost
-    // by width; values are row-local, partitioning-invariant.
-    e.repartition(e.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "200").toInt)
+    // explicit width (rationale: Tables.sessionWidth): the one-file
+    // embeddings source is a single input split, and the OPQ
+    // encode/ADC/distortion expressions riding this frame are so large
+    // that their generated methods fall off the JIT
+    // (DontCompileHugeMethods) — measured 1.5 s single-task at sf0.1.
+    // Spreading the scan bounds the interpreted-bytecode cost by width;
+    // values are row-local, partitioning-invariant.
+    graft.sources.Tables.spreadToWidth(e)
       .select(col("vec_id"),
       transform(sequence(lit(0), lit(63)), d =>
         (element_at(col("embedding"), d + 1).cast("double") +

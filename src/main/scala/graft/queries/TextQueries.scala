@@ -262,10 +262,21 @@ object TextQueries extends QueryPack {
       // AQE-freeze lesson). The BATCH index is the arriving data: built
       // per pass, never memoized.
       val corpusPlan = Dedup.minhashIndex(docs.filter($"doc_id" % 10 < 8))
-      val corpus = graft.util.IndexCache.frame(
-        corpusPlan, Seq("minhash-corpus-index"))(
-        corpusPlan.repartition(
-          s.conf.get("spark.sql.shuffle.partitions", "200").toInt))
+      // disabled-path fallback mirrors Dedup.repIndex (ADVICE r16):
+      // incrementalNearDups consumes the corpus index twice (band table
+      // + verify join), so with the session cache off it must still be
+      // persisted + eagerly materialized or each pass rebuilds it twice.
+      val corpus =
+        if (graft.util.IndexCache.enabled)
+          graft.util.IndexCache.frame(
+            corpusPlan, Seq("minhash-corpus-index"))(
+            Tables.spreadToWidth(corpusPlan))
+        else {
+          val c = corpusPlan.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c.count()
+          c
+        }
       val batch = Dedup.minhashIndex(docs.filter($"doc_id" % 10 >= 8))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.incrementalNearDups(corpus, batch, numHashes = 12, bands = 4,

@@ -149,16 +149,53 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
 
+  /** The session's configured shuffle width — the one number every
+    * explicit-width repartition in the engine keys on. Rationale (stated
+    * once here, referenced by the call sites — ADVICE r16): AQE sizes
+    * stages by BYTES, so a byte-light but compute-dense frame (candidate
+    * pairs awaiting an array-merge verify, a pinned index about to fan
+    * into serve joins) gets coalesced to ~1-2 partitions at small SF —
+    * and a localCheckpoint FREEZES that width into every downstream
+    * consumer. A user-specified repartition count is exempt from AQE
+    * coalescing; at cluster scale the conf is sized to the cluster, so
+    * the same call stays spread there. */
+  def sessionWidth(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Explicit-width repartition to [[sessionWidth]] — lazy, safe on any
+    * plan (no width probe; use where the frame is KNOWN compute-dense
+    * or about to be pinned). */
+  def spreadToWidth(df: DataFrame): DataFrame =
+    df.repartition(sessionWidth(df.sparkSession))
+
   /** Spread a frame to the session's shuffle width ONLY when its scan
     * under-splits it (a one-row-group parquet file is a single task no
     * matter what maxPartitionBytes says — and heavy per-row compute
     * riding such a scan runs serial). At production split counts this
     * is a no-op: the condition keeps zero-shuffle pipelines
     * zero-shuffle exactly where the cluster already parallelizes the
-    * scan for free. Round-robin, row-local-safe. */
+    * scan for free. Round-robin, row-local-safe.
+    *
+    * SCAN-ONLY BY CONSTRUCTION (ADVICE r16): the width probe reads
+    * `df.rdd`, which finalizes the physical plan — under AQE that would
+    * eagerly EXECUTE any upstream shuffle stages as a side effect of a
+    * width check. So the probe only runs when the analyzed plan is
+    * scan-shaped (a leaf under row-local projections/filters/aliases —
+    * nothing upstream to execute); any other plan is returned unchanged
+    * (callers that want width on a shuffled frame say so explicitly
+    * with [[spreadToWidth]]). */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val width = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case pr: Project => scanShaped(pr.child)
+      case f: Filter => scanShaped(f.child)
+      case a: SubqueryAlias => scanShaped(a.child)
+      case _ => false
+    }
+    if (!scanShaped(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions < sessionWidth(df.sparkSession))
+      spreadToWidth(df)
+    else df
   }
 }
