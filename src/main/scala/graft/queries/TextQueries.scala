@@ -355,7 +355,13 @@ object TextQueries extends QueryPack {
       val ent = graft.operators.Quality.charEntropy(docs)
       val w = Window.partitionBy($"component")
         .orderBy($"entropy_q".desc, $"doc_id")
+      // explicit width before the window (Tables.sessionWidth
+      // rationale): the joined frame is byte-light, so AQE coalesces
+      // the window exchange to ~1 task. A user hash-repartition ON THE
+      // WINDOW KEY satisfies the window's clustered distribution (no
+      // second exchange) and is exempt from AQE coalescing.
       comp.join(ent, "doc_id")
+        .repartition(Tables.sessionWidth(s), $"component")
         .withColumn("rn", row_number().over(w))
         .withColumn("n_members",
           count(lit(1)).over(Window.partitionBy($"component")))
