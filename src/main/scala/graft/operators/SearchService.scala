@@ -201,6 +201,24 @@ final class SearchService(
   def cacheSize: Int = memo.size
   def current: DataFrame = synchronized { snapshots(commitIndex) }
   def currentCommitIndex: Long = synchronized { commitIndex }
+
+  /** Open a driver-RESIDENT serve loop over the snapshot a read at
+    * `level` would serve (the reference's loaded-shard model —
+    * [[ServeLoop]] scaladoc): results are value-identical to [[search]]
+    * against the same snapshot, latency is in-process instead of
+    * one-Spark-job-per-query. None above the residency cap — callers
+    * keep serving through [[search]], which handles any corpus size.
+    * The loop is a point-in-time resident copy: mutations applied
+    * after `residentLoop` returns are served by a REOPENED loop (the
+    * reference reloads shards the same way). */
+  def residentLoop(level: Consistency = Strong): Option[ServeLoop] = {
+    val state = synchronized {
+      val s = MutationLog.snapshotIndex(commitIndex,
+        materialized.toSeq.filter(snapshots.contains), level)
+      snapshots(s)
+    }
+    ServeLoop.open(state, idCol, embCol)
+  }
 }
 
 object SearchService {

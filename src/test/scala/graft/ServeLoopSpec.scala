@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{SearchService, ServeLoop}
+
+/** The resident serve loop ≡ the job-dispatch serving path
+  * (VERDICT r16 next #2's "done" condition): same snapshot, same
+  * values, same tie order, under every edge the distributed path
+  * defines — plus the residency-cap fallback and concurrent-caller
+  * identity. */
+class ServeLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deliberate tie structure: ids 11/12 are EQUIDISTANT from the probe
+  // queries below (mirror points), so (distance, id) ordering is load-
+  // bearing, not incidental; id 40 duplicates id 30's vector exactly.
+  private def corpus = Seq(
+    (10L, Seq(0f, 0f)), (11L, Seq(1f, 0f)), (12L, Seq(-1f, 0f)),
+    (20L, Seq(3f, 4f)), (30L, Seq(2f, 2f)), (40L, Seq(2f, 2f)),
+    (50L, Seq(-5f, 1f)), (60L, Seq(0.5f, -0.5f))
+  ).toDF("id", "embedding")
+
+  private val queries = Seq(
+    Seq(0f, 0f), Seq(2f, 2f), Seq(-1f, 1f), Seq(0.25f, -0.25f))
+
+  test("loop results are value-identical to SearchService.search (ties included)") {
+    val svc = new SearchService(corpus)
+    val loop = svc.residentLoop().get
+    for (q <- queries; k <- Seq(1, 3, 8, 100)) {
+      val viaJobs = svc.search(q, k)._1
+      val viaLoop = loop.search(q, k)
+      assert(viaLoop === viaJobs, s"q=$q k=$k")
+    }
+  }
+
+  test("k=0 short-circuits like the service; k > N returns all rows ordered") {
+    val loop = ServeLoop.open(corpus).get
+    assert(loop.search(Seq(0f, 0f), 0) === Nil)
+    val all = loop.search(Seq(0f, 0f), 999)
+    assert(all.size === 8)
+    assert(all.map(h => (h.distance, h.id)) === all.map(h => (h.distance, h.id)).sorted)
+  }
+
+  test("duplicate-vector rows both surface (reference duplicate-id quirk)") {
+    val loop = ServeLoop.open(corpus).get
+    val hits = loop.search(Seq(2f, 2f), 2)
+    assert(hits.map(_.id) === Seq(30L, 40L) && hits.forall(_.distance === 0.0))
+  }
+
+  test("over-cap and degenerate corpora fall back to None") {
+    assert(ServeLoop.open(corpus, cap = 7).isEmpty) // 8 rows > cap
+    val withNull = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("id", "embedding"))
+    assert(ServeLoop.open(withNull).isEmpty) // null embedding: distributed semantics
+    val ragged = corpus.unionByName(Seq((99L, Seq(1f))).toDF("id", "embedding"))
+    assert(ServeLoop.open(ragged).isEmpty) // off-dimension row
+    assert(ServeLoop.open(corpus.limit(0)).isEmpty) // empty snapshot
+  }
+
+  test("loop is a point-in-time copy; reopening after apply serves the new version") {
+    val svc = new SearchService(
+      corpus.withColumn("shard_id", org.apache.spark.sql.functions.lit("s0")))
+    val before = svc.residentLoop().get
+    svc.upsert(Seq((10L, "s0", Seq(100f, 100f))).toDF("id", "shard_id", "embedding"))
+    // stale loop still serves the old version (reference: loaded shard
+    // until reload); a fresh loop matches the post-apply service
+    assert(before.search(Seq(0f, 0f), 1).head.id === 10L)
+    val after = svc.residentLoop().get
+    assert(after.search(Seq(0f, 0f), 1).head.id !== 10L)
+    assert(after.search(Seq(0f, 0f), 8) === svc.search(Seq(0f, 0f), 8)._1)
+  }
+
+  test("concurrent callers get identical results (the serving model)") {
+    val loop = ServeLoop.open(corpus).get
+    val expected = loop.search(Seq(0f, 0f), 5)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futs = (1 to 64).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Seq[graft.TypedApi.ScoredPoint]] {
+          override def call() = loop.search(Seq(0f, 0f), 5)
+        }))
+      futs.foreach(f => assert(f.get() === expected))
+    } finally pool.shutdown()
+  }
+
+  test("loop ≡ service on the sf0.001 embeddings table (real data, real dims)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val svc = new SearchService(emb, idCol = "vec_id")
+    val loop = svc.residentLoop().get
+    val q = emb.orderBy($"vec_id").limit(1)
+      .select($"embedding").head.getSeq[Float](0)
+    for (k <- Seq(1, 10, 50))
+      assert(loop.search(q, k) === svc.search(q, k)._1)
+  }
+}
