@@ -82,6 +82,34 @@ class ServeLoopSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("randomized brute-force oracle: 300 vectors, duplicate-heavy, 20 queries × 4 ks") {
+    // independent in-test oracle (NOT SearchService): same double-fold
+    // distance, full sort by (distance, id) — exercises the bounded
+    // heap across fill/evict/tie paths at sizes the fixtures don't hit
+    val rnd = new scala.util.Random(20260816L)
+    val dim = 5
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 300).map { i =>
+      // 25% duplicates of an earlier vector (distinct ids) → tie storms
+      val v = if (i > 0 && rnd.nextInt(4) == 0)
+        (i * 7L, null: Seq[Float])
+      else (i * 7L, Seq.fill(dim)((rnd.nextInt(9) - 4).toFloat))
+      v
+    }.foldLeft(Vector.empty[(Long, Seq[Float])]) { (acc, x) =>
+      acc :+ (if (x._2 == null) (x._1, acc(rnd.nextInt(acc.size))._2) else x)
+    }
+    val loop = ServeLoop.open(vecs.toDF("id", "embedding")).get
+    def brute(q: Seq[Float], k: Int) = vecs.map { case (id, e) =>
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { val d = e(j).toDouble - q(j).toDouble; acc += d * d; j += 1 }
+      (acc, id)
+    }.sorted.take(k).map { case (d, id) => graft.TypedApi.ScoredPoint(id, d, "") }
+    for (_ <- 1 to 20; k <- Seq(1, 7, 64, 300)) {
+      val q = Seq.fill(dim)((rnd.nextInt(9) - 4).toFloat)
+      assert(loop.search(q, k) === brute(q, k), s"q=$q k=$k")
+    }
+  }
+
   test("loop ≡ service on the sf0.001 embeddings table (real data, real dims)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val svc = new SearchService(emb, idCol = "vec_id")

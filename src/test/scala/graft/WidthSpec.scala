@@ -54,4 +54,27 @@ class WidthSpec extends SparkSpec {
     assert(spreadN.select($"doc_id").as[Long].collect().sorted.toSeq ===
       narrow.select($"doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("spreadIfNarrow is scan-shape-gated: a shuffle-bearing plan returns unchanged (ADVICE r16)") {
+    // the width probe reads df.rdd, which under AQE EXECUTES upstream
+    // query stages — so any plan that is not leaf-under-row-local-ops
+    // must come back as the SAME object, un-probed and un-executed
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val agg = Tables.documents(spark, sf).groupBy($"lang").count()
+      val out = Tables.spreadIfNarrow(agg)
+      assert(out eq agg, "non-scan plan must be returned unchanged")
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs === 0, "the width probe must not run on a non-scan plan")
+      // and the scan-shaped fixture still goes through the probe path
+      val narrow = Tables.documents(spark, sf).select($"doc_id")
+      assert(Tables.spreadIfNarrow(narrow) ne narrow)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
