@@ -39,6 +39,30 @@ class SetJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized brute-force oracle across thresholds (window-rank prefix build, r17)") {
+    // seeded random universe: 120 sets over a 30-token vocabulary with
+    // heavy overlap — stresses the per-set row_number prefix build
+    // (rank ties impossible: (cnt, t) total within a set), the length
+    // filter, and the positional filter at three thresholds
+    val rnd = new scala.util.Random(1717L)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val sets: Seq[(Long, Set[String])] = (0 until 120).map { i =>
+      val sz = 1 + rnd.nextInt(12)
+      i.toLong -> Seq.fill(sz)(vocab(rnd.nextInt(vocab.size))).toSet
+    }
+    val df = sets.map { case (i, s) => (i, s.toSeq) }.toDF("id", "tk")
+    for ((num, den) <- Seq((1, 2), (7, 10), (9, 10))) {
+      val got = SetJoin.jaccardPairs(df, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = (for {
+        (i, a) <- sets; (j, b) <- sets if i < j
+        (in, un) = jacc(a, b) if in * den >= un * num
+      } yield (i, j, in, un)).toSet
+      assert(got === want, s"t=$num/$den (|want|=${want.size})")
+      assert(want.nonEmpty, s"fixture degenerate at t=$num/$den")
+    }
+  }
+
   test("plan shape: no cartesian product; candidates come from the token equi-join") {
     val sets = Tables.documents(spark, sf)
       .select($"doc_id".as("id"),
