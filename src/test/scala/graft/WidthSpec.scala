@@ -70,7 +70,10 @@ class WidthSpec extends SparkSpec {
       val agg = Tables.documents(spark, sf).groupBy($"lang").count()
       val out = Tables.spreadIfNarrow(agg)
       assert(out eq agg, "non-scan plan must be returned unchanged")
-      Thread.sleep(500) // listener events post asynchronously
+      // drain the async listener queues DETERMINISTICALLY before the
+      // absence assertion — a fixed sleep would let a job event posted
+      // late slip past the check (ADVICE r17 #4)
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       assert(jobs === 0, "the width probe must not run on a non-scan plan")
       // and the scan-shaped fixture still goes through the probe path
       val narrow = Tables.documents(spark, sf).select($"doc_id")
