@@ -54,6 +54,13 @@ object IndexCache {
   // serve-vs-build cost per query with these)
   private val missCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val buildNanoCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val storeReadCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val storeWriteCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Frame builds served as a PERSISTED-STORE read (see the disk-layer
+    * note below) / builds written through to the store. */
+  def storeReads: Long = storeReadCounter.get()
+  def storeWrites: Long = storeWriteCounter.get()
 
   def misses: Long = missCounter.get()
 
@@ -112,6 +119,132 @@ object IndexCache {
     (session +: planHash +: params).mkString("|")
   }
 
+  // ---- persisted-store layer (VERDICT r17 next #4b) ----------------
+  //
+  // The session memo amortizes a build WITHIN a session; the index
+  // frames themselves are persistable index OBJECTS (the argument the
+  // dedup scaladocs already make: at production scale the rep index /
+  // banded candidate table / membership map are built once per corpus
+  // and persisted, and every dedup decision PROBES them — exactly how
+  // ModelStore persists quantizers). With `-Dgraft.indexStoreDir=` set,
+  // a frame miss first tries a parquet read of the store; a build that
+  // cost more than `graft.indexStoreMinBuildSec` (default 2 s) is
+  // written through, so the NEXT session's warmup is a read.
+  //
+  // Correctness: the disk key is content-addressed ACROSS sessions —
+  // md5 of the canonicalized analyzed plan (expressions, parameters,
+  // and source paths all print) + the input's file signature
+  // (path,size,mtime of every leaf file), so a changed input, config,
+  // or build IMPLEMENTATION (its expressions print differently) can
+  // never hit an old artifact. The layer is restricted to plans whose
+  // leaves are ALL file relations — a LocalRelation payload may elide
+  // from the printed plan, and cross-session reuse must never key on
+  // an elided value. Values are bit-identical to a fresh build by the
+  // determinism + partitioning-invariance contract (and the one store
+  // artifact is, if anything, MORE deterministic than re-running the
+  // build under a different parallelism). Writes are tmp+rename
+  // (crash-safe, the store convention); any read/write failure
+  // degrades to a plain build, never to an error.
+  private def storeDir: Option[String] =
+    sys.props.get("graft.indexStoreDir").filter(_.nonEmpty)
+  private def minWriteNanos: Long =
+    (sys.props.get("graft.indexStoreMinBuildSec").map(_.toDouble)
+      .getOrElse(1.0) * 1e9).toLong
+
+  // content key of a PINNED frame, by its checkpoint RDD id — lets a
+  // DERIVED build (the withSig/candidate/membership chain, whose input
+  // leaves are prior pins' LogicalRDDs) inherit a cross-session
+  // signature: the derived key hashes the derived plan + the parents'
+  // content keys, so transitivity carries the original file signature
+  // through the whole index DAG. RDD ids are SparkContext-unique and
+  // never reused, so a stale mapping cannot exist.
+  private val rddContentKeys =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  /** Cross-session content key, or None when the plan has a leaf with
+    * no safe content signature (a LocalRelation's payload may elide
+    * from the printed plan; an unrecorded RDD has no provenance). */
+  private def diskKey(input: DataFrame, params: Seq[Any]): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    val leaves = input.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty) return None
+    var hasRdd = false
+    val parentKeys = new StringBuilder
+    leaves.foreach {
+      case _: LogicalRelation => ()
+      case l: LogicalRDD =>
+        hasRdd = true
+        rddContentKeys.get(l.rdd.id) match {
+          case Some(ck) => parentKeys.append(ck).append('\n'); ()
+          case None => return None // un-pinned RDD: no provenance
+        }
+      case _ => return None
+    }
+    val files = input.inputFiles
+    if (files.isEmpty && !hasRdd) return None
+    val sig = new StringBuilder
+    files.sorted.foreach { f =>
+      try {
+        val p = java.nio.file.Paths.get(new java.net.URI(f))
+        sig.append(f).append('|')
+          .append(java.nio.file.Files.size(p)).append('|')
+          .append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .append('\n')
+      } catch { case _: Throwable => return None } // non-local FS: skip layer
+    }
+    val canon = input.queryExecution.analyzed.canonicalized
+    // NO hashCode component here (unlike the in-session key): a
+    // canonicalized attribute still carries ExprId.jvmId — a per-JVM
+    // UUID — so the tree's content hash is session-unstable by
+    // construction. The printed tree (full treeString: every node,
+    // every expression with its arguments) + the output schema + the
+    // parent content keys are the cross-session signature; plans whose
+    // payloads can elide from printing (LocalRelation) are excluded
+    // above.
+    val plan = canon.toString + "@" + input.schema.catalogString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Some(md.digest((plan + params.mkString("|") + sig.toString +
+        parentKeys.toString).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
+  private def storeRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val ok = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_SUCCESS"))
+    if (!ok) None
+    else try {
+      storeReadCounter.incrementAndGet()
+      // spread to the session width: a store artifact can read back as
+      // one split, and the pinned frame feeds compute-dense serves
+      // (the repIndex AQE-freeze rationale)
+      Some(graft.sources.Tables.spreadToWidth(spark.read.parquet(dir)))
+    } catch { case e: Throwable =>
+      System.err.println(s"[graft] index store read failed ($dir): ${e.getMessage}")
+      storeReadCounter.decrementAndGet()
+      None
+    }
+  }
+
+  private def storeWrite(df: DataFrame, dir: String): Unit = try {
+    val target = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(target)) return // racer finished first
+    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString
+    StoreMeter.timed {
+      df.write.mode("overwrite").parquet(tmp)
+    }
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Throwable => // lost the rename race: drop ours
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    storeWriteCounter.incrementAndGet()
+    ()
+  } catch { case e: Throwable =>
+    System.err.println(s"[graft] index store write failed ($dir): ${e.getMessage}")
+  }
+
   /** Memoized frame build: returns the cached materialization for
     * (input, params) or runs `build`, pins it (eager localCheckpoint —
     * the pin is what makes the SECOND consumer a plain RDD scan instead
@@ -119,7 +252,9 @@ object IndexCache {
     * OWN partitioning: an index edge frame is O(N·m) — corpus-scaled,
     * not model-sized — so collapsing it to one partition would be a
     * scale cliff; at cluster scale the blocks stay spread across
-    * executors exactly like the build output they snapshot. */
+    * executors exactly like the build output they snapshot. With the
+    * persisted-store layer on, a miss may resolve as a store READ and
+    * an expensive build writes through (see the disk-layer note). */
   def frame(input: DataFrame, params: Seq[Any])(build: => DataFrame): DataFrame = {
     if (!enabled) return build
     if (frames.size >= MaxEntries) clear()
@@ -134,15 +269,36 @@ object IndexCache {
         stale.foreach(_ => frames.remove(k))
         val t0 = System.nanoTime()
         missCounter.incrementAndGet()
+        // content key computed whether or not the store is on: derived
+        // builds need their PARENTS' keys recorded to be signable
+        val contentKey: Option[String] = diskKey(input, params)
+        val diskPath: Option[String] =
+          storeDir.flatMap(root => contentKey.map(ck => s"$root/$ck"))
+        val fromStore: Option[DataFrame] =
+          diskPath.flatMap(storeRead(input.sparkSession, _))
         // force the body first (its own intra-build pins run here and
         // remain pass-scoped garbage), then snapshot-diff the persistent
         // set around the FINAL pin so the entry records exactly its own
         // checkpoint blocks
-        val built = build
+        val built = fromStore.getOrElse(build)
         val before = sc.getPersistentRDDs.keySet
         val out = built.localCheckpoint(true)
         val ids = (sc.getPersistentRDDs.keySet -- before).toSet
-        buildNanoCounter.addAndGet(System.nanoTime() - t0)
+        val buildWall = System.nanoTime() - t0
+        buildNanoCounter.addAndGet(buildWall)
+        // the pin's checkpoint RDD now CARRIES this content key —
+        // derived index builds reading this frame inherit provenance
+        contentKey.foreach { ck =>
+          out.queryExecution.analyzed match {
+            case l: org.apache.spark.sql.execution.LogicalRDD =>
+              rddContentKeys(l.rdd.id) = ck
+            case _ => ()
+          }
+        }
+        // write-through from the PINNED frame (one block scan, no plan
+        // re-execution), only for builds worth persisting
+        if (fromStore.isEmpty && diskPath.isDefined && buildWall >= minWriteNanos)
+          storeWrite(out, diskPath.get)
         frames.putIfAbsent(k, Entry(out, ids)) match {
           case Some(raced) if raced.rddIds.subsetOf(sc.getPersistentRDDs.keySet) =>
             // a concurrent builder won the slot; serve its frame and

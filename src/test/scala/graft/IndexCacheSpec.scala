@@ -125,4 +125,49 @@ class IndexCacheSpec extends SparkSpec {
       assert(IndexCache.misses === m0, "disabled cache must not record entries")
     } finally IndexCache.enabled = true
   }
+
+  test("persisted store: a NEW session's identical build is served as a read; keys isolate inputs/params; local leaves skip the layer") {
+    IndexCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-idxstore").toString
+    sys.props("graft.indexStoreDir") = dir
+    sys.props("graft.indexStoreMinBuildSec") = "0.0" // write everything
+    try {
+      val input = Tables.documents(spark, sf).select($"doc_id", $"lang")
+      var builds = 0
+      def plan(df: org.apache.spark.sql.DataFrame) = {
+        builds += 1
+        df.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("s"))
+      }
+      val w0 = IndexCache.storeWrites
+      val r0 = IndexCache.storeReads
+      val a = IndexCache.frame(input, Seq("spec-store"))(plan(input))
+      val aRows = a.collect().toSet
+      assert(builds === 1)
+      assert(IndexCache.storeWrites === w0 + 1, "build must write through")
+      // a NEW session: the in-memory key (session UUID) misses, the
+      // content-addressed artifact hits — the build becomes a read
+      val s2 = spark.newSession()
+      val input2 = Tables.documents(s2, sf).select(col("doc_id"), col("lang"))
+      val b = IndexCache.frame(input2, Seq("spec-store"))(plan(input2))
+      assert(builds === 1, "second session must be served from the store")
+      assert(IndexCache.storeReads === r0 + 1)
+      assert(b.collect().toSet === aRows, "store read drifted from the build")
+      // different params → different artifact → a real build
+      IndexCache.frame(input2, Seq("spec-store-other"))(plan(input2))
+      assert(builds === 2)
+      // a LocalRelation leaf has no safe content signature: the layer
+      // must skip it (build runs, nothing written)
+      val w1 = IndexCache.storeWrites
+      val local = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "lang")
+      IndexCache.frame(local, Seq("spec-store-local"))(plan(local))
+      assert(builds === 3)
+      assert(IndexCache.storeWrites === w1, "local-leaf plans must not persist")
+    } finally {
+      sys.props.remove("graft.indexStoreDir")
+      sys.props.remove("graft.indexStoreMinBuildSec")
+      IndexCache.clear()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
