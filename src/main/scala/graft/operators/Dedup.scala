@@ -683,6 +683,10 @@ object Dedup {
     if (nEdges <= driverMax) {
       val sess = spark
       import sess.implicits._
+      // the collect + union-find loop is DRIVER-RESIDENT compute — it
+      // registers in none of the scheduler/OS meters, so it reports
+      // through DriverMeter (the bench's `driver_s` bucket)
+      graft.util.DriverMeter.time {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -718,6 +722,7 @@ object Dedup {
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id").as(idCol),
           coalesce(col("component"), col("id")).as("component"))
+      } // DriverMeter.time
     } else
       connectedComponentsLoop(nodes, edgesRaw, nEdges, idCol, maxIter, reliable)
   }

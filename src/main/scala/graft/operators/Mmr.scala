@@ -71,6 +71,9 @@ object Mmr {
       .map { row =>
         (row.getLong(0), row.getSeq[Float](1).toArray)
       }
+    // stage 2 is DRIVER-RESIDENT compute (the greedy loop) — report it
+    // through DriverMeter (the bench's `driver_s` bucket)
+    graft.util.DriverMeter.time {
     val embById = cand.toMap
     val rel: Map[Long, Double] = cand.map { case (id, emb) =>
       id -> cosLocal(query, emb)
@@ -95,5 +98,6 @@ object Mmr {
     }
     import spark.implicits._
     selected.toSeq.toDF("rank", idCol, "score_q")
+    } // DriverMeter.time
   }
 }
