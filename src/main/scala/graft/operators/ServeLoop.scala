@@ -71,10 +71,23 @@ final class ServeLoop private[operators] (
     * Nil (the reference's k=0 short-circuit). Thread-safe: state is
     * immutable, every call allocates its own heaps — concurrent
     * callers are the serving model, not a special case. */
-  def search(query: Seq[Float], k: Int): Seq[ScoredPoint] = {
+  def search(query: Seq[Float], k: Int): Seq[ScoredPoint] =
+    search(query, k, null)
+
+  /** [[search]] with an id predicate — the resident analog of
+    * filtered/tenant-isolated serving (`knn_filtered` /
+    * `Knn.groupedTopK`'s per-tenant restriction): rows whose id fails
+    * `filter` never enter a heap, so the result is value-identical to
+    * running the unfiltered loop over the pre-filtered snapshot
+    * (ServeLoopSpec pins both parities). `filter` must be pure and
+    * thread-safe; null means no filter. */
+  def search(query: Seq[Float], k: Int,
+      filter: Long => Boolean): Seq[ScoredPoint] = {
     if (k <= 0) return Nil
     require(query.length == dim,
       s"query dimension ${query.length} != corpus dimension $dim")
+    // driver-resident compute — report through DriverMeter (`driver_s`)
+    graft.util.DriverMeter.time {
     val q = query.toArray
     val kk = math.min(k, size)
     if (kk == 0) return Nil
@@ -86,15 +99,17 @@ final class ServeLoop private[operators] (
         var r = bounds(s)
         val end = bounds(s + 1)
         while (r < end) {
-          var acc = 0.0
-          var j = 0
-          var base = r * dim
-          while (j < dim) {
-            val d = flat(base).toDouble - q(j).toDouble
-            acc += d * d
-            j += 1; base += 1
+          if (filter == null || filter(ids(r))) {
+            var acc = 0.0
+            var j = 0
+            var base = r * dim
+            while (j < dim) {
+              val d = flat(base).toDouble - q(j).toDouble
+              acc += d * d
+              j += 1; base += 1
+            }
+            top.offer(acc, ids(r))
           }
-          top.offer(acc, ids(r))
           r += 1
         }
         sliceTops(s) = top
@@ -112,6 +127,26 @@ final class ServeLoop private[operators] (
       merged.iterator.take(kk)
         .map(e => ScoredPoint(e._2, e._1, "")).toSeq
     } finally inFlight.decrementAndGet()
+    } // DriverMeter.time
+  }
+
+  /** Batch serve — the resident analog of the reference's BatchSearch
+    * (`src/rpc/search_service_impl.cc:53-62`, minus the consistency
+    * routing, which lives in [[SearchService]]): answers every member
+    * against THIS loop's snapshot, results per member value-identical
+    * to [[search]] (and so to `SearchService.batchSearch` at the same
+    * snapshot — ServeLoopSpec pins it). Members fan out on the common
+    * pool; past saturation each member's scan runs sequentially (the
+    * measured c=64 regime — [[inFlight]] flips the mode per call), so
+    * batch throughput IS the concurrent-caller throughput. */
+  def searchBatch(queries: Seq[Seq[Float]], k: Int,
+      filter: Long => Boolean = null): Seq[Seq[ScoredPoint]] = {
+    if (queries.isEmpty) return Nil
+    val qarr = queries.toIndexedSeq
+    val out = new Array[Seq[ScoredPoint]](qarr.length)
+    java.util.stream.IntStream.range(0, qarr.length).parallel()
+      .forEach(i => out(i) = search(qarr(i), k, filter))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** One bounded worst-first heap: keeps the k smallest (dist, id)
@@ -169,16 +204,22 @@ object ServeLoop {
 
   /** Load one snapshot into a resident loop. ONE bounded collect
     * (`limit(cap+1)` keeps the job and the driver allocation capped
-    * even against an over-cap corpus); None above the cap or when any
-    * row is null/off-dimension (see class scaladoc). */
+    * even against an over-cap corpus; the cap itself is clamped so the
+    * probe limit can never overflow Int for a caller configuring
+    * Int.MaxValue); None above the cap or when any row — or any
+    * ELEMENT inside an embedding array — is null or off-dimension:
+    * the distributed path defines null-element distance as null
+    * ([[graft.expressions.L2SquaredDistance]]), so degenerate rows
+    * must fall back to distributed semantics, not throw. */
   def open(state: DataFrame, idCol: String = "id",
       embCol: String = "embedding",
       cap: Int = maxRows): Option[ServeLoop] = {
+    val capc = math.min(math.max(cap, 0), Int.MaxValue - 8)
     val rows = state.select(col(idCol).cast("long"), col(embCol))
-      .limit(cap + 1).collect()
-    if (rows.length > cap || rows.isEmpty) return None
+      .limit(capc + 1).collect()
+    if (rows.length > capc || rows.isEmpty) return None
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
-    val first = rows(0).getSeq[Float](1)
+    val first = rows(0).getSeq[Any](1)
     val dim = first.length
     val n = rows.length
     // flat-array addressability: n·dim must fit one JVM array (a 4 M ×
@@ -189,12 +230,20 @@ object ServeLoop {
     var r = 0
     while (r < n) {
       val row = rows(r)
-      val emb = row.getSeq[Float](1)
+      // read elements as boxed values: an array<float> row can carry
+      // null ELEMENTS, and unboxing one throws instead of falling back
+      val emb = row.getSeq[Any](1)
       if (emb.length != dim) return None
       ids(r) = row.getLong(0)
       var j = 0
       val it = emb.iterator
-      while (it.hasNext) { flat(r * dim + j) = it.next(); j += 1 }
+      while (it.hasNext) {
+        it.next() match {
+          case f: java.lang.Float => flat(r * dim + j) = f.floatValue()
+          case _ => return None // null (or non-float) element
+        }
+        j += 1
+      }
       r += 1
     }
     Some(new ServeLoop(ids, flat, dim))

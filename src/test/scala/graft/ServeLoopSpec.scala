@@ -54,6 +54,16 @@ class ServeLoopSpec extends SparkSpec {
     val ragged = corpus.unionByName(Seq((99L, Seq(1f))).toDF("id", "embedding"))
     assert(ServeLoop.open(ragged).isEmpty) // off-dimension row
     assert(ServeLoop.open(corpus.limit(0)).isEmpty) // empty snapshot
+    // null ELEMENT inside an otherwise well-formed embedding array:
+    // L2SquaredDistance defines its distance as null, so the loop must
+    // decline residency (None), not throw on unboxing (ADVICE r17 #1)
+    val nullElem = corpus.unionByName(
+      spark.sql("SELECT CAST(99 AS BIGINT) AS id, " +
+        "array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding"))
+    assert(ServeLoop.open(nullElem).isEmpty)
+    // an Int.MaxValue cap must not overflow the probe limit (ADVICE
+    // r17 #3): the open succeeds (corpus is tiny), never throws
+    assert(ServeLoop.open(corpus, cap = Int.MaxValue).isDefined)
   }
 
   test("loop is a point-in-time copy; reopening after apply serves the new version") {
@@ -67,6 +77,70 @@ class ServeLoopSpec extends SparkSpec {
     val after = svc.residentLoop().get
     assert(after.search(Seq(0f, 0f), 1).head.id !== 10L)
     assert(after.search(Seq(0f, 0f), 8) === svc.search(Seq(0f, 0f), 8)._1)
+  }
+
+  test("searchBatch ≡ per-member search ≡ SearchService.batchSearch (same snapshot)") {
+    import graft.operators.SearchService.BatchQuery
+    val svc = new SearchService(corpus)
+    val loop = svc.residentLoop().get
+    val batch = loop.searchBatch(queries, 3)
+    assert(batch === queries.map(q => loop.search(q, 3)))
+    val viaSvc = svc.batchSearch(queries.map(q => BatchQuery(q, 3))).toOption.get
+    assert(batch === viaSvc.map(_._1))
+    // past-saturation shape: a batch far wider than the core count
+    // still answers every member identically (the c=64 regime)
+    val wide = Seq.fill(16)(queries).flatten
+    val expect = queries.map(q => loop.search(q, 5))
+    loop.searchBatch(wide, 5).zipWithIndex.foreach { case (hits, i) =>
+      assert(hits === expect(i % queries.size))
+    }
+    assert(loop.searchBatch(Nil, 3) === Nil)
+  }
+
+  test("id-predicate filter ≡ unfiltered loop over the pre-filtered snapshot") {
+    val allowed: Set[Long] = Set(11L, 12L, 30L, 50L)
+    val full = ServeLoop.open(corpus).get
+    val pre = ServeLoop.open(corpus.filter($"id".isin(allowed.toSeq: _*))).get
+    for (q <- queries; k <- Seq(1, 3, 10))
+      assert(full.search(q, k, allowed.contains) === pre.search(q, k), s"q=$q k=$k")
+    // and against the distributed path over the filtered state (the
+    // tenant-isolation shape knn_filtered serves)
+    val svcPre = new SearchService(corpus.filter($"id".isin(allowed.toSeq: _*)))
+    assert(full.search(queries.head, 3, allowed.contains) ===
+      svcPre.search(queries.head, 3)._1)
+    // reject-all predicate → empty, never an error
+    assert(full.search(queries.head, 3, _ => false) === Nil)
+    // batch and filter compose
+    assert(full.searchBatch(queries, 3, allowed.contains) ===
+      queries.map(q => pre.search(q, 3)))
+  }
+
+  test("residentServing: STRONG tracks the watermark; EVENTUAL lags its staleness") {
+    import graft.operators.MutationLog.Eventual
+    val svc = new SearchService(
+      corpus.withColumn("shard_id", org.apache.spark.sql.functions.lit("s0")))
+    val strong = svc.residentServing() // STRONG: re-checks every lookup
+    val lagging = svc.residentServing(Eventual, stalenessMillis = 3600000L)
+    assert(strong.search(Seq(0f, 0f), 2).get === svc.search(Seq(0f, 0f), 2)._1)
+    val snap0 = strong.snapshot
+    svc.upsert(Seq((10L, "s0", Seq(100f, 100f))).toDF("id", "shard_id", "embedding"))
+    // STRONG resident read reopens BY ITSELF and serves post-mutation
+    // state — no caller-side reopen (the O-7 analog, VERDICT r17 #2)
+    val post = strong.search(Seq(0f, 0f), 1).get
+    assert(strong.snapshot === snap0 + 1)
+    assert(post.head.id !== 10L)
+    assert(post === svc.search(Seq(0f, 0f), 1)._1)
+    // EVENTUAL inside its staleness window keeps serving the loaded
+    // (pre-mutation) snapshot: id 10 is still at the origin there
+    assert(lagging.snapshot === snap0)
+    assert(lagging.search(Seq(0f, 0f), 1).get.head.id === 10L)
+    // refresh re-resolves; the STRONG read above materialized the new
+    // version, so EVENTUAL now advances — and values stay ≡ the
+    // service at the handle's own level
+    lagging.refresh()
+    assert(lagging.snapshot === snap0 + 1)
+    assert(lagging.search(Seq(0f, 0f), 8).get ===
+      svc.search(Seq(0f, 0f), 8, Eventual)._1)
   }
 
   test("concurrent callers get identical results (the serving model)") {
