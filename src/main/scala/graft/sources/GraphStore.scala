@@ -1254,6 +1254,98 @@ object GraphStore {
     def adjL0Of(id: Long): Array[Long] =
       adjL0.getOrElse(id, Array.empty[Long])
 
+    /** Bulk-load the WHOLE live store into this walk's caches — the
+      * residency step behind [[GraphStore.openResidentHier]]: corpus
+      * embeddings, PQ codes, and the full layer-0 adjacency, each with
+      * the exact per-id resolution the point-lookup fetches apply
+      * (latest-batch-wins values, latest-batch edge sets, dead targets
+      * dropped at expansion). After a successful preload every
+      * `ensure*` call resolves against the caches and runs ZERO jobs —
+      * the class contract ("a hop whose frontier ids are all cached
+      * runs zero jobs") extended to every hop of every query. Ids that
+      * appear only as edge endpoints (or lack a value row entirely) are
+      * marked seen too, so a degenerate store can never make a serve
+      * fall back to a mid-query fetch: a missing value scores None and
+      * drops, the distributed join's own semantics.
+      *
+      * Bounded: `false` (caches untouched in any job-visible way) when
+      * the corpus exceeds `rowCap` rows or layer 0 exceeds `edgeCap`
+      * edge rows — the caller serves through the per-hop point-lookup
+      * path instead. The limit(cap+1) probes keep both the jobs and
+      * the driver allocations capped against over-cap stores. */
+    def preloadAll(rowCap: Int, edgeCap: Int, needCodes: Boolean): Boolean = {
+      val seen = mutable.HashSet.empty[Long]
+      // corpus embeddings, latest-batch-wins per id
+      val vrows =
+        if (ctx.vecMulti)
+          ctx.vecTable.select(col("vec_id"), col("embedding"),
+            col("batch_id").cast("long")).limit(rowCap + 1).collect()
+        else ctx.vecTable.select(col("vec_id"), col("embedding"))
+          .limit(rowCap + 1).collect()
+      if (vrows.length > rowCap) return false
+      if (ctx.vecMulti)
+        vrows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+          embs(id) = floatsOf(rs.maxBy(_.getLong(2)).getSeq[Any](1))
+          seen += id
+        }
+      else vrows.foreach { r =>
+        embs(r.getLong(0)) = floatsOf(r.getSeq[Any](1)); seen += r.getLong(0)
+      }
+      // PQ codes, same discipline (code row count ≤ corpus row count
+      // by the write contract, so the same cap bounds it)
+      if (needCodes) {
+        val crows =
+          if (ctx.codeMulti)
+            ctx.codeTable.select(col("vec_id"), col("codes"),
+              col("batch_id").cast("long")).limit(rowCap + 1).collect()
+          else ctx.codeTable.select(col("vec_id"), col("codes"))
+            .limit(rowCap + 1).collect()
+        if (crows.length > rowCap) return false
+        def intsOf(r: org.apache.spark.sql.Row): Array[Int] =
+          r.getSeq[Any](1).iterator
+            .map { case i: Int => i case x => x.toString.toInt }.toArray
+        if (ctx.codeMulti)
+          crows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+            codes(id) = intsOf(rs.maxBy(_.getLong(2))); seen += id
+          }
+        else crows.foreach { r =>
+          codes(r.getLong(0)) = intsOf(r); seen += r.getLong(0)
+        }
+      }
+      // full layer-0 adjacency: latest-batch edge set per id, dead
+      // targets dropped — ensureAdjL0's exact rules, store-wide
+      val l0 = ctx.edgeTable.filter(col("level") === 0)
+      if (ctx.edgeMulti) {
+        val erows = l0.select(col("vec_id"), col("nbr_id"),
+          col("batch_id").cast("long")).limit(edgeCap + 1).collect()
+        if (erows.length > edgeCap) return false
+        erows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+          val mb = rs.iterator.map(_.getLong(2)).max
+          adjL0(id) = rs.filter(_.getLong(2) == mb).map(_.getLong(1))
+            .filterNot(dead.contains)
+          seen += id
+        }
+      } else {
+        val erows = l0.select(col("vec_id"), col("nbr_id"))
+          .limit(edgeCap + 1).collect()
+        if (erows.length > edgeCap) return false
+        erows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+          adjL0(id) = rs.map(_.getLong(1)).filterNot(dead.contains)
+          seen += id
+        }
+        ()
+      }
+      adjL0.valuesIterator.foreach(ns => seen ++= ns)
+      // seal the caches: every id the walk could ever touch is marked
+      // resolved, so no later ensure* runs a job
+      seen.foreach { id =>
+        if (!adjL0.contains(id)) adjL0(id) = Array.empty[Long]
+        embSeen += id
+        codeSeen += id
+      }
+      true
+    }
+
     /** A routing layer collapsed to a driver-local adjacency + its live
       * node set — ONE job per serve per layer (the geometric-tail
       * trade the distributed walk already made by reading the layer
@@ -1319,24 +1411,151 @@ object GraphStore {
         "beam must be positive and hops non-negative")
       def rerank(pool: Map[Long, Seq[Long]], width: Int) = {
         ensureVals(pool.valuesIterator.flatten.toSeq.distinct)
-        pool.map { case (q, cs) =>
-          q -> cs.distinct.iterator
-            .flatMap(c => score(q, c).map(d => (c, d))).toIndexedSeq
-            .sortBy { case (c, d) => (d, c) }.take(width)
+        // the scoring/sort loop is driver-resident compute (the fetch
+        // above runs jobs and is metered by DispatchMeter); report it
+        // through DriverMeter — the bench's `driver_s` bucket
+        graft.util.DriverMeter.time {
+          pool.map { case (q, cs) =>
+            q -> cs.distinct.iterator
+              .flatMap(c => score(q, c).map(d => (c, d))).toIndexedSeq
+              .sortBy { case (c, d) => (d, c) }.take(width)
+          }
         }
       }
       var frontier = rerank(seeds, beam)
       var h = 0
       while (h < hops) {
         ensureAdj(frontier.valuesIterator.flatten.map(_._1).toSeq.distinct)
-        val pool = frontier.map { case (q, f) =>
-          q -> (f.map(_._1) ++ f.flatMap(c => adjOf(c._1)))
+        val pool = graft.util.DriverMeter.time {
+          frontier.map { case (q, f) =>
+            q -> (f.map(_._1) ++ f.flatMap(c => adjOf(c._1)))
+          }
         }
         frontier = rerank(pool, beam)
         h += 1
       }
       frontier
     }
+  }
+
+  /** Resident-corpus cap in rows for [[openResidentHier]] — the
+    * [[graft.operators.ServeLoop]] convention (same default: 4 M rows,
+    * driver-memory-sized). Overridable via
+    * `-Dgraft.graphServeMaxRows=`. */
+  private[graft] def graphServeMaxRows: Int =
+    sys.props.get("graft.graphServeMaxRows").map(_.toInt).getOrElse(4 << 20)
+
+  /** Resident layer-0 cap in edge ROWS (N·maxDegree-scaled, so it is
+    * the larger budget: 32 M rows ≈ a 4 M-row corpus at degree 8).
+    * Overridable via `-Dgraft.graphServeMaxEdges=`. */
+  private[graft] def graphServeMaxEdges: Int =
+    sys.props.get("graft.graphServeMaxEdges").map(_.toInt).getOrElse(32 << 20)
+
+  /** Driver-RESIDENT hierarchical-ADC serving over a persisted graph
+    * store — the ANN analog of [[graft.operators.ServeLoop]] (VERDICT
+    * r17 next #3): [[GraphStore.openResidentHier]] loads the store's
+    * live state ONCE (layer-0 adjacency, PQ codes, corpus embeddings,
+    * collapsed routing layers — the reference's load-shard-then-serve
+    * lifecycle, `src/index/vector_shard.cc:34-43`), and [[search]]
+    * answers each query with ZERO Spark jobs: the full HNSW descent
+    * under integer-ADC navigation plus the exact re-rank tail, every
+    * stage the same driver-walk code `hierSearchPointLookupAdc` runs —
+    * values are identical BY CONSTRUCTION (shared hop loop, shared
+    * scorers, shared resolution rules; GraphStoreSpec pins equality on
+    * a mutated, tombstoned store, plus the zero-job property).
+    *
+    * SCALE CONTRACT: residency is capped ([[graphServeMaxRows]] /
+    * [[graphServeMaxEdges]] + the routing-layer cap) — above it `open`
+    * returns None and callers serve through the per-hop point-lookup
+    * walk, which handles any store size. A 100 TB deployment serves
+    * from sharded replicas of this loop (the reference's N×S model);
+    * the engine builds and mutates the shards. Point-in-time: a store
+    * mutated after open is served by a REOPENED instance.
+    *
+    * Thread-safe AFTER open: the preload seals every cache (no ensure
+    * can mutate), the walk allocates per call — concurrent callers are
+    * the serving model. */
+  final class GraphServe private[sources] (
+      ctx: StoreCtx, dw: DriverWalk,
+      upperAdj: List[Map[Long, Array[Long]]], // entryLevel → 1, in order
+      model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int, upperBeam: Int, upperHops: Int, handoff: Int) {
+
+    /** Live entry metadata (spec observability). */
+    def entry: (Int, Long) = (ctx.entryLevel, ctx.entryId)
+
+    /** Zero-job hierarchical ADC top-k: (vec_id, exact distance,
+      * rank 1..k), the row set `hierSearchPointLookupAdc` returns for
+      * this query on the same store. */
+    def search(qv: Array[Float], k: Int): Seq[(Long, Double, Long)] = {
+      require(k > 0, "k must be positive")
+      import graft.operators.Pq
+      // driver_s attribution comes from the walk's own internal
+      // sections — no outer DriverMeter wrap here (sections never nest)
+      val q = 0L
+      val luts = Map(q -> Pq.lut(model, qv).map(_.toArray).toArray)
+      val nav = dw.adcScore(luts)
+      var seeds: Map[Long, Seq[Long]] = Map(q -> Seq(ctx.entryId))
+      upperAdj.foreach { adjMap =>
+        val fr = dw.walk(seeds, upperBeam, upperHops,
+          ensureAdj = _ => (),
+          adjOf = id => adjMap.getOrElse(id, Array.empty[Long]),
+          ensureVals = dw.ensureCodes, nav)
+        seeds = fr.map { case (qq, f) => qq -> f.take(handoff).map(_._1) }
+      }
+      val fr = dw.walk(seeds, beam, hops, dw.ensureAdjL0, dw.adjL0Of,
+        dw.ensureCodes, nav)
+      // exact tail — adcServeDriver's stages, all-resident
+      val pool = fr(q).map(_._1)
+      dw.ensureEmb(pool) // sealed caches: zero jobs
+      val exact = dw.exactScore(Map(q -> qv))
+      pool.distinct.iterator
+        .flatMap(c => exact(q, c).map(d => (c, d))).toIndexedSeq
+        .sortBy { case (c, d) => (d, c) }.take(k).zipWithIndex
+        .map { case ((c, d), i) => (c, d, (i + 1).toLong) }
+    }
+
+    /** Batch serve — members fan out on the common pool (the
+      * [[graft.operators.ServeLoop.searchBatch]] shape); per-member
+      * values ≡ [[search]]. */
+    def searchBatch(qvs: Seq[Array[Float]], k: Int): Seq[Seq[(Long, Double, Long)]] = {
+      if (qvs.isEmpty) return Nil
+      val arr = qvs.toIndexedSeq
+      val out = new Array[Seq[(Long, Double, Long)]](arr.length)
+      java.util.stream.IntStream.range(0, arr.length).parallel()
+        .forEach(i => out(i) = search(arr(i), k))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+  }
+
+  /** Open a resident hierarchical-ADC serve over a persisted store —
+    * see [[GraphServe]]. One bounded preload (corpus + codes + layer-0
+    * adjacency + collapsed routing layers); None above any residency
+    * cap, and callers keep serving through
+    * [[hierSearchPointLookupAdc]], which handles any store size. */
+  def openResidentHier(spark: SparkSession, path: String,
+      model: graft.operators.Pq.PqModel,
+      beam: Int, hops: Int,
+      upperBeam: Int = 4, upperHops: Int = 6, handoff: Int = 4,
+      rowCap: Int = graphServeMaxRows,
+      edgeCap: Int = graphServeMaxEdges): Option[GraphServe] = {
+    val ctx = openStore(spark, path, needCodes = true)
+    val dw = new DriverWalk(ctx)
+    if (!dw.preloadAll(rowCap, edgeCap, needCodes = true)) return None
+    // collapse the routing layers entryLevel → 1 (geometric tails);
+    // a layer over the collect cap → distributed serving, like the
+    // per-query walk
+    val upper = scala.collection.mutable.ListBuffer.empty[Map[Long, Array[Long]]]
+    var l = ctx.entryLevel
+    while (l >= 1) {
+      dw.upperLayer(l) match {
+        case None => return None
+        case Some((adjMap, _)) => upper += adjMap
+      }
+      l -= 1
+    }
+    Some(new GraphServe(ctx, dw, upper.toList, model,
+      beam, hops, upperBeam, upperHops, handoff))
   }
 
   /** (qid, idCol, distance, rank) local-relation result of a driver

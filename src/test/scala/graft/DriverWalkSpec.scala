@@ -106,6 +106,66 @@ class DriverWalkSpec extends SparkSpec {
     } finally rm(dir)
   }
 
+  test("resident graph serve ≡ hierSearchPointLookupAdc on a mutated store, ZERO jobs per query") {
+    val dir = tmp("resident")
+    try {
+      val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 1)
+      val layers = KnnGraph.buildHierGraph(e, m = 4, ringM = 2,
+        rounds = 2, maxLevel = 1)
+      GraphStore.write(layers, dir, buckets = 8)
+      GraphStore.writeCorpus(e, dir)
+      GraphStore.writeCodes(Pq.encode(e, model), dir)
+      // same mutation shape as the parity test: multi-batch edges/
+      // vectors/codes + live tombstones — every resolution rule the
+      // preload mirrors is load-bearing
+      val emb2 = e.filter($"vec_id" === 2L).select($"embedding")
+        .head.getSeq[Float](0)
+      val batch = Seq(
+        (1L, MutationLog.Upsert, 1000001L, emb2),
+        (2L, MutationLog.Upsert, 7L, emb2),
+        (3L, MutationLog.Delete, 3L, null),
+        (4L, MutationLog.Delete, 10L, null)
+      ).toDF("log_index", "op", "id", "embedding")
+      GraphStore.applyMutationBatch(batch, dir, 0L, m = 4, beam = 8,
+        hops = 3, maxDegree = 6)
+      GraphStore.refreshCodes(spark, dir, model)
+      val panel = Seq(0L, 42L, 137L, 251L, 400L)
+      val qs = e.filter($"vec_id".isin(panel: _*))
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+        .localCheckpoint(true)
+      // the point-lookup serve's rows, keyed per query, rank order
+      val want: Map[Long, Seq[(Long, Double, Long)]] =
+        GraphStore.hierSearchPointLookupAdc(spark, dir, qs, model,
+          beam = 8, hops = 3, k = 5).collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.map(_._2).toSeq.sortBy(_._3) }
+      val qvs: Map[Long, Array[Float]] = qs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+      val serve = GraphStore.openResidentHier(spark, dir, model,
+        beam = 8, hops = 3).get
+      graft.util.DispatchMeter.register(spark.sparkContext)
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      val j0 = graft.util.DispatchMeter.jobs
+      panel.foreach { q =>
+        assert(serve.search(qvs(q), 5) === want(q), s"qid=$q")
+      }
+      // batch serve: per-member ≡ single-query
+      serve.searchBatch(panel.map(qvs), 5).zip(panel).foreach {
+        case (hits, q) => assert(hits === want(q), s"batch qid=$q")
+      }
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      assert(graft.util.DispatchMeter.jobs - j0 === 0,
+        "resident graph serve must dispatch ZERO jobs per query")
+      // residency caps: an over-cap store declines, caller falls back
+      assert(GraphStore.openResidentHier(spark, dir, model,
+        beam = 8, hops = 3, rowCap = 3).isEmpty)
+      assert(GraphStore.openResidentHier(spark, dir, model,
+        beam = 8, hops = 3, edgeCap = 3).isEmpty)
+    } finally rm(dir)
+  }
+
   test("driver serve job count: upper layers run zero jobs, layer-0 hops at most two each") {
     val dir = tmp("jobs")
     try {

@@ -93,6 +93,96 @@ object ProfileServe {
         println(f"PROFSERVE loop n=$big d=64 c=$c%-2d qps=$qps%9.1f p50_ms=$p50%8.3f p99_ms=$p99%8.3f")
       }
     }
+    if (args.headOption.contains("graph")) graphMode(spark, dir)
     spark.stop()
+  }
+
+  /** `graph` mode (VERDICT r17 next #3's "done" rows): the RESIDENT
+    * hierarchical-ADC serve — qps/p50/p99 at c=1/8/64 over a 1 M-row
+    * persisted store loaded once ([[graft.sources.GraphStore
+    * .openResidentHier]]), next to the per-hop point-lookup walk it
+    * replaces (2 bounded jobs per layer-0 hop). Values are pinned equal
+    * by DriverWalkSpec; this harness measures only. Replica count
+    * overridable: `graph 100` → 200 k rows. */
+  private def graphMode(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import graft.operators.{KnnGraph, Pq}
+    import graft.sources.{GraphStore, Tables}
+    val rep = sys.props.get("graft.profileServeRep").map(_.toInt).getOrElse(500)
+    val embBase = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val e = (0 until rep).map(i =>
+      embBase.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+        $"embedding")).reduce(_ unionByName _)
+      .repartition(32).localCheckpoint(true)
+    val n = e.count()
+    val store = java.nio.file.Files
+      .createTempDirectory(s"graft-serveprof-$rep").toString
+    try {
+      val t0 = System.nanoTime()
+      val model = Pq.trainRefined(embBase, m = 8, ks = 16, iters = 1)
+      val layers = KnnGraph.buildHierGraph(e, m = 6, ringM = 2,
+        rounds = 2, maxLevel = 2)
+      GraphStore.write(layers, store, buckets = 64)
+      GraphStore.writeCorpus(e, store)
+      GraphStore.writeCodes(Pq.encode(e, model), store)
+      println(f"PROFSERVE graph build n=$n wall_s=${(System.nanoTime() - t0) / 1e9}%.1f")
+
+      val baseQs: Array[Array[Float]] = embBase.orderBy($"vec_id").limit(256)
+        .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+      def qvOf(i: Int): Array[Float] = {
+        val v = baseQs(i % baseQs.length).clone()
+        v(i % v.length) = v(i % v.length) + (i % 17) * 0.01f
+        v
+      }
+      val K = 10
+
+      // the per-hop point-lookup walk (job-dispatch floor of the ANN
+      // serve): one query per call, sequential
+      def qdf(i: Int) = Seq((i.toLong, qvOf(i).toSeq)).toDF("qid", "qv")
+      GraphStore.hierSearchPointLookupAdc(spark, store, qdf(0), model,
+        beam = 8, hops = 3, k = K).count() // warm
+      val (wqps, wp50, wp99) = drive(1, 24, i =>
+        GraphStore.hierSearchPointLookupAdc(spark, store, qdf(1000 + i),
+          model, beam = 8, hops = 3, k = K).count())
+      println(f"PROFSERVE walk n=$n c=1  qps=$wqps%9.1f p50_ms=$wp50%8.3f p99_ms=$wp99%8.3f")
+
+      val tOpen = System.nanoTime()
+      val serve = GraphStore.openResidentHier(spark, store, model,
+        beam = 8, hops = 3).get
+      println(f"PROFSERVE graph open wall_s=${(System.nanoTime() - tOpen) / 1e9}%.1f")
+      (0 until 64).foreach(i => serve.search(qvOf(i), K))
+      for (c <- Seq(1, 8, 64)) {
+        val nq = 20000
+        val (qps, p50, p99) = drive(c, nq, i => serve.search(qvOf(i), K))
+        println(f"PROFSERVE graph n=$n c=$c%-2d qps=$qps%9.1f p50_ms=$p50%8.3f p99_ms=$p99%8.3f")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(store))
+  }
+
+  /** Run `nq` queries across `c` threads; (qps, p50 ms, p99 ms). */
+  private def drive(c: Int, nq: Int, one: Int => Unit): (Double, Double, Double) = {
+    def pct(sorted: Array[Long], p: Double): Double =
+      sorted(math.min(sorted.length - 1, (p * sorted.length).toInt)) / 1e6
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(c)
+    val t0 = System.nanoTime()
+    val futs = (1 to c).map(_ => pool.submit(new Runnable {
+      override def run(): Unit = {
+        var i = next.getAndIncrement()
+        while (i < nq) {
+          val q0 = System.nanoTime()
+          one(i)
+          lat.add(System.nanoTime() - q0)
+          i = next.getAndIncrement()
+        }
+      }
+    }))
+    futs.foreach(_.get())
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    val arr = lat.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
+    (nq / wall, pct(arr, 0.50), pct(arr, 0.99))
   }
 }
