@@ -19,6 +19,7 @@ object ProfileScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("minhash100")) { minhash100(spark); spark.stop(); return }
     import spark.implicits._
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
       .select($"doc_id", $"text")
@@ -103,5 +104,64 @@ object ProfileScale {
     }
     spark.conf.unset("graft.cc.driverUnionFindEdges")
     spark.stop()
+  }
+
+  /** Round-18 evidence (VERDICT r17 next #5): the 100× MinHash row —
+    * the production-critical banding path under a Heaps-law corpus
+    * (the ProfileContain `heaps100` generator: tail vocabulary ∝ N,
+    * fixed 64-token boilerplate head — real corpora grow vocabulary
+    * with size; a frozen vocabulary makes ANY exact LSH table
+    * quadratic, the already-measured containment result). The rows
+    * pin: (a) banded candidate volume per doc stays FLAT as N grows
+    * 1× → 10× → 100× (the (band, bucket) equi-join is postings-bound,
+    * linear-ish in N — never pair-quadratic), and (b) signature-build
+    * wall grows ~linearly in N (it is one scan + per-row hashing).
+    * Session memo DISABLED — this harness measures true build cost. */
+  private def minhash100(spark: SparkSession): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.Dedup
+    def synth(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(40)), i => {
+        val h = abs(hash(col("id") * 97 + i * 131))
+        concat(lit("tok"),
+          when(pmod(abs(hash(col("id") * 31 + i)), lit(10)) < 3,
+            pmod(h, lit(64)))
+          .otherwise(pmod(h, lit(n)) + 64))
+      })).as("text"))
+    Seq(20000L, 200000L, 2000000L).foreach { n =>
+      val docs = synth(n).persist(StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      graft.util.IndexCache.enabled = false
+      try {
+        // signature build: shingle-hash pass + all 12 families
+        val t0 = System.nanoTime()
+        val sig = docs.select(col("doc_id").as("id"),
+            transform(array_distinct(tokens(col("text"))),
+              s => hash32(s)).as("hs"))
+          .select(col("id"), minhashFamilies(col("hs"), 12).as("minhash_sig"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val rows = sig.count()
+        val sigWall = (System.nanoTime() - t0) / 1e9
+        // banded candidate volume: raw (band, bucket) collisions = the
+        // equi-join's true output, and its distinct form (the index)
+        val candRaw = Dedup.lshCandidates(sig, "id", 4, 3, dedupe = false).count()
+        val candD = Dedup.lshCandidates(sig, "id", 4, 3, dedupe = true).count()
+        // the full pipeline end-to-end at this scale (build + serve)
+        val t1 = System.nanoTime()
+        val out = Dedup.minhashNearDups(docs, threshold = 0.8).count()
+        val pipeWall = (System.nanoTime() - t1) / 1e9
+        val nsq = rows * (rows - 1) / 2
+        println(f"N=$n%8d sig_wall=$sigWall%7.1f s cand_raw=$candRaw%12d " +
+          f"cand_distinct=$candD%12d perDoc=${candRaw.toDouble / n}%8.2f " +
+          f"N^2/2=$nsq%17d ratio=${candRaw.toDouble / nsq}%10.8f " +
+          f"out=$out%8d pipe_wall=$pipeWall%7.1f s")
+        sig.unpersist(false)
+      } finally graft.util.IndexCache.enabled = true
+      docs.unpersist(false)
+      spark.catalog.clearCache()
+      graft.util.IndexCache.unpersistAllExcept(spark.sparkContext)
+      ()
+    }
   }
 }
