@@ -469,6 +469,7 @@ object Bench {
       s""""build_s_all_passes":${fmt(graft.util.IndexCache.buildNanos / 1e9)},""" +
       s""""index_store_reads":${graft.util.IndexCache.storeReads},""" +
       s""""index_store_writes":${graft.util.IndexCache.storeWrites},""" +
+      s""""store_builds_skipped":${graft.util.StoreOnce.skipped},""" +
       s""""store_write_s":$storeSecJson,""" +
       s""""store_write_warm_s":$storeWarmJson,""" +
       s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
@@ -528,6 +529,7 @@ object Bench {
       s""""build_warm_s_total":${fmt(buildWarmTotal)},""" +
       s""""index_store_reads":${graft.util.IndexCache.storeReads},""" +
       s""""index_store_writes":${graft.util.IndexCache.storeWrites},""" +
+      s""""store_builds_skipped":${graft.util.StoreOnce.skipped},""" +
       s""""store_write_s_total":${fmt(storeMeasuredTotal)},""" +
       s""""hop_dispatch_s_total":${fmt(dispatchTotal)},""" +
       s""""driver_s_total":${fmt(driverTotal)},""" +

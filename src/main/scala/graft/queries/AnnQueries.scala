@@ -361,8 +361,15 @@ object AnnQueries extends QueryPack {
         "graft_ann_mih_log_" + java.security.MessageDigest
           .getInstance("MD5").digest(dir.getBytes("UTF-8"))
           .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
+      // session memo (IndexCache.value) + cross-session build-once
+      // guard (StoreOnce): a restart REOPENS the persisted store — the
+      // reference's own lifecycle — instead of re-running build+fold+
+      // compact (70 s of r18 warmup wall); fingerprint = input files +
+      // the compiled code stamp, so any data or code change rebuilds
       graft.util.IndexCache.value(e.select($"vec_id"),
           Seq("annMihLogBuild", path)) {
+        graft.util.StoreOnce.ensure(path,
+          "ann_mih_log|" + graft.util.StoreOnce.inputSig(e)) {
         BinaryStore.write(Bq.encode(e, 64)
           .select($"vec_id", array($"sig").as("sig")), path)
         def embOf(id: Long) = e.filter($"vec_id" === id)
@@ -376,6 +383,7 @@ object AnnQueries extends QueryPack {
         ).toDF("log_index", "op", "id", "embedding")
         BinaryStore.applyMutationBatch(batch, path, 0L, dim = 64)
         BinaryStore.compact(s, path)
+        }
         ()
       }
       val q = e.filter($"vec_id" === 0L).select($"embedding")
@@ -415,8 +423,12 @@ object AnnQueries extends QueryPack {
       val iPath = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_hybrid_log_i_$tag").getAbsolutePath
       // build + fold memoized per session (write-once / serve-many);
-      // attribution via store_write_warm_s / build_warm_s
+      // attribution via store_write_warm_s / build_warm_s; StoreOnce
+      // adds the cross-session restart semantics (reopen, not rebuild)
       graft.util.IndexCache.value(e, Seq("hybridLogBuild", gPath, iPath)) {
+        graft.util.StoreOnce.ensure(Seq(gPath, iPath), "hybrid_log|" +
+            graft.util.StoreOnce.inputSig(e) +
+            graft.util.StoreOnce.inputSig(docs)) {
         val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
         val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6,
           ringM = 2, rounds = 3)
@@ -444,6 +456,7 @@ object AnnQueries extends QueryPack {
             i.toLong, cfg)
         }
         GraphStore.refreshCodes(s, gPath, model)
+        }
         ()
       }
       val model = graft.sources.ModelStore.readPq(s, s"$gPath/model/pq")

@@ -52,6 +52,10 @@ object RetrievalQueries extends QueryPack {
           .take(6).map(b => f"${b & 0xff}%02x").mkString).getAbsolutePath
       graft.util.IndexCache.value(docs.select($"doc_id"),
           Seq("bm25LogBuild", path)) {
+        // cross-session restart semantics: reopen the persisted store,
+        // rebuild only on input/code change (graft.util.StoreOnce)
+        graft.util.StoreOnce.ensure(path,
+          "bm25_log|" + graft.util.StoreOnce.inputSig(docs)) {
         IndexStore.write(docs, path, buckets = 64)
         def textOf(id: Long) = docs.filter($"doc_id" === id)
           .select($"text").head.getString(0)
@@ -63,6 +67,7 @@ object RetrievalQueries extends QueryPack {
           (5L, MutationLog.Delete, 8L, null)
         ).toDF("log_index", "op", "doc_id", "text")
         IndexStore.applyMutationBatch(batch, path, 0L)
+        }
         ()
       }
       IndexStore.bm25TopK(s, path, terms, k = 15)

@@ -1,0 +1,120 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Build-once guard for PERSISTED stores — the reference's restart
+  * semantics applied to the bench/serving lifecycle: a process that
+  * restarts REOPENS its persisted index files, it does not rebuild
+  * them (`src/server/main.cc` loads shards from disk at startup;
+  * rebuild happens only when the data changed). The lifecycle queries
+  * (`bm25_log`, `ann_mih_log`, `hybrid_log`, …) build a store at a
+  * content-tagged path, fold a mutation log into it, and serve —
+  * within a session the build is memoized via [[IndexCache.value]],
+  * but every NEW session re-ran the whole build+fold+compact even
+  * though the finished store was still on disk (BENCH r18: 95 s of a
+  * 156 s `build_warm_s_total` was exactly these three rebuilds).
+  *
+  * [[ensure]] skips the build when the store's `_GRAFT_BUILD` marker
+  * matches the expected fingerprint. The fingerprint must cover BOTH
+  * the input content ([[inputSig]]: path/size/mtime of every input
+  * file) and the builder code ([[codeStamp]]: a digest of the whole
+  * compiled `graft` class tree — ANY recompile invalidates, so a
+  * layout or logic change can never serve a stale store; the safe
+  * failure direction is an unnecessary rebuild). On mismatch the
+  * stale directory is deleted before the rebuild so layouts never
+  * mix.
+  *
+  * ACTIVE only when the persisted-store layer is on
+  * (`-Dgraft.indexStoreDir=`, the bench's serving condition) —
+  * correctness harnesses (Verify without the flag) keep rebuilding
+  * from scratch every run. */
+object StoreOnce {
+  private val skippedCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Builds skipped because the persisted store already matched. */
+  def skipped: Long = skippedCounter.get()
+
+  private def enabled: Boolean =
+    sys.props.get("graft.indexStoreDir").exists(_.nonEmpty)
+
+  /** Digest of the compiled `graft` class tree (name|size|mtime per
+    * class file): changes on ANY recompile. "nocode" outside a
+    * file-based classpath — fingerprints then never match, and every
+    * session rebuilds (the safe direction). */
+  lazy val codeStamp: String = try {
+    val url = getClass.getResource("/graft/util/StoreOnce$.class")
+    if (url == null || url.getProtocol != "file") "nocode"
+    else {
+      val root = java.nio.file.Paths.get(url.toURI)
+        .getParent.getParent // …/classes/graft
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        stream.sorted().forEach { p =>
+          if (p.toString.endsWith(".class")) {
+            md.update((root.relativize(p).toString + "|" +
+              java.nio.file.Files.size(p) + "|" +
+              java.nio.file.Files.getLastModifiedTime(p).toMillis + "\n")
+              .getBytes("UTF-8"))
+          }
+        }
+      } finally stream.close()
+      md.digest().map("%02x".format(_)).mkString
+    }
+  } catch { case _: Throwable => "nocode" }
+
+  /** Sorted (path|size|mtime) signature of a frame's input files —
+    * the content side of a store fingerprint. */
+  def inputSig(df: DataFrame): String = {
+    val sb = new StringBuilder
+    df.inputFiles.sorted.foreach { f =>
+      try {
+        val p = java.nio.file.Paths.get(new java.net.URI(f))
+        sb.append(f).append('|')
+          .append(java.nio.file.Files.size(p)).append('|')
+          .append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .append('\n')
+      } catch { case _: Throwable => sb.append(f).append("|?\n") }
+    }
+    sb.toString
+  }
+
+  /** Run `build` unless `path` already holds a store built from the
+    * same fingerprint (see object scaladoc). The marker is written
+    * LAST — a crashed build leaves no marker and rebuilds next time. */
+  def ensure(path: String, fingerprint: String)(build: => Unit): Unit =
+    ensure(Seq(path), fingerprint)(build)
+
+  /** Multi-store form: one build writes SEVERAL store directories
+    * (hybrid_log: graph + inverted index). Skips only when EVERY
+    * directory's marker matches — a partially-deleted pair can never
+    * serve half a build; on any mismatch ALL directories are rebuilt
+    * fresh together. */
+  def ensure(paths: Seq[String], fingerprint: String)(build: => Unit): Unit = {
+    val fp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest((fingerprint + "#" + codeStamp).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    def markerOf(p: String) = java.nio.file.Paths.get(p, "_GRAFT_BUILD")
+    val allMatch = enabled && paths.forall { p =>
+      val m = markerOf(p)
+      java.nio.file.Files.exists(m) &&
+        new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp
+    }
+    if (allMatch) { skippedCounter.incrementAndGet(); return }
+    // stale or absent: rebuild FRESH so layouts never mix
+    paths.foreach { p =>
+      val dir = new java.io.File(p)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+    build
+    if (enabled) paths.foreach { p =>
+      try { java.nio.file.Files.write(markerOf(p), fp.getBytes("UTF-8")); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] store marker write failed ($p): ${e.getMessage}")
+      }
+    }
+    ()
+  }
+}
