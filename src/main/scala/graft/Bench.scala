@@ -330,6 +330,7 @@ object Bench {
     // OUTPUT (only deterministic index BUILDS memoize, attributed in
     // build_warm_s); extra warmups per query land in the JSON.
     val warmupLog = scala.collection.mutable.LinkedHashMap[String, Int]()
+    var settleTotal = 0.0 // JIT settle-barrier wall (between passes)
     var done = 0
     val results = SparkEntry.selectedQueries.map { case (name, fn) =>
       if (done > 0 && done % ProbeEvery == 0) probes(done) = probeOnce(s"at$done")
@@ -353,6 +354,29 @@ object Bench {
         timed(lastKey)(fn(spark, sfDir).count())
       }
       warmupLog(name) = warms
+      // JIT settle barrier (the JMH practice): with the persisted index
+      // store on, warmup passes are short reads — background C2 kicked
+      // off DURING a warmup can still be compiling when the measured
+      // pass starts, and its wall lands in the measured jit bucket
+      // (r18 in-round evidence: jit_s_total ~40 with long build
+      // warmups vs ~60 with store-read warmups on identical serve
+      // code). Wait — BETWEEN passes, bounded at 2 s — until the
+      // global compiler wall goes quiet (two consecutive 100 ms
+      // windows with ≤ 20 ms of compilation). Skipped when the last
+      // warmup saw no meaningful compile; total barrier wall is
+      // reported as settle_s_total, never inside any pass.
+      if (jitLog.getOrElse(lastKey, 0.0) >= 0.1) {
+        val t0 = System.nanoTime()
+        var last = jitMillis()
+        var quiet = 0
+        while (quiet < 2 && System.nanoTime() - t0 < 2000000000L) {
+          Thread.sleep(100)
+          val now = jitMillis()
+          if (now - last <= 20) quiet += 1 else quiet = 0
+          last = now
+        }
+        settleTotal += (System.nanoTime() - t0) / 1e9
+      }
       starts(name) = (System.nanoTime() - suiteT0) / 1e9
       val t = timed(s"$name measured")(fn(spark, sfDir).count())
       done += 1
@@ -479,6 +503,7 @@ object Bench {
       s""""driver_s":${perQ(driverLog)},"driver_s_total":${fmt(driverTotal)},""" +
       s""""jobs":$jobsJson,""" +
       s""""warmups":$warmupsJson,"extra_warmups_total":$extraWarmupsTotal,""" +
+      s""""settle_s_total":${fmt(settleTotal)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it
@@ -539,6 +564,7 @@ object Bench {
       s""""jit_s_total":${fmt(jitTotal)},"codegen_n_total":$codegenTotal,""" +
       s""""gc_total":${fmt(gcTotal)},""" +
       s""""extra_warmups_total":$extraWarmupsTotal,""" +
+      s""""settle_s_total":${fmt(settleTotal)},""" +
       s""""probe_first":${fmt(probeFirst)},"probe_mid_min":${fmt(probeMidMin)},""" +
       s""""probe_last":${fmt(probeLast)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
