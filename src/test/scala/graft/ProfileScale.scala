@@ -120,17 +120,25 @@ object ProfileScale {
   private def minhash100(spark: SparkSession): Unit = {
     import org.apache.spark.storage.StorageLevel
     import graft.operators.Dedup
-    def synth(n: Long) = spark.range(n).select(
+    // headTenths = how many positions in 10 draw from the FIXED
+    // 64-token boilerplate head (the frozen-vocab component): 3 = the
+    // heaps100 mixed corpus; 0 = pure Heaps tail. The pair separates
+    // the two regimes: a fixed head concentrates each family's minimum
+    // hash onto few values (band buckets collapse onto the head vocab,
+    // bucket sizes ∝ N — the containment-row result that a FROZEN
+    // vocabulary is quadratic for ANY exact filter), while a
+    // vocabulary growing with N keeps buckets selective.
+    def synth(n: Long, headTenths: Int) = spark.range(n).select(
       col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(1), lit(40)), i => {
         val h = abs(hash(col("id") * 97 + i * 131))
         concat(lit("tok"),
-          when(pmod(abs(hash(col("id") * 31 + i)), lit(10)) < 3,
+          when(pmod(abs(hash(col("id") * 31 + i)), lit(10)) < headTenths,
             pmod(h, lit(64)))
           .otherwise(pmod(h, lit(n)) + 64))
       })).as("text"))
-    Seq(20000L, 200000L, 2000000L).foreach { n =>
-      val docs = synth(n).persist(StorageLevel.MEMORY_AND_DISK)
+    for (headTenths <- Seq(3, 0); n <- Seq(20000L, 200000L, 2000000L)) {
+      val docs = synth(n, headTenths).persist(StorageLevel.MEMORY_AND_DISK)
       docs.count()
       graft.util.IndexCache.enabled = false
       try {
@@ -152,6 +160,7 @@ object ProfileScale {
         val out = Dedup.minhashNearDups(docs, threshold = 0.8).count()
         val pipeWall = (System.nanoTime() - t1) / 1e9
         val nsq = rows * (rows - 1) / 2
+        print(s"head=${headTenths}/10 ")
         println(f"N=$n%8d sig_wall=$sigWall%7.1f s cand_raw=$candRaw%12d " +
           f"cand_distinct=$candD%12d perDoc=${candRaw.toDouble / n}%8.2f " +
           f"N^2/2=$nsq%17d ratio=${candRaw.toDouble / nsq}%10.8f " +
