@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long-lived SQL-serving JVM compiles thousands of generated
+  // (Janino whole-stage) classes; at the JDK default 240 MB the code
+  // cache fills mid-suite and UseCodeCacheFlushing silently evicts
+  // cold nmethods, so later queries re-enter interpreted/deopt churn
+  // (r19 baseline: single queries 10-25x their isolated cost with
+  // cpu≈wall and nothing in jit/gc/sched). Sized like the codegen
+  // plan cache (spark.sql.codegen.cache.maxEntries=4096): to the
+  // workload, not the JDK default. Bench reports codecache_peak_mb
+  // so the headroom stays auditable.
+  "-XX:ReservedCodeCacheSize=1g",
 )

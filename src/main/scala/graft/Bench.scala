@@ -164,6 +164,23 @@ object Bench {
     def codegenCount(): Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount
+    // JVM code-cache occupancy (all CodeHeap segments). The r19 full-run
+    // pathology this names: with the default 240 MB ReservedCodeCacheSize
+    // a 180-query suite's generated classes fill the cache mid-suite,
+    // UseCodeCacheFlushing silently evicts cold nmethods, and a later
+    // query's hot loop re-enters interpreted/deopt churn — measured as
+    // single-thread CPU ≈ wall with nothing in jit/gc/sched (r19
+    // baseline run 1: dedup_containment_recall 21.2 s wall / 21.1 s cpu
+    // vs 0.74 s isolated). Peak usage in the JSON makes the headroom
+    // auditable against the -XX:ReservedCodeCacheSize build.sbt sets.
+    val codeCachePools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+    }
+    def codeCacheUsed(): Long = codeCachePools.map(_.getUsage.getUsed).sum
+    val codeCacheCap: Long = codeCachePools.map(_.getUsage.getMax).sum
+    var codeCachePeak = 0L
     def readBytes(): Long = try {
       val lines = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/self/io"))
@@ -279,6 +296,7 @@ object Bench {
         driverLog(what) = (graft.util.DriverMeter.nanos - dr0) / 1e9
         schedLog(what) =
           if (sw0 < 0) -1.0 else math.max(0L, schedWaitNanos() - sw0) / 1e9
+        codeCachePeak = math.max(codeCachePeak, codeCacheUsed())
         spark.catalog.clearCache()
         // clearCache misses localCheckpoint blocks (drop lists, CC
         // label rounds) — they register as persistent RDDs, not
@@ -504,6 +522,8 @@ object Bench {
       s""""jobs":$jobsJson,""" +
       s""""warmups":$warmupsJson,"extra_warmups_total":$extraWarmupsTotal,""" +
       s""""settle_s_total":${fmt(settleTotal)},""" +
+      s""""codecache_peak_mb":${fmt(codeCachePeak / 1048576.0)},""" +
+      s""""codecache_cap_mb":${fmt(codeCacheCap / 1048576.0)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it
@@ -565,6 +585,7 @@ object Bench {
       s""""gc_total":${fmt(gcTotal)},""" +
       s""""extra_warmups_total":$extraWarmupsTotal,""" +
       s""""settle_s_total":${fmt(settleTotal)},""" +
+      s""""codecache_peak_mb":${fmt(codeCachePeak / 1048576.0)},""" +
       s""""probe_first":${fmt(probeFirst)},"probe_mid_min":${fmt(probeMidMin)},""" +
       s""""probe_last":${fmt(probeLast)},""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""

@@ -19,15 +19,18 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // honors GRAFT_ONLY (same filter as Bench) so a round's targeted
+    // before/after plan files can be produced without planning all 180
+    val sel = SparkEntry.selectedQueries.sortBy(_._1)
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    sel.foreach { case (name, fn) =>
       sb.append(s"\n========== $name ==========\n")
       try sb.append(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"wrote ${SparkEntry.queries.size} plans to $out")
+    println(s"wrote ${sel.size} plans to $out")
     spark.stop()
   }
 }

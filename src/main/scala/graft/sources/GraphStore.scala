@@ -1273,7 +1273,12 @@ object GraphStore {
       * edge rows — the caller serves through the per-hop point-lookup
       * path instead. The limit(cap+1) probes keep both the jobs and
       * the driver allocations capped against over-cap stores. */
-    def preloadAll(rowCap: Int, edgeCap: Int, needCodes: Boolean): Boolean = {
+    def preloadAll(rowCap0: Int, edgeCap0: Int, needCodes: Boolean): Boolean = {
+      // clamp like ServeLoop.open (ADVICE r17 #3 / r18 #3): a caller
+      // passing Int.MaxValue would overflow limit(cap + 1) to a
+      // negative limit and throw
+      val rowCap = math.min(math.max(rowCap0, 0), Int.MaxValue - 8)
+      val edgeCap = math.min(math.max(edgeCap0, 0), Int.MaxValue - 8)
       val seen = mutable.HashSet.empty[Long]
       // corpus embeddings, latest-batch-wins per id
       val vrows =

@@ -134,9 +134,10 @@ object IndexCache {
   // Correctness: the disk key is content-addressed ACROSS sessions —
   // md5 of the canonicalized analyzed plan (expressions, parameters,
   // and source paths all print) + the input's file signature
-  // (path,size,mtime of every leaf file), so a changed input, config,
-  // or build IMPLEMENTATION (its expressions print differently) can
-  // never hit an old artifact. The layer is restricted to plans whose
+  // (path,size,mtime of every leaf file) + the compiled-code stamp
+  // (StoreOnce.codeStamp — covers build logic living in closures the
+  // plan cannot print), so a changed input, config, or build
+  // implementation can never hit an old artifact. The layer is restricted to plans whose
   // leaves are ALL file relations — a LocalRelation payload may elide
   // from the printed plan, and cross-session reuse must never key on
   // an elided value. Values are bit-identical to a fresh build by the
@@ -201,11 +202,17 @@ object IndexCache {
     // every expression with its arguments) + the output schema + the
     // parent content keys are the cross-session signature; plans whose
     // payloads can elide from printing (LocalRelation) are excluded
-    // above.
+    // above. The compiled-code stamp ([[StoreOnce.codeStamp]]) also
+    // participates (ADVICE r18 #1): for builds whose logic lives in the
+    // CLOSURE rather than the input plan (KnnGraph.buildSearchGraph
+    // over raw vectors), the plan prints identically across a logic
+    // change — without the stamp a recompiled session would silently
+    // serve the old session's artifact. Any recompile now rekeys every
+    // artifact; the safe failure direction is an unnecessary rebuild.
     val plan = canon.toString + "@" + input.schema.catalogString
     val md = java.security.MessageDigest.getInstance("MD5")
     Some(md.digest((plan + params.mkString("|") + sig.toString +
-        parentKeys.toString).getBytes("UTF-8"))
+        parentKeys.toString + "#" + StoreOnce.codeStamp).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString)
   }
 
@@ -280,10 +287,35 @@ object IndexCache {
         // remain pass-scoped garbage), then snapshot-diff the persistent
         // set around the FINAL pin so the entry records exactly its own
         // checkpoint blocks
-        val built = fromStore.getOrElse(build)
-        val before = sc.getPersistentRDDs.keySet
-        val out = built.localCheckpoint(true)
-        val ids = (sc.getPersistentRDDs.keySet -- before).toSet
+        def pin(df: DataFrame): (DataFrame, Set[Int]) = {
+          val before = sc.getPersistentRDDs.keySet
+          val p = df.localCheckpoint(true)
+          (p, (sc.getPersistentRDDs.keySet -- before).toSet)
+        }
+        // a store artifact that passes schema inference can still fail
+        // at materialization (truncated/corrupt data pages) — the
+        // degrade contract covers the WHOLE read path, so the pin of a
+        // store frame falls back to a plain build on any error
+        // (ADVICE r18 #4), never errors the query
+        var usedStore = fromStore.isDefined
+        val (out, ids) = fromStore match {
+          case Some(sf) =>
+            try pin(sf) catch { case e: Throwable =>
+              System.err.println(
+                s"[graft] index store materialize failed (${diskPath.get}), " +
+                  s"rebuilding: ${e.getMessage}")
+              storeReadCounter.decrementAndGet()
+              usedStore = false
+              // drop the corrupt artifact so the write-through below
+              // can replace it (self-heal) instead of every future
+              // session paying a failed read
+              try org.apache.commons.io.FileUtils.deleteDirectory(
+                new java.io.File(diskPath.get))
+              catch { case _: Throwable => () }
+              pin(build)
+            }
+          case None => pin(build)
+        }
         val buildWall = System.nanoTime() - t0
         buildNanoCounter.addAndGet(buildWall)
         // the pin's checkpoint RDD now CARRIES this content key —
@@ -297,7 +329,7 @@ object IndexCache {
         }
         // write-through from the PINNED frame (one block scan, no plan
         // re-execution), only for builds worth persisting
-        if (fromStore.isEmpty && diskPath.isDefined && buildWall >= minWriteNanos)
+        if (!usedStore && diskPath.isDefined && buildWall >= minWriteNanos)
           storeWrite(out, diskPath.get)
         frames.putIfAbsent(k, Entry(out, ids)) match {
           case Some(raced) if raced.rddIds.subsetOf(sc.getPersistentRDDs.keySet) =>

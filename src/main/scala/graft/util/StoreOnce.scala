@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 /** Build-once guard for PERSISTED stores — the reference's restart
   * semantics applied to the bench/serving lifecycle: a process that
   * restarts REOPENS its persisted index files, it does not rebuild
-  * them (`src/server/main.cc` loads shards from disk at startup;
+  * them (`src/node_main.cc:38-87` loads shards from disk at startup;
   * rebuild happens only when the data changed). The lifecycle queries
   * (`bm25_log`, `ann_mih_log`, `hybrid_log`, …) build a store at a
   * content-tagged path, fold a mutation log into it, and serve —
@@ -38,30 +38,58 @@ object StoreOnce {
     sys.props.get("graft.indexStoreDir").exists(_.nonEmpty)
 
   /** Digest of the compiled `graft` class tree (name|size|mtime per
-    * class file): changes on ANY recompile. "nocode" outside a
-    * file-based classpath — fingerprints then never match, and every
-    * session rebuilds (the safe direction). */
+    * class file): changes on ANY recompile. Outside a file-based
+    * classpath (jar-based runs) the classes' provenance is unknown, so
+    * the fallback is a per-JVM random stamp — fingerprints from such a
+    * session can never match any other session's, and every session
+    * rebuilds (the safe direction; ADVICE r18 #2: the old deterministic
+    * "nocode" fallback made two DIFFERENT builds' fingerprints match,
+    * serving a stale store after a code change). */
+  private lazy val unknownCodeStamp: String =
+    "nocode-" + java.util.UUID.randomUUID().toString
   lazy val codeStamp: String = try {
-    val url = getClass.getResource("/graft/util/StoreOnce$.class")
-    if (url == null || url.getProtocol != "file") "nocode"
-    else {
-      val root = java.nio.file.Paths.get(url.toURI)
-        .getParent.getParent // …/classes/graft
+    // getCodeSource, not getResource: a forked sbt run loads classes
+    // through a manifest Class-Path wrapper jar, so resource URLs come
+    // back jar-schemed even though the classes live in a directory —
+    // but the protection domain's code source names the ACTUAL element
+    // (the classes dir, or a real jar) the class came from.
+    val loc = getClass.getProtectionDomain.getCodeSource.getLocation
+    val p = java.nio.file.Paths.get(loc.toURI)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val root = p.resolve("graft") // the compiled graft class tree
       val md = java.security.MessageDigest.getInstance("MD5")
       val stream = java.nio.file.Files.walk(root)
       try {
-        stream.sorted().forEach { p =>
-          if (p.toString.endsWith(".class")) {
-            md.update((root.relativize(p).toString + "|" +
-              java.nio.file.Files.size(p) + "|" +
-              java.nio.file.Files.getLastModifiedTime(p).toMillis + "\n")
+        stream.sorted().forEach { q =>
+          if (q.toString.endsWith(".class")) {
+            md.update((root.relativize(q).toString + "|" +
+              java.nio.file.Files.size(q) + "|" +
+              java.nio.file.Files.getLastModifiedTime(q).toMillis + "\n")
               .getBytes("UTF-8"))
           }
         }
       } finally stream.close()
       md.digest().map("%02x".format(_)).mkString
-    }
-  } catch { case _: Throwable => "nocode" }
+    } else if (java.nio.file.Files.isRegularFile(p)) {
+      // jar deployment. NOT path|size|mtime: sbt's forked run executes
+      // from a per-invocation COPY of the packaged jar
+      // (target/bg-jobs/sbt_<random>/…), so path and mtime change every
+      // run even when the code did not. The entry table (name|size|crc)
+      // is content-derived — stable across copies/repacks of identical
+      // classes, changed by any recompile.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val jf = new java.util.jar.JarFile(p.toFile)
+      try {
+        import scala.jdk.CollectionConverters._
+        jf.entries().asScala.toSeq.sortBy(_.getName).foreach { e =>
+          if (!e.isDirectory)
+            md.update((e.getName + "|" + e.getSize + "|" + e.getCrc + "\n")
+              .getBytes("UTF-8"))
+        }
+      } finally jf.close()
+      md.digest().map("%02x".format(_)).mkString
+    } else unknownCodeStamp
+  } catch { case _: Throwable => unknownCodeStamp }
 
   /** Sorted (path|size|mtime) signature of a frame's input files —
     * the content side of a store fingerprint. */
@@ -101,6 +129,22 @@ object StoreOnce {
       val m = markerOf(p)
       java.nio.file.Files.exists(m) &&
         new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp
+    }
+    // opt-in mismatch tracing (-Dgraft.storeDebug): prints enough to
+    // see WHICH side of a fingerprint went stale (marker vs expected,
+    // and the raw fingerprint before hashing) without hashing secrets
+    val debugOn = sys.props.get("graft.storeDebug").exists(_.nonEmpty) ||
+      sys.env.get("GRAFT_STORE_DEBUG").exists(_.nonEmpty)
+    if (debugOn && !allMatch) {
+      paths.foreach { p =>
+        val m = markerOf(p)
+        val cur = if (java.nio.file.Files.exists(m))
+          new String(java.nio.file.Files.readAllBytes(m), "UTF-8") else "<absent>"
+        val loc = try getClass.getProtectionDomain.getCodeSource.getLocation.toString
+          catch { case _: Throwable => "<none>" }
+        System.err.println(s"[graft.storeDebug] $p marker=$cur expected=$fp " +
+          s"enabled=$enabled codeStamp=$codeStamp loc=$loc rawFp=${fingerprint.take(400)}")
+      }
     }
     if (allMatch) { skippedCounter.incrementAndGet(); return }
     // stale or absent: rebuild FRESH so layouts never mix
