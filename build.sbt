@@ -43,3 +43,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // so the headroom stays auditable.
   "-XX:ReservedCodeCacheSize=1g",
 )
+// Extra forked-JVM options from the environment (diagnostics, or
+// enabling the persisted index store in Verify:
+// GRAFT_EXTRA_JVM_OPTS="-Dgraft.indexStoreDir=target/graft_index_store").
+// sbt's own JVM does not forward -D flags to forked run/test JVMs.
+javaOptions ++= sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty))

@@ -383,11 +383,17 @@ object Bench {
       // windows with ≤ 20 ms of compilation). Skipped when the last
       // warmup saw no meaningful compile; total barrier wall is
       // reported as settle_s_total, never inside any pass.
+      // Bound 2 s → 6 s (VERDICT r18 next #3): heavy plans (bm25_prf,
+      // ann_ivfpq_residual_gain — 40+ codegen units) queue more C2
+      // work than a 2 s barrier drains, and the remainder bled into
+      // the measured pass as jit_s (r18: 4.31 s jit on a 2.19 s wall).
+      // The longer bound costs only inter-pass wall (settle_s_total),
+      // never measured time.
       if (jitLog.getOrElse(lastKey, 0.0) >= 0.1) {
         val t0 = System.nanoTime()
         var last = jitMillis()
         var quiet = 0
-        while (quiet < 2 && System.nanoTime() - t0 < 2000000000L) {
+        while (quiet < 2 && System.nanoTime() - t0 < 6000000000L) {
           Thread.sleep(100)
           val now = jitMillis()
           if (now - last <= 20) quiet += 1 else quiet = 0

@@ -665,6 +665,10 @@ object AnnQueries extends QueryPack {
       // attribution via store_write_warm_s / build_s
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annIvfpqModelStoreBuild", root)) {
+        // cross-session restart semantics (VERDICT r18 next #5): reopen
+        // the persisted store, rebuild only on input/code change
+        graft.util.StoreOnce.ensure(root,
+          "ann_ivfpq_model_store|" + graft.util.StoreOnce.inputSig(e)) {
         val cents = refinedCents(s, e)
         val model = Pq.trainResidual(e, cents, m = 8, ks = 16, iters = 2)
         graft.sources.ModelStore.writeCentroids(s, cents, s"$root/cents")
@@ -672,6 +676,7 @@ object AnnQueries extends QueryPack {
         graft.util.StoreMeter.timed {
           Pq.encodeIvfResidual(e, cents, model)
             .write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
+        }
         }
         ()
       }
@@ -787,11 +792,15 @@ object AnnQueries extends QueryPack {
       // attribution via store_write_warm_s / build_s
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annSqStoreBuild", root)) {
+        // cross-session restart semantics (VERDICT r18 next #5)
+        graft.util.StoreOnce.ensure(root,
+          "ann_sq_store|" + graft.util.StoreOnce.inputSig(e)) {
         val model = Sq.train(e)
         graft.sources.ModelStore.writeSq(s, model, s"$root/sq")
         graft.util.StoreMeter.timed {
           Sq.encode(e, model)
             .write.mode("overwrite").parquet(s"$root/codes")
+        }
         }
         ()
       }
@@ -891,10 +900,14 @@ object AnnQueries extends QueryPack {
       // store_write_warm_s / build_s in the bench artifact
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annGraphStoreBuild", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5)
+        graft.util.StoreOnce.ensure(path,
+          "ann_graph_store|" + graft.util.StoreOnce.inputSig(e)) {
         val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
           ringM = 2, rounds = 3, maxLevel = 1)
         graft.sources.GraphStore.write(layers, path)
         graft.sources.GraphStore.writeCorpus(e, path)
+        }
         ()
       }
       val queries = e.filter($"vec_id" === 0L)
@@ -931,12 +944,18 @@ object AnnQueries extends QueryPack {
       // store_write_warm_s / build_s with full attribution
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annGraphDeleteStore", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5): the
+        // delete batch is part of the build — the persisted end state
+        // (tombstones included) is what a restart reopens
+        graft.util.StoreOnce.ensure(path,
+          "ann_graph_delete|" + graft.util.StoreOnce.inputSig(e)) {
         val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
           ringM = 2, rounds = 3, maxLevel = 1)
         graft.sources.GraphStore.write(layers, path)
         graft.sources.GraphStore.writeCorpus(e, path)
         graft.sources.GraphStore.deleteBatch(
           e.filter($"vec_id" % 97 === 3).select($"vec_id"), path, 0L)
+        }
         ()
       }
       val queries = e.filter($"vec_id" === 0L)
@@ -973,6 +992,9 @@ object AnnQueries extends QueryPack {
       // store_write_warm_s / build_s
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annGraphAdcStoreBuild", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5)
+        graft.util.StoreOnce.ensure(path,
+          "ann_graph_adc_store|" + graft.util.StoreOnce.inputSig(e)) {
         val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
         val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6,
           ringM = 2, rounds = 3)
@@ -982,6 +1004,7 @@ object AnnQueries extends QueryPack {
         graft.sources.ModelStore.writePq(s, model, s"$path/model/pq")
         graft.sources.ModelStore.writeCentroids(s,
           Ann.collectCentroids(Ann.seedCentroids(e, 8)), s"$path/model/cents")
+        }
         ()
       }
       // serve from LOADED artifacts alone — no in-memory model/graph
@@ -1020,6 +1043,9 @@ object AnnQueries extends QueryPack {
       // serve-many); attribution via store_write_warm_s / build_s
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annGraphAdcHierBuild", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5)
+        graft.util.StoreOnce.ensure(path,
+          "ann_graph_adc_hier|" + graft.util.StoreOnce.inputSig(e)) {
         val model = Pq.trainRefined(e, m = 8, ks = 16, iters = 2)
         val layers = graft.operators.KnnGraph.buildHierGraph(e, m = 6,
           ringM = 2, rounds = 3, maxLevel = 1)
@@ -1027,6 +1053,7 @@ object AnnQueries extends QueryPack {
         graft.sources.GraphStore.writeCorpus(e, path)
         graft.sources.GraphStore.writeCodes(Pq.encode(e, model), path)
         graft.sources.ModelStore.writePq(s, model, s"$path/model/pq")
+        }
         ()
       }
       val loaded = graft.sources.ModelStore.readPq(s, s"$path/model/pq")
@@ -1067,6 +1094,9 @@ object AnnQueries extends QueryPack {
       // serve-many); attribution via store_write_warm_s / build_s
       graft.util.IndexCache.value(e.select($"vec_id", $"embedding"),
           Seq("annOpqAdcStoreBuild", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5)
+        graft.util.StoreOnce.ensure(path,
+          "ann_opq_adc_store|" + graft.util.StoreOnce.inputSig(e)) {
         val model = Opq.train(e, dim = 64, m = 8, ks = 16, iters = 2,
           sampleN = 256)
         val rotated = Opq.rotate(e, model.rotation)
@@ -1076,6 +1106,7 @@ object AnnQueries extends QueryPack {
         graft.sources.GraphStore.writeCorpus(rotated, path)
         graft.sources.GraphStore.writeCodes(Pq.encode(rotated, model.pq), path)
         graft.sources.ModelStore.writeOpq(s, model, s"$path/model/opq")
+        }
         ()
       }
       // serve from LOADED artifacts alone — rotation, codebook, seeds
@@ -1119,6 +1150,9 @@ object AnnQueries extends QueryPack {
       // serve-many); attribution via store_write_warm_s / build_s
       graft.util.IndexCache.value(w.select($"vec_id", $"embedding"),
           Seq("annGraphAdcWideBuild", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5)
+        graft.util.StoreOnce.ensure(path,
+          "ann_graph_adc_wide|" + graft.util.StoreOnce.inputSig(w)) {
         val model = Pq.trainRefined(w, m = 96, ks = 16, iters = 2)
         val g = graft.operators.KnnGraph.buildSearchGraph(w, m = 6,
           ringM = 2, rounds = 3)
@@ -1126,6 +1160,7 @@ object AnnQueries extends QueryPack {
         graft.sources.GraphStore.writeCorpus(w, path)
         graft.sources.GraphStore.writeCodes(Pq.encode(w, model), path)
         graft.sources.ModelStore.writePq(s, model, s"$path/model/pq")
+        }
         ()
       }
       val loaded = graft.sources.ModelStore.readPq(s, s"$path/model/pq")
@@ -1232,6 +1267,11 @@ object AnnQueries extends QueryPack {
       // build + persist + the one upsert batch memoized per session
       // (write-once / serve-many); attribution via store_write_warm_s
       graft.util.IndexCache.value(e, Seq("annGraphUpsertBuild", path)) {
+        // cross-session restart semantics (VERDICT r18 next #5): the
+        // upsert batch is part of the build — the persisted end state
+        // (delta partition included) is what a restart reopens
+        graft.util.StoreOnce.ensure(path,
+          "ann_graph_upsert|" + graft.util.StoreOnce.inputSig(e)) {
         val g = graft.operators.KnnGraph.buildSearchGraph(e, m = 6,
           ringM = 2, rounds = 3)
         graft.sources.GraphStore.write(Seq(g), path)
@@ -1241,6 +1281,7 @@ object AnnQueries extends QueryPack {
         graft.sources.GraphStore.applyStreamBatch(batch, path, 1L, m = 6,
           beam = 12, hops = 4, maxDegree = 8, seedN = 4,
           "vec_id", "embedding")
+        }
         ()
       }
       graft.sources.GraphStore.read(s, path, 0)
