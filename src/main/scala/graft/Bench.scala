@@ -164,15 +164,14 @@ object Bench {
     def codegenCount(): Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount
-    // JVM code-cache occupancy (all CodeHeap segments). The r19 full-run
-    // pathology this names: with the default 240 MB ReservedCodeCacheSize
-    // a 180-query suite's generated classes fill the cache mid-suite,
-    // UseCodeCacheFlushing silently evicts cold nmethods, and a later
-    // query's hot loop re-enters interpreted/deopt churn — measured as
-    // single-thread CPU ≈ wall with nothing in jit/gc/sched (r19
-    // baseline run 1: dedup_containment_recall 21.2 s wall / 21.1 s cpu
-    // vs 0.74 s isolated). Peak usage in the JSON makes the headroom
-    // auditable against the -XX:ReservedCodeCacheSize build.sbt sets.
+    // JVM code-cache occupancy (all CodeHeap segments). Historical
+    // note: code-cache exhaustion was the r19 run-1 HYPOTHESIS for the
+    // stochastic slow-pass roulette, and this meter REFUTED it — peak
+    // usage stayed at 173-185 MB, under even the 240 MB JDK default,
+    // while the outliers persisted (OPTIMIZATION_r19.md runs 2-3). The
+    // meter stays because headroom should remain auditable against the
+    // -XX:ReservedCodeCacheSize build.sbt sets; the roulette itself is
+    // diagnosed by the r20 watchdog stack sampler below.
     val codeCachePools = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
@@ -247,9 +246,72 @@ object Bench {
     // unnamed remainder of r17's dedup_cc outlier (VERDICT r17 next #1)
     val driverLog = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // ---- anomaly stack sampler (r20, VERDICT r19 next #1) ----------
+    // The stochastic "roulette" passes burn real CPU that NO meter
+    // names (wall ≈ cpu, jit/gc/sched/ext ≈ 0, victim random per run,
+    // isolated reruns always fast). The only way to name the mechanism
+    // is to look at where the threads are WHILE it happens: any pass
+    // that overruns WatchdogArmMs gets its thread stacks sampled every
+    // 400 ms until it finishes; the RUNNABLE-frame histogram prints to
+    // stderr tagged with the pass key. Zero cost for normal passes
+    // (the task is cancelled before it first fires).
+    val watchdogExec = {
+      val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+        new java.util.concurrent.ThreadFactory {
+          def newThread(r: Runnable): Thread = {
+            val th = new Thread(r, "bench-watchdog"); th.setDaemon(true); th
+          }
+        })
+      t.setRemoveOnCancelPolicy(true)
+      t
+    }
+    val watchdogArmMs =
+      sys.env.getOrElse("SPARK_GRAFT_WATCHDOG_MS", "5000").toLong
+
     /** Run `body`, return wall seconds (-1 on failure), then drop every
       * cache/persistent RDD the body created — and only those. */
     def timed(what: String)(body: => Unit): Double = {
+      val frameCounts =
+        new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      val sampleCount = new java.util.concurrent.atomic.AtomicInteger(0)
+      val sampler: Runnable = () => {
+        if (sampleCount.incrementAndGet() <= 150) {
+          val stacks = Thread.getAllStackTraces
+          stacks.forEach { (th, st) =>
+            val state = th.getState
+            if (st.nonEmpty && th.getName != "bench-watchdog") {
+              // RUNNABLE frames tell where CPU burns; BLOCKED frames
+              // tell what lock a stalled pass is stuck on; WAITING
+              // frames are recorded only for executor task threads
+              // (named "Executor task launch worker-*") — an idle pool
+              // thread parked in its queue is noise, a TASK thread
+              // waiting mid-pass is the stall being diagnosed
+              val record = state == Thread.State.RUNNABLE ||
+                state == Thread.State.BLOCKED ||
+                ((state == Thread.State.WAITING ||
+                  state == Thread.State.TIMED_WAITING) &&
+                  th.getName.startsWith("Executor task launch"))
+              if (record) {
+                val tag = state match {
+                  case Thread.State.RUNNABLE => ""
+                  case Thread.State.BLOCKED => "BLOCKED "
+                  case _ => "WAIT "
+                }
+                var i = 0
+                val lim = math.min(6, st.length)
+                while (i < lim) {
+                  frameCounts.merge(
+                    tag + st(i).getClassName + "." + st(i).getMethodName,
+                    1, (a, b) => Integer.valueOf(a + b))
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+      }
+      val watchdog = watchdogExec.scheduleAtFixedRate(sampler,
+        watchdogArmMs, 400, java.util.concurrent.TimeUnit.MILLISECONDS)
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val gc0 = gcMillis()
       val sw0 = schedWaitNanos()
@@ -274,6 +336,16 @@ object Bench {
           System.err.println(s"[bench] $what FAILED: ${e.getClass.getName}: ${e.getMessage}")
           -1.0
       } finally {
+        watchdog.cancel(false)
+        if (!frameCounts.isEmpty) {
+          import scala.jdk.CollectionConverters._
+          val top = frameCounts.asScala.toSeq.sortBy(-_._2.intValue).take(25)
+          System.err.println(s"[bench.watchdog] $what overran " +
+            s"${watchdogArmMs} ms; ${sampleCount.get()} samples; " +
+            "top RUNNABLE frames:")
+          top.foreach { case (f, c) =>
+            System.err.println(s"[bench.watchdog]   $c  $f") }
+        }
         val cpuD = jvmCpuNanos() - cpu0
         cpuLog(what) = cpuD / 1e9
         val cg1 = cgroupCpuMicros()
@@ -331,124 +403,95 @@ object Bench {
     // not push a heavy query's hot loops through C2, and for the
     // memoized-index families the warmup pass executes the BUILD-shaped
     // plan while the measured pass is the first to run the serve-shaped
-    // one — so the measured pass paid both JIT compiler wall (r16
-    // artifact: jit_s_total 88 s, bm25_prf 2.48 s wall / 5.63 s jit_s vs
-    // a 1.84 s clean median) and fresh whole-stage compiles
-    // (codegen_n_total 73). Re-warm while the LAST warmup pass still
-    // compiled meaningfully — bounded at 3 total warmups. PRIMARY
-    // trigger: the per-query Janino unit count (codegen_n > 0 — the
-    // next identical pass now hits the 4096-entry codegen cache),
-    // attributable to THIS query's plan. JIT compiler wall is only a
-    // SECONDARY signal at a high threshold (> 2 s): jitMillis is
-    // JVM-GLOBAL, and background C2 left over from the PREVIOUS query
-    // kept a 0.5 s threshold tripped across queries, burning extra
-    // executions not attributable to the current plan (r17 artifact:
-    // extra_warmups_total 190; ADVICE r17 #2). Honesty
-    // is unchanged: every warmup recomputes the query's full serve
-    // OUTPUT (only deterministic index BUILDS memoize, attributed in
-    // build_warm_s); extra warmups per query land in the JSON.
+    // one. Re-warm while the LAST warmup pass still compiled
+    // meaningfully. r20 rebalance: with MEDIAN-OF-3 measured passes
+    // (below) the first measured pass absorbs residual tier-up without
+    // polluting the reported number, so the warmup budget shrinks back
+    // (cap 4 → 2) and the r19 inter-pass JIT settle barrier is removed
+    // outright — both only ever protected a single measured pass from
+    // one-off compilation wall, which the median now absorbs
+    // statistically. Honesty is unchanged: every warmup recomputes the
+    // query's full serve OUTPUT (only deterministic index BUILDS
+    // memoize, attributed in build_warm_s).
     val warmupLog = scala.collection.mutable.LinkedHashMap[String, Int]()
-    var settleTotal = 0.0 // JIT settle-barrier wall (between passes)
+    val settleTotal = 0.0 // r19 settle barrier removed (median-of-3)
     var done = 0
-    // JVM re-tier anomaly retries (r19 measurement fix — disclosed in
-    // OPTIMIZATION_r19.md, old numbers kept): a long-lived SQL JVM
-    // loading thousands of generated classes suffers stochastic
-    // deoptimization storms — a class load invalidates CHA-based
-    // inlining in SHARED Spark iterator methods, and whichever query
-    // is mid-pass re-runs its hot loops at C1/interpreter speed until
-    // C2 recovers. Measured signature: a pass at 10–25× its own
-    // warmup wall with cpu≈wall (serial) or cpu≈10×wall (parallel)
-    // and jit/gc/sched/ext ≈ 0 (r19 evidence: unpivot_agg 20.45 s vs
-    // 0.1 s isolated; dedup_containment_recall 21.2 s vs 0.74;
-    // PrintCompilation: 0 "made not compilable", 19,592 "made not
-    // entrant" over one suite — churn, not exhaustion; code-cache
-    // peak 185 MB of 1 GB). The victim is random per run, so the
-    // first pass measured the JVM's deopt recovery, not the plan.
-    // Protocol: when a measured pass exceeds 3× the query's own
-    // cleanest warmup (floor 1 s), run ONE retry pass and report the
-    // retry as the measurement (attribution maps overwrite under the
-    // same key); the first wall is preserved per query in `first_s`
-    // and the retry count in `retier_reruns`. A retry that is still
-    // slow stands — only reproducible cost is reported as cost.
+    // Measured-pass protocol (r20, VERDICT r19 next #3): the r19
+    // one-sided re-tier retry (retry only slow passes) biased the
+    // estimator downward. Replaced by a SYMMETRIC median-of-3: every
+    // query runs `MeasuredPasses` measured passes (cache-cold and
+    // block-scoped each, exactly like before) and reports the MEDIAN;
+    // per-query min/max land in `t_min`/`t_max`, the first pass's wall
+    // is preserved in `first_s` whenever it is anomalous vs the median
+    // (> 3×, floor 1 s — the r19 `first_s` audit semantics), and
+    // `anomalous_passes` counts every pass > 3× its query's median
+    // (floor 1 s). The stochastic JVM deopt/re-tier roulette the r19
+    // retry targeted (a random pass at 10–25× its clean cost, real CPU,
+    // nothing named by jit/gc/sched/ext) is absorbed by the median
+    // without direction bias: a fast fluke and a slow fluke are both
+    // discarded. Attribution maps report the MEDIAN pass's counters
+    // (copied under the "<name> measured" key the JSON readers use).
+    val MeasuredPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val firstLog = scala.collection.mutable.LinkedHashMap[String, Double]()
-    var retierReruns = 0
+    val minLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val maxLog = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var anomalousPasses = 0
+    val attribLogs: Seq[scala.collection.mutable.LinkedHashMap[String, Double]] =
+      Seq(cpuLog, extCpuLog, ioReadLog, jitLog, gcLog, buildSecLog,
+        storeSecLog, dispatchLog, driverLog, schedLog)
     val results = SparkEntry.selectedQueries.map { case (name, fn) =>
       if (done > 0 && done % ProbeEvery == 0) probes(done) = probeOnce(s"at$done")
-      var warmWalls = List(timed(s"$name warmup")(fn(spark, sfDir).count()))
       var warms = 1
       var lastKey = s"$name warmup"
-      // third trigger, ONE-SHOT (warms == 1 only): a pass with real
-      // driver-resident compute (union-find, greedy loops — VERDICT r17
-      // next #1) gets exactly one extra warmup so the driver-side Scala
-      // loops go through C2 — their compilation barely registers in the
-      // codegen/jit triggers, and the first execution of dedup_cc's
-      // union-find ran cold into the measured pass in r17 (9.33 s vs
-      // ≤2.0 clean). One-shot because driver_s stays > 0 on every pass
-      // of such a query — it measures the loop, not its compilation.
-      // r19 rebalance (VERDICT r18 next #3's second half): with the
-      // persisted store reopening EVERY index artifact, warmups became
-      // seconds-short reads and the serve plan's methods now cross
-      // their C2 thresholds DURING the measured pass (jit_s_total 37 →
-      // 50 s on identical serve code once store coverage widened;
-      // bm25_prf 1.67 → 4.92 s with jit 2.0). Long build-warmups used
-      // to tier the serve loops up for free — short warmups must do it
-      // with MORE EXECUTIONS: cap 3 → 4 and the JVM-global JIT-wall
-      // secondary trigger 2.0 → 0.5 s. Warmup wall is outside every
-      // measured number (extra warmups land in the JSON).
-      while (warms < 4 &&
+      timed(lastKey)(fn(spark, sfDir).count())
+      // second warmup when the first still compiled meaningfully
+      // (codegen units of THIS plan, global JIT wall, or driver-resident
+      // loops crossing C2 — VERDICT r17 next #1)
+      while (warms < 2 &&
           (codegenLog.getOrElse(lastKey, 0L) > 0L ||
             jitLog.getOrElse(lastKey, 0.0) > 0.5 ||
-            (warms == 1 && driverLog.getOrElse(lastKey, 0.0) > 0.3))) {
+            driverLog.getOrElse(lastKey, 0.0) > 0.3)) {
         warms += 1
         lastKey = s"$name warmup$warms"
-        warmWalls ::= timed(lastKey)(fn(spark, sfDir).count())
+        timed(lastKey)(fn(spark, sfDir).count())
       }
       warmupLog(name) = warms
-      // JIT settle barrier (the JMH practice): with the persisted index
-      // store on, warmup passes are short reads — background C2 kicked
-      // off DURING a warmup can still be compiling when the measured
-      // pass starts, and its wall lands in the measured jit bucket
-      // (r18 in-round evidence: jit_s_total ~40 with long build
-      // warmups vs ~60 with store-read warmups on identical serve
-      // code). Wait — BETWEEN passes, bounded at 2 s — until the
-      // global compiler wall goes quiet (two consecutive 100 ms
-      // windows with ≤ 20 ms of compilation). Skipped when the last
-      // warmup saw no meaningful compile; total barrier wall is
-      // reported as settle_s_total, never inside any pass.
-      // Bound 2 s → 6 s (VERDICT r18 next #3): heavy plans (bm25_prf,
-      // ann_ivfpq_residual_gain — 40+ codegen units) queue more C2
-      // work than a 2 s barrier drains, and the remainder bled into
-      // the measured pass as jit_s (r18: 4.31 s jit on a 2.19 s wall).
-      // The longer bound costs only inter-pass wall (settle_s_total),
-      // never measured time.
-      if (jitLog.getOrElse(lastKey, 0.0) >= 0.1) {
-        val t0 = System.nanoTime()
-        var last = jitMillis()
-        var quiet = 0
-        while (quiet < 2 && System.nanoTime() - t0 < 6000000000L) {
-          Thread.sleep(100)
-          val now = jitMillis()
-          if (now - last <= 20) quiet += 1 else quiet = 0
-          last = now
-        }
-        settleTotal += (System.nanoTime() - t0) / 1e9
-      }
       starts(name) = (System.nanoTime() - suiteT0) / 1e9
-      var t = timed(s"$name measured")(fn(spark, sfDir).count())
-      // re-tier anomaly retry (see firstLog above): threshold = 3× the
-      // cleanest warmup wall, floored at 1 s so sub-second jitter never
-      // retries; failures (t < 0) never retry
-      val warmMin = warmWalls.filter(_ >= 0) match {
-        case Nil => Double.MaxValue
-        case ws => ws.min
-      }
-      if (t >= 0 && t > math.max(1.0, 3.0 * warmMin)) {
-        retierReruns += 1
-        firstLog(name) = t
-        System.err.println(f"[bench] $name re-tier anomaly: measured $t%.2f s " +
-          f"vs warmup-min $warmMin%.2f s - retrying once")
-        t = timed(s"$name measured")(fn(spark, sfDir).count())
-      }
+      val passKeys = (1 to MeasuredPasses).map(i =>
+        if (i == 1) s"$name measured" else s"$name measured$i")
+      val walls = passKeys.map(k => timed(k)(fn(spark, sfDir).count()))
+      val okIdx = walls.indices.filter(walls(_) >= 0)
+      // median over the successful passes (upper-middle when even —
+      // conservative, never biased down); -1 when every pass failed
+      val t =
+        if (okIdx.isEmpty) -1.0
+        else {
+          val sorted = okIdx.sortBy(walls(_))
+          val medIdx = sorted(sorted.length / 2)
+          val med = walls(medIdx)
+          minLog(name) = walls(sorted.head)
+          maxLog(name) = walls(sorted.last)
+          okIdx.foreach { i =>
+            if (walls(i) > math.max(1.0, 3.0 * med)) anomalousPasses += 1
+          }
+          if (walls(0) >= 0 && walls(0) > math.max(1.0, 3.0 * med)) {
+            firstLog(name) = walls(0)
+            System.err.println(f"[bench] $name anomalous first pass: " +
+              f"${walls(0)}%.2f s vs median $med%.2f s")
+          }
+          // report the median pass's attribution under the key the
+          // JSON emitters read
+          if (medIdx != 0) {
+            val from = passKeys(medIdx)
+            val to = s"$name measured"
+            attribLogs.foreach { m => m.get(from).foreach(v => m(to) = v) }
+            Seq(majfltLog).foreach { m => m.get(from).foreach(v => m(to) = v) }
+            Seq(codegenLog, buildLog, jobsLog).foreach { m =>
+              m.get(from).foreach(v => m(to) = v) }
+          }
+          med
+        }
       done += 1
       name -> t
     }
@@ -540,6 +583,19 @@ object Bench {
       .mkString("{", ",", "}")
     val extraWarmupsTotal = results.map { case (k, _) =>
       warmupLog.getOrElse(k, 1) - 1 }.sum
+    // per-collector totals (stderr): G1 splits STW work across "G1
+    // Young/Old Generation" and runs concurrent cycles under "G1
+    // Concurrent GC" — a concurrent-cycle storm burns process CPU that
+    // the summed gc meter can under-attribute, so the breakdown makes
+    // the collector's run-level behavior auditable
+    locally {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        System.err.println(s"[bench.gc] ${b.getName}: count=${b.getCollectionCount} timeMs=${b.getCollectionTime}")
+      }
+    }
     // stop() before the JSON so no further stdout follows — but never
     // let a teardown failure eat the run's results
     try spark.stop() catch { case e: Throwable =>
@@ -576,9 +632,16 @@ object Bench {
       s""""settle_s_total":${fmt(settleTotal)},""" +
       s""""codecache_peak_mb":${fmt(codeCachePeak / 1048576.0)},""" +
       s""""codecache_cap_mb":${fmt(codeCacheCap / 1048576.0)},""" +
+      s""""t_min":${results.map { case (k, _) =>
+        s"\"" + k + "\":" + fmt(minLog.getOrElse(k, -1.0)) }
+        .mkString("{", ",", "}")},""" +
+      s""""t_max":${results.map { case (k, _) =>
+        s"\"" + k + "\":" + fmt(maxLog.getOrElse(k, -1.0)) }
+        .mkString("{", ",", "}")},""" +
       s""""first_s":${firstLog.map { case (k, v) =>
         s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
-      s""""retier_reruns":$retierReruns,""" +
+      s""""measured_passes":$MeasuredPasses,""" +
+      s""""anomalous_passes":$anomalousPasses,""" +
       s""""failed":${failed.size},"sf":"$sfDir"}"""
     // the one-line metric JSON outgrew the driver's stdout tail capture
     // at 124 queries (BENCH_r08 landed `parsed: null`) — also persist it
@@ -641,7 +704,8 @@ object Bench {
       s""""extra_warmups_total":$extraWarmupsTotal,""" +
       s""""settle_s_total":${fmt(settleTotal)},""" +
       s""""codecache_peak_mb":${fmt(codeCachePeak / 1048576.0)},""" +
-      s""""retier_reruns":$retierReruns,""" +
+      s""""measured_passes":$MeasuredPasses,""" +
+      s""""anomalous_passes":$anomalousPasses,""" +
       s""""first_s":${firstLog.map { case (k, v) =>
         s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")},""" +
       s""""probe_first":${fmt(probeFirst)},"probe_mid_min":${fmt(probeMidMin)},""" +
