@@ -50,10 +50,17 @@ object SetJoin {
   def jaccardPairs(sets: DataFrame, num: Int, den: Int,
       positionalFilter: Boolean = true): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    // hs SORTED ascending (r20): the verify stage's intersection runs
+    // as a zero-allocation merge count over pre-sorted sets instead of
+    // a per-pair hash-set build — the sort is paid once per SET here,
+    // the merge per CANDIDATE PAIR below (the Dedup verify-kernel
+    // convention, JaccardSortedLongs). Order of hs is observable
+    // nowhere else: freq explodes it, the prefix rank orders by
+    // (cnt, t), and the output carries only counts.
     val s = sets.select(col("id"), col("tk")).filter(size(col("tk")) > 0)
       .select(col("id"),
-        array_distinct(transform(col("tk"),
-          t => graft.functions.TextFunctions.hash56(t))).as("hs"))
+        array_sort(array_distinct(transform(col("tk"),
+          t => graft.functions.TextFunctions.hash56(t)))).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager materialization: five consumers (freq, ordered, prefix
@@ -137,7 +144,16 @@ object SetJoin {
       .join(s.select(col("id").as("id1"), col("hs").as("hs1")), "id1")
       .join(s.select(col("id").as("id2"), col("hs").as("hs2")), "id2")
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("hs1"), col("hs2"))).cast("long").as("n_inter"),
+        // merge-intersection count over the pre-sorted sets — value-
+        // identical to size(array_intersect(...)) on distinct inputs
+        // (SetJoinSpec pins it), no per-pair hash set or array
+        // materialization (r20, the verify stage was the join's CPU
+        // floor: 22-34 cpu-s at sf0.1)
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.IntersectCountSortedLongs(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("hs1")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("hs2"))))
+          .as("n_inter"),
         (size(col("hs1")) + size(col("hs2"))).cast("long").as("n_both"))
       .select(col("id1"), col("id2"), col("n_inter"),
         (col("n_both") - col("n_inter")).as("n_union"))

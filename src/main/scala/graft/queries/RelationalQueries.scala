@@ -77,13 +77,21 @@ object RelationalQueries extends QueryPack {
           sum(dec2($"o_totalprice")).cast("double").as("monetary"))
         .persist()
       val n = byCust.agg(count(lit(1)).as("__n"))
-      def quart(rankCol: String, keys: Column*): DataFrame =
-        Rank.withGlobalRank(byCust, rankCol, keys: _*)
-          .select($"o_custkey", col(rankCol))
-      byCust
-        .join(quart("__rr", $"last_order", $"o_custkey"), "o_custkey")
-        .join(quart("__fr", $"frequency", $"o_custkey"), "o_custkey")
-        .join(quart("__mr", $"monetary", $"o_custkey"), "o_custkey")
+      // r20 consolidation (VERDICT r19 next #5): the three ranks CHAIN —
+      // each withGlobalRank carries the previous rank columns through
+      // its own range shuffle — so the three (custkey, rank) join-backs
+      // the old shape paid (three broadcast builds + three join stages
+      // re-reading byCust) disappear from the plan. A rank is a pure
+      // function of the TOTAL key order (partitioning-invariant by the
+      // cpu4-vs-cpu32 gate), so chaining cannot change any value; the
+      // extra two long columns riding the second/third range shuffles
+      // are narrower than the join traffic they replace at any scale.
+      val ranked = Rank.withGlobalRank(
+        Rank.withGlobalRank(
+          Rank.withGlobalRank(byCust, "__rr", $"last_order", $"o_custkey"),
+          "__fr", $"frequency", $"o_custkey"),
+        "__mr", $"monetary", $"o_custkey")
+      ranked
         .crossJoin(broadcast(n))
         .select($"o_custkey", $"frequency", $"monetary",
           Rank.ntileFromRank($"__rr", $"__n", 4).as("r_q"),

@@ -1272,29 +1272,43 @@ object GraphStore {
       * the corpus exceeds `rowCap` rows or layer 0 exceeds `edgeCap`
       * edge rows — the caller serves through the per-hop point-lookup
       * path instead. The limit(cap+1) probes keep both the jobs and
-      * the driver allocations capped against over-cap stores. */
-    def preloadAll(rowCap0: Int, edgeCap0: Int, needCodes: Boolean): Boolean = {
+      * the driver allocations capped against over-cap stores.
+      *
+      * `loadEmb = false` (r20, VERDICT r19 next #6): skip the corpus
+      * embeddings — the ADC serves navigate on m-byte codes and touch
+      * full embeddings exactly once (the final beam's exact tail), so
+      * preloading the d-float payload would be the one heavy collect in
+      * an otherwise code/edge-sized residency (a 768-dim corpus is
+      * ~100× its PQ codes). `ensureEmb` stays a single pruned
+      * point-lookup job for the final beam; the code/adjacency caches
+      * are sealed, embeddings are not. The codes probe carries the
+      * rowCap so the store-size bound still holds. */
+    def preloadAll(rowCap0: Int, edgeCap0: Int, needCodes: Boolean,
+        loadEmb: Boolean = true): Boolean = {
       // clamp like ServeLoop.open (ADVICE r17 #3 / r18 #3): a caller
       // passing Int.MaxValue would overflow limit(cap + 1) to a
       // negative limit and throw
       val rowCap = math.min(math.max(rowCap0, 0), Int.MaxValue - 8)
       val edgeCap = math.min(math.max(edgeCap0, 0), Int.MaxValue - 8)
       val seen = mutable.HashSet.empty[Long]
-      // corpus embeddings, latest-batch-wins per id
-      val vrows =
+      // corpus embeddings, latest-batch-wins per id (skipped under
+      // loadEmb = false — see the scaladoc)
+      if (loadEmb) {
+        val vrows =
+          if (ctx.vecMulti)
+            ctx.vecTable.select(col("vec_id"), col("embedding"),
+              col("batch_id").cast("long")).limit(rowCap + 1).collect()
+          else ctx.vecTable.select(col("vec_id"), col("embedding"))
+            .limit(rowCap + 1).collect()
+        if (vrows.length > rowCap) return false
         if (ctx.vecMulti)
-          ctx.vecTable.select(col("vec_id"), col("embedding"),
-            col("batch_id").cast("long")).limit(rowCap + 1).collect()
-        else ctx.vecTable.select(col("vec_id"), col("embedding"))
-          .limit(rowCap + 1).collect()
-      if (vrows.length > rowCap) return false
-      if (ctx.vecMulti)
-        vrows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
-          embs(id) = floatsOf(rs.maxBy(_.getLong(2)).getSeq[Any](1))
-          seen += id
+          vrows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+            embs(id) = floatsOf(rs.maxBy(_.getLong(2)).getSeq[Any](1))
+            seen += id
+          }
+        else vrows.foreach { r =>
+          embs(r.getLong(0)) = floatsOf(r.getSeq[Any](1)); seen += r.getLong(0)
         }
-      else vrows.foreach { r =>
-        embs(r.getLong(0)) = floatsOf(r.getSeq[Any](1)); seen += r.getLong(0)
       }
       // PQ codes, same discipline (code row count ≤ corpus row count
       // by the write contract, so the same cap bounds it)
@@ -1342,11 +1356,13 @@ object GraphStore {
       }
       adjL0.valuesIterator.foreach(ns => seen ++= ns)
       // seal the caches: every id the walk could ever touch is marked
-      // resolved, so no later ensure* runs a job
+      // resolved, so no later ensure* runs a job. Under loadEmb = false
+      // the embedding cache is deliberately NOT sealed — ensureEmb
+      // keeps its single pruned point-lookup for the exact tail.
       seen.foreach { id =>
         if (!adjL0.contains(id)) adjL0(id) = Array.empty[Long]
-        embSeen += id
-        codeSeen += id
+        if (loadEmb) embSeen += id
+        if (needCodes) codeSeen += id
       }
       true
     }
@@ -1620,6 +1636,14 @@ object GraphStore {
       case Some(qv) =>
         val ctx = openStore(spark, path, needCodes = false)
         val dw = new DriverWalk(ctx)
+        // edge-only preload (r20, VERDICT r19 next #6): the exact walk
+        // scores on embeddings (which stay per-hop pruned point
+        // lookups — the d-float corpus payload is never bulk-collected)
+        // but its adjacency expansions become zero-job, halving the
+        // per-hop dispatch floor; above the edge cap the per-hop path
+        // serves unchanged.
+        dw.preloadAll(graphServeMaxRows, graphServeMaxEdges,
+          needCodes = false, loadEmb = false)
         val score = dw.exactScore(qv)
         var seeds: Map[Long, Seq[Long]] =
           qv.keysIterator.map(_ -> Seq(ctx.entryId)).toMap
@@ -1729,7 +1753,20 @@ object GraphStore {
       model: graft.operators.Pq.PqModel,
       beam: Int, hops: Int, k: Int, dw0: DriverWalk = null): DataFrame = {
     import graft.operators.Pq
-    val dw = if (dw0 != null) dw0 else new DriverWalk(ctx)
+    val dw = if (dw0 != null) dw0 else {
+      val w = new DriverWalk(ctx)
+      // preload-first (r20, VERDICT r19 next #6): the per-hop
+      // point-lookup walk paid ~2 driver-dispatched jobs per hop
+      // (adjacency + codes fetch), the serve queries' measured floor
+      // (hop_dispatch ~45 ms/job). One bounded codes+edges residency
+      // collapses that to 2 collects for the WHOLE walk; embeddings
+      // stay a single exact-tail point lookup (loadEmb = false). Above
+      // the caps the preload declines and the per-hop path — which
+      // handles any store size — serves unchanged.
+      w.preloadAll(graphServeMaxRows, graphServeMaxEdges,
+        needCodes = true, loadEmb = false)
+      w
+    }
     val luts = qv.map { case (q, v) =>
       q -> Pq.lut(model, v).map(_.toArray).toArray
     }
@@ -1809,6 +1846,11 @@ object GraphStore {
         import graft.operators.Pq
         val ctx = openStore(spark, path, needCodes = true)
         val dw = new DriverWalk(ctx)
+        // preload-first (r20): codes+edges residency for the whole
+        // descent — see adcServeDriver; falls back to per-hop above
+        // the caps
+        dw.preloadAll(graphServeMaxRows, graphServeMaxEdges,
+          needCodes = true, loadEmb = false)
         val luts = qv.map { case (q, v) =>
           q -> Pq.lut(model, v).map(_.toArray).toArray
         }

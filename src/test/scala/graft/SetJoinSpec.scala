@@ -108,4 +108,23 @@ class SetJoinSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty, "fixture should contain near-dup documents")
   }
+
+  test("IntersectCountSortedLongs ≡ size(array_intersect) on sorted distinct longs (r20 verify kernel)") {
+    val rnd = new scala.util.Random(20)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+      (i.toLong, a, b)
+    } :+ ((0L, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("i", "a", "b")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val merged = ColumnBridge.column(
+      graft.expressions.IntersectCountSortedLongs(
+        ColumnBridge.expression($"a"), ColumnBridge.expression($"b")))
+    val bad = df.select(
+        merged.as("fast"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(bad === 0L)
+  }
 }
