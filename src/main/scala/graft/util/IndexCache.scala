@@ -168,6 +168,11 @@ object IndexCache {
   private def diskKey(input: DataFrame, params: Seq[Any]): Option[String] = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     import org.apache.spark.sql.execution.LogicalRDD
+    // a random (unknown-provenance) code stamp makes every disk key
+    // session-unique: reads can never hit, and write-throughs would
+    // accumulate orphan artifacts forever (ADVICE r19 #3) — skip the
+    // store layer entirely for such sessions
+    if (StoreOnce.codeStampUnknown) return None
     val leaves = input.queryExecution.analyzed.collectLeaves()
     if (leaves.isEmpty) return None
     var hasRdd = false
@@ -300,12 +305,21 @@ object IndexCache {
         var usedStore = fromStore.isDefined
         val (out, ids) = fromStore match {
           case Some(sf) =>
+            val beforeTry = sc.getPersistentRDDs.keySet
             try pin(sf) catch { case e: Throwable =>
               System.err.println(
                 s"[graft] index store materialize failed (${diskPath.get}), " +
                   s"rebuilding: ${e.getMessage}")
               storeReadCounter.decrementAndGet()
               usedStore = false
+              // a pin that failed PARTWAY may have registered blocks the
+              // entry will never record — release them before falling
+              // back, or a non-harness caller leaks them for the
+              // session (ADVICE r19 #4)
+              sc.getPersistentRDDs
+                .filter { case (id, _) => !beforeTry.contains(id) }
+                .values.foreach(r =>
+                  try r.unpersist(false) catch { case _: Throwable => () })
               // drop the corrupt artifact so the write-through below
               // can replace it (self-heal) instead of every future
               // session paying a failed read

@@ -47,6 +47,12 @@ object StoreOnce {
     * serving a stale store after a code change). */
   private lazy val unknownCodeStamp: String =
     "nocode-" + java.util.UUID.randomUUID().toString
+  /** True when [[codeStamp]] fell back to the per-JVM random stamp —
+    * such a session's disk keys can never match any other session's,
+    * so content-addressed store layers should skip both reads AND
+    * write-throughs (ADVICE r19 #3: write-throughs under a random
+    * stamp accumulate orphan artifacts no session can ever read). */
+  def codeStampUnknown: Boolean = codeStamp == unknownCodeStamp
   lazy val codeStamp: String = try {
     // getCodeSource, not getResource: a forked sbt run loads classes
     // through a manifest Class-Path wrapper jar, so resource URLs come
@@ -125,10 +131,24 @@ object StoreOnce {
         .map("%02x".format(_)).mkString
     }
     def markerOf(p: String) = java.nio.file.Paths.get(p, "_GRAFT_BUILD")
+    // marker alone is not enough (ADVICE r19 #2): tmpdir age-based
+    // cleaners can delete store data files while the marker survives,
+    // and a skipped build would then fail at serve time with no
+    // degrade-to-rebuild. Require at least one parquet commit marker
+    // (_SUCCESS) somewhere under the store root too — every layout this
+    // guard protects (GraphStore/IndexStore/BinaryStore/ModelStore)
+    // writes its tables through Spark's committer.
+    def hasData(p: String): Boolean = try {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try stream.anyMatch(q => q.getFileName != null &&
+        q.getFileName.toString == "_SUCCESS")
+      finally stream.close()
+    } catch { case _: Throwable => false }
     val allMatch = enabled && paths.forall { p =>
       val m = markerOf(p)
       java.nio.file.Files.exists(m) &&
-        new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp
+        new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == fp &&
+        hasData(p)
     }
     // opt-in mismatch tracing (-Dgraft.storeDebug): prints enough to
     // see WHICH side of a fingerprint went stale (marker vs expected,
