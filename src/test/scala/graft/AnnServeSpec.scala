@@ -10,6 +10,7 @@ import graft.streaming.AnnServe
   * each arriving query micro-batch with exactly the batch engine's
   * result ([[Ann.search]] — same centroids, same nprobe, same
   * tie-break), emitted once per query. */
+@HeavyTest
 class AnnServeSpec extends SparkSpec {
   import spark.implicits._
 

@@ -8,6 +8,7 @@ import graft.sources.{BinaryStore, Tables}
   * results (narrow and wide), and a probe reads ~candidates·replication
   * rows instead of the whole index — measured through the scan metric
   * with an unpruned control. */
+@HeavyTest
 class BinaryStoreSpec extends SparkSpec {
   import spark.implicits._
 

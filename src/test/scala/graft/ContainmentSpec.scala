@@ -6,6 +6,7 @@ import graft.sources.Tables
 
 /** Containment dedup: directional doc-in-doc semantics on crafted
   * corpora, and a driver-side differential over the real table. */
+@HeavyTest
 class ContainmentSpec extends SparkSpec {
   import spark.implicits._
 

@@ -11,6 +11,7 @@ import graft.operators.Dedup
   * band buckets, est prefilter, exact jaccard) — the definition the
   * DuckDB oracle states. Any divergence in the pipeline's rewrites
   * (collapse/expansion/fingerprinting) shows up as a set difference. */
+@HeavyTest
 class DedupDifferentialSpec extends SparkSpec {
   import spark.implicits._
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.functions.TextFunctions._
 
+@HeavyTest
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 

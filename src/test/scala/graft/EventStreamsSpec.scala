@@ -11,6 +11,7 @@ case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
 /** Drives the streaming operators with MemoryStream — incremental
   * execution, watermark advancement, and batch/stream result parity. */
+@HeavyTest
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import graft.sources.{GraphStore, Tables}
   * batch deltas land exactly-once and resolve latest-wins, the point
   * lookup actually prunes the scan, and compaction changes layout
   * only. */
+@HeavyTest
 class GraphStoreSpec extends SparkSpec {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import graft.sources.{IndexStore, Tables}
   * prunes — bucket partition filtering reads a fraction of the posting
   * rows, measured through the scan's own metric with an unpruned
   * control. */
+@HeavyTest
 class IndexStoreSpec extends SparkSpec {
   import spark.implicits._
 

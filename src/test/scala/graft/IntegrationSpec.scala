@@ -9,6 +9,7 @@ import graft.sources.{Tables, VectorStore}
 /** The reference's full lifecycle, end-to-end on real testdata:
   * mutation log → replay → persisted shard-partitioned snapshot →
   * reload → (pruned) search. SURVEY.md §3 as one test. */
+@HeavyTest
 class IntegrationSpec extends SparkSpec {
   import spark.implicits._
 

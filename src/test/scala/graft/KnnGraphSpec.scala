@@ -8,6 +8,7 @@ import graft.sources.Tables
   * (differential vs a naive window mirror), the graph closely tracks
   * the unblocked exact graph, and the plan aggregates with the BottomK
   * partial heap (no global window over candidates). */
+@HeavyTest
 class KnnGraphSpec extends SparkSpec {
   import spark.implicits._
 

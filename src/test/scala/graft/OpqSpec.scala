@@ -9,6 +9,7 @@ import graft.operators.{Opq, Pq}
   * correlated corpus OPQ strictly beats plain PQ in distortion at
   * equal code bytes — the Ge 2013 claim the ann_opq_gain query
   * measures. */
+@HeavyTest
 class OpqSpec extends SparkSpec {
   import spark.implicits._
 
