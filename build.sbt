@@ -39,8 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // passes re-read them through java deserialization + NIO file
   // channels (r20 watchdog stack samples: ObjectInputStream.readObject0
   // and SparkStreamUtils.copyFileStreamNIO/FileChannelImpl.map burning
-  // whole passes; victims random, storms absent in every 16g run
-  // including a fully store-cold one). 0.5 GB/core is the low end of
+  // whole passes; victims random). 16g removed the deserialization
+  // storm class — every 8g run this round had storms (per-run tail
+  // mass 13-39 s), the 16g runs were clean except under measured BOX
+  // contention (sched_wait/probe spikes), where a residual
+  // file-channel stall class remains (named by the watchdog, bounded
+  // by the median-of-3 protocol). 0.5 GB/core is the low end of
   // production executor sizing — a serving node sizes memory to its
   // resident index, which is exactly what the reference does.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
